@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file ordered line access — the engine's equivalent of the
+  * reference's text streaming (`lib/ndr_import/file/text.rb:15-47`) and its
+  * encoding probe (`file/text.rb:35-47`: try UTF-16 first via BOM, then
+  * UTF-8, then fall back to Windows-1252 — ndr_support `ensure_utf8!`).
+  *
+  * Files are read via `binaryFile`, one row per file, so line numbers are
+  * exact and per-file ordering is free — no global sort, no shuffle. This
+  * is the honest 100 TB posture for the reference's workload: parallelism
+  * across MANY files (one task per file), never within one text file whose
+  * semantics (header/footer/segmentation) are inherently sequential.
+  */
+object LineSource {
+
+  /** Decode bytes with the reference's probe order. Deterministic, pure. */
+  def decodeSmart(bytes: Array[Byte]): String = {
+    if (bytes == null) return null
+    // BOM-based UTF-16 detection (reference mode probe 'rb:utf-16:utf-8')
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFE && (bytes(1) & 0xFF) == 0xFF)
+      return new String(bytes, 2, bytes.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xFE)
+      return new String(bytes, 2, bytes.length - 2, java.nio.charset.StandardCharsets.UTF_16LE)
+    // UTF-8 BOM
+    val (off, len) =
+      if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xEF && (bytes(1) & 0xFF) == 0xBB &&
+          (bytes(2) & 0xFF) == 0xBF) (3, bytes.length - 3)
+      else (0, bytes.length)
+    // strict UTF-8, else Windows-1252 (ndr_support UTF8Encoding fallback)
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes, off, len)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        new String(bytes, off, len, java.nio.charset.Charset.forName("windows-1252"))
+    }
+  }
+
+  private val decodeSmartUdf = udf(decodeSmart _)
+
+  /** One row per file: (file, text). */
+  def fileTexts(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path").as("file"), decodeSmartUdf(col("content")).as("text"))
+
+  /** Split decoded text into chomped lines, Ruby `each_line`-style (no
+    * phantom empty line after a trailing newline). */
+  def splitLines(text: Column): Column = {
+    val arr = split(text, "\r\n|\r|\n", -1)
+    when(size(arr) > 0 && element_at(arr, -1) === "", slice(arr, lit(1), size(arr) - 1))
+      .otherwise(arr)
+  }
+
+  /** (file, lineno, line) — lineno 0-based per file, exact. */
+  def lines(spark: SparkSession, paths: Seq[String]): DataFrame =
+    explodeLines(fileTexts(spark, paths))
+
+  def explodeLines(fileTextDf: DataFrame): DataFrame =
+    fileTextDf
+      .select(col("file"), posexplode(splitLines(col("text"))).as(Seq("lineno", "line")))
+      .select(col("file"), col("lineno").cast("long").as("lineno"), col("line"))
+}
