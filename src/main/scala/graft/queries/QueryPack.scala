@@ -1,0 +1,627 @@
+package graft.queries
+
+import graft.compile.MappingCompiler
+import graft.model.MappingLoader
+import graft.sources.Tabular
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The driver-verified query battery.
+  *
+  * Each entry is one operator from SURVEY.md §2 (named by its operator id) or
+  * one of the large-scale training-data extensions, expressed as a
+  * deterministic query over the driver's parquet tables with a DuckDB oracle
+  * in [[oracles]]. Design rules for oracle hash-stability:
+  *
+  *   - money aggregates go through DECIMAL casts (exact, order-independent)
+  *     and only the final value is rendered as DOUBLE;
+  *   - hashing is md5-based on both sides (the only hash both engines share);
+  *   - every top-k has a total order (ties broken by a unique key);
+  *   - timestamps are reduced to epoch millis or truncated dates.
+  */
+object QueryPack {
+
+  private def T(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    * default; read it as a long (nanos) and derive epoch-millis with
+    * INTEGER division (double division would lose precision at 1e18). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+  }
+
+  // === Relational core ======================================================
+
+  /** TPC-H Q1-style pricing summary: partial (map-side) aggregation, exact
+    * decimal sums. One shuffle on the 2-key group — optimal. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: selective dim filter → join → top-10 by revenue.
+    * customer is small relative to lineitem → broadcast it; order totally
+    * (revenue desc, key asc) so LIMIT is deterministic. */
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = T(s, dir, "orders")
+    val li = T(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: star join through two broadcast dims + one fact-fact
+    * shuffle join, revenue per nation. */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = T(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = T(s, dir, "nation")
+    val cust = T(s, dir, "customer")
+    val ord = T(s, dir, "orders")
+    val li = T(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+                          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  /** Rollup aggregation (grouping sets). */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("qty"))
+
+  /** Exact distinct aggregation per group. */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+
+  // === Window / ordered operators ==========================================
+
+  /** Running total per user — the Window.partitionBy analogue of the
+    * reference's ordered row semantics. One shuffle on user_id. */
+  def w1RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .filter(col("user_id") % 10 === 0)
+      .select(col("event_id"), col("user_id"),
+        sum(dec(col("value"))).over(w).cast("double").as("running_value"))
+  }
+
+  /** Sessionisation: gap > 30 min starts a new session — the exact Spark
+    * shape of the reference's non-tabular record segmentation (N3:
+    * running sum of start-markers over an ordered window). */
+  def w2Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val ev = events(s, dir)
+      .withColumn("ms", col("ts_ms"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+  }
+
+  // === Source-operator semantics (S/T/M) over the test tables ==============
+
+  /** S5 — JSON parsing semantics (the JSONL reader's per-line parse). */
+  def s5JsonProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+
+  /** T7 — klass fan-out through the REAL mapping compiler: one customer row
+    * fans into CustomerRecord + AccountRecord, masked per klass, name run
+    * through the :name cleaner (M9). Narrow — zero shuffles. */
+  def t7KlassFanout(s: SparkSession, dir: String): DataFrame = {
+    val yaml =
+      """|columns:
+         |- column: name
+         |  klass: CustomerRecord
+         |  mappings:
+         |  - field: name
+         |    clean: :name
+         |- column: segment
+         |  klass: CustomerRecord
+         |  mappings:
+         |  - field: segment
+         |- column: acctbal
+         |  klass: AccountRecord
+         |  mappings:
+         |  - field: acctbal
+         |""".stripMargin
+    val mapping = MappingLoader.loadTable(yaml)
+    val input = T(s, dir, "customer").select(
+      array(col("c_name"), col("c_mktsegment"), dec(col("c_acctbal")).cast("string"))
+        .as("cells"),
+      col("c_custkey").cast("long").as("lineno"),
+      lit("customer").as("file"))
+    MappingCompiler(mapping).records(input)
+      .select(col("klass"),
+        element_at(col("fields"), "name").as("name"),
+        element_at(col("fields"), "segment").as("segment"),
+        element_at(col("fields"), "acctbal").as("acctbal"),
+        col("index"))
+  }
+
+  /** T9 — fixed-width unpack (a8 A12) round-tripped through the real
+    * fixed-width source on synthesised lines. */
+  def t9FixedWidth(s: SparkSession, dir: String): DataFrame = {
+    val lines = T(s, dir, "part").select(
+      lit("part").as("file"),
+      col("p_partkey").cast("long").as("lineno"),
+      concat(lpad(col("p_partkey").cast("string"), 8, "0"),
+             rpad(col("p_brand"), 12, " ")).as("line"))
+    Tabular.fixedWidth(lines, Seq("a8", "A12"))
+      .select(col("lineno").as("partkey"),
+        element_at(col("cells"), 1).as("key_text"),
+        element_at(col("cells"), 2).as("brand"))
+  }
+
+  /** M8 + M12 — date parse with explicit format and days-after-epoch. */
+  def m8Dates(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").select(
+      col("o_orderkey"),
+      to_date(date_format(col("o_orderdate"), "dd/MM/yyyy"), "dd/MM/yyyy").as("parsed_date"),
+      date_add(to_date(lit("1970-01-01")), (col("o_orderkey") % 1000).cast("int"))
+        .as("daysafter_date"))
+
+  /** M10 — dictionary map with missing-key passthrough. */
+  def m10MapDict(s: SparkSession, dir: String): DataFrame = {
+    val m = typedLit(Map("A" -> "ACCEPTED", "R" -> "RETURNED"))
+    T(s, dir, "lineitem")
+      .select(coalesce(element_at(m, col("l_returnflag")), col("l_returnflag")).as("flag"))
+      .groupBy("flag").agg(count(lit(1)).as("n"))
+  }
+
+  /** M11 — regex extract, group 1, null on no-match. */
+  def m11Match(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part").select(
+      col("p_partkey"),
+      when(col("p_name").rlike("^(\\w+) "), regexp_extract(col("p_name"), "^(\\w+) ", 1))
+        .otherwise(lit(null).cast("string")).as("first_word"))
+
+  /** M16 — priority cross-populate: first present value in priority order. */
+  def m16Priority(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part").select(
+      col("p_partkey"),
+      coalesce(
+        when(trim(col("p_brand")) =!= "", trim(col("p_brand"))),
+        when(trim(col("p_type")) =!= "", trim(col("p_type"))))
+        .as("best"))
+
+  /** M17 — order/join concatenation (compact skips blanks). */
+  def m17Join(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part").select(
+      col("p_partkey"),
+      concat_ws(" ", col("p_brand"), col("p_type"), col("p_name")).as("joined"))
+
+  /** M9 — cleaner battery applied at scale (name, lpi, nhsnumber as pure
+    * expression chains — the codegen path). */
+  def m9Cleaners(s: SparkSession, dir: String): DataFrame = {
+    import graft.clean.Cleaners
+    T(s, dir, "customer").select(
+      col("c_custkey"),
+      Cleaners.cleanName(col("c_name")).as("cleaned_name"),
+      Cleaners.lpi(col("c_name")).as("lpi"),
+      Cleaners.nhsnumber(col("c_name")).as("digits"))
+  }
+
+  // === Training-data extensions ============================================
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Shared cross-engine 32-bit hash: md5 hex prefix as integer. The ONLY
+    * hash both Spark and DuckDB can compute identically. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Exact dedup: content-hash group, keeper = min id. One shuffle. */
+  def xDedupExact(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures over word 3-shingles, 6 hash seeds. Narrow
+    * (per-row); the LSH band-bucket join happens on the signature. */
+  def xMinhash(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val shingles = transform(
+      sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+    val doc = T(s, dir, "documents")
+      .withColumn("sh", when(size(w) >= 3, shingles).otherwise(array().cast("array<string>")))
+    val sigs = (0 until 6).map { seed =>
+      array_min(transform(col("sh"), x => h32(concat(lit(seed.toString), lit("|"), x))))
+        .as(s"mh$seed")
+    }
+    doc.select(col("doc_id") +: sigs: _*)
+  }
+
+  /** LSH near-dup candidates: band on (mh0,mh1) and (mh2,mh3) — docs
+    * sharing a band bucket are candidate pairs. Shuffle on band key only;
+    * never all-pairs. */
+  def xMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = xMinhash(s, dir).cache()
+    val bands = sig.select(col("doc_id"),
+        concat_ws(":", lit("b0"), col("mh0"), col("mh1")).as("bucket"))
+      .union(sig.select(col("doc_id"),
+        concat_ws(":", lit("b1"), col("mh2"), col("mh3")).as("bucket")))
+    bands.as("a").join(bands.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash (16-bit) from per-word 32-bit hashes: explode → 16 conditional
+    * sums per doc → assemble bits. One shuffle on doc_id. */
+  def xSimhash(s: SparkSession, dir: String): DataFrame = {
+    val ex = T(s, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .withColumn("h", h32(col("w")))
+    val bitSums = (0 until 16).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s$b")
+    }
+    val agg = ex.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 16).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash16"))
+  }
+
+  /** N-gram Jaccard near-dup over a bounded candidate set (all-pairs on a
+    * small id range — production path is LSH above). */
+  def xJaccard(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val grams = array_distinct(transform(
+      sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+    val d = T(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), when(size(w) >= 2, grams)
+        .otherwise(array().cast("array<string>")).as("grams"))
+    d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(
+          size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          size(array_union(col("a.grams"), col("b.grams"))), 4).as("jaccard"))
+      .filter(col("jaccard") > 0.1)
+  }
+
+  /** Brute-force cosine top-5 ANN: broadcast the query vectors, score all
+    * candidates, rank per query. The sf-scalable baseline (IVF/LSH variant
+    * rides on the same scoring expression). */
+  def xAnnCosine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = T(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val dot = aggregate(
+      zip_with(col("q_emb"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    def norm(c: Column) = sqrt(aggregate(
+      transform(c, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot / (norm(col("q_emb")) * norm(col("embedding")))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("cos_sim"))
+  }
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "on")
+
+  /** Language-ID heuristic: stopword-hit ratio (n-gram heuristic per the
+    * extension spec); narrow scan. */
+  def xLangId(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val hits = size(filter(w, t => t.isInCollection(stopwords)))
+    T(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      size(w).as("n_tokens"), hits.as("stopword_hits"),
+      round(hits.cast("double") / size(w), 4).as("stopword_ratio"),
+      when(hits.cast("double") / size(w) > 0.05, "en").otherwise("other")
+        .as("predicted"))
+  }
+
+  /** Quality scoring: token/char/punct stats composed into a score. */
+  def xQuality(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val nTok = size(w)
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0)))
+    val meanLen = (length(col("text")) - nTok + 1).cast("double") / nTok
+    T(s, dir, "documents").select(
+      col("doc_id"), nTok.as("n_tokens"), nPunct.as("n_punct"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(least(nTok.cast("double") / lit(50.0), lit(1.0)) *
+            (lit(1.0) - nPunct.cast("double") / length(col("text"))), 4).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex pieces. */
+  def xTokenCount(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
+
+  /** Document fingerprinting: normalised content hash + order-independent
+    * bag-of-words hash. */
+  def xFingerprint(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("content_fp"),
+      md5(array_join(array_sort(split(col("text"), " ")), " ")).as("bag_fp"))
+
+  // === Registry =============================================================
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_top_orders" -> (q3TopOrders _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_distinct" -> (aggDistinct _),
+    "w1_running_total" -> (w1RunningTotal _),
+    "w2_sessionize" -> (w2Sessionize _),
+    "s5_json_props" -> (s5JsonProps _),
+    "t7_klass_fanout" -> (t7KlassFanout _),
+    "t9_fixed_width" -> (t9FixedWidth _),
+    "m8_dates" -> (m8Dates _),
+    "m10_map_dict" -> (m10MapDict _),
+    "m11_match" -> (m11Match _),
+    "m16_priority" -> (m16Priority _),
+    "m17_join" -> (m17Join _),
+    "m9_cleaners" -> (m9Cleaners _),
+    "x_dedup_exact" -> (xDedupExact _),
+    "x_minhash" -> (xMinhash _),
+    "x_minhash_pairs" -> (xMinhashPairs _),
+    "x_simhash" -> (xSimhash _),
+    "x_jaccard" -> (xJaccard _),
+    "x_ann_cosine" -> (xAnnCosine _),
+    "x_lang_id" -> (xLangId _),
+    "x_quality" -> (xQuality _),
+    "x_token_count" -> (xTokenCount _),
+    "x_fingerprint" -> (xFingerprint _))
+
+  /** DuckDB equivalents. Shared md5-prefix hash:
+    * `('0x'||substr(md5(x),1,8))::BIGINT` == Spark `conv(substr(md5(x),1,8),16,10)`. */
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY 1""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "w1_running_total" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events WHERE user_id % 10 = 0""".stripMargin,
+    "w2_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM ev),
+        |sess AS (
+        |  SELECT user_id, ms, CAST(sum(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ms) AS start_ms, max(ms) AS end_ms
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+    "s5_json_props" ->
+      """SELECT CAST(props->>'$.k' AS INT) AS k, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "t7_klass_fanout" ->
+      """SELECT 'CustomerRecord' AS klass,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(upper(c_name),'\.','','g'),'[,;]',' ','g'),'`','''','g'),'\s{2,}',' ','g')) AS name,
+        |  c_mktsegment AS segment, NULL AS acctbal, c_custkey AS index
+        |FROM customer
+        |UNION ALL
+        |SELECT 'AccountRecord' AS klass, NULL AS name, NULL AS segment,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS acctbal, c_custkey AS index
+        |FROM customer""".stripMargin,
+    "t9_fixed_width" ->
+      """SELECT p_partkey AS partkey,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_text,
+        |  rtrim(rpad(p_brand, 12, ' ')) AS brand
+        |FROM part""".stripMargin,
+    "m8_dates" ->
+      """SELECT o_orderkey,
+        |  strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y')::DATE AS parsed_date,
+        |  (DATE '1970-01-01' + INTERVAL (o_orderkey % 1000) DAY)::DATE AS daysafter_date
+        |FROM orders""".stripMargin,
+    "m10_map_dict" ->
+      """SELECT CASE l_returnflag WHEN 'A' THEN 'ACCEPTED' WHEN 'R' THEN 'RETURNED'
+        |  ELSE l_returnflag END AS flag, count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "m11_match" ->
+      """SELECT p_partkey,
+        |  CASE WHEN regexp_matches(p_name, '^(\w+) ')
+        |    THEN regexp_extract(p_name, '^(\w+) ', 1) END AS first_word
+        |FROM part""".stripMargin,
+    "m16_priority" ->
+      """SELECT p_partkey,
+        |  coalesce(nullif(trim(p_brand), ''), nullif(trim(p_type), '')) AS best
+        |FROM part""".stripMargin,
+    "m17_join" ->
+      """SELECT p_partkey, concat_ws(' ', p_brand, p_type, p_name) AS joined
+        |FROM part""".stripMargin,
+    "m9_cleaners" ->
+      """SELECT c_custkey,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(upper(c_name),'\.','','g'),'[,;]',' ','g'),'`','''','g'),'\s{2,}',' ','g')) AS cleaned_name,
+        |  regexp_replace(upper(c_name), '[^A-Z0-9]', '', 'g') AS lpi,
+        |  regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
+        |FROM customer""".stripMargin,
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "x_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
+        |    ELSE [] END AS sh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_min(list_transform(sh, x -> ('0x'||substr(md5('0|'||x),1,8))::BIGINT)) AS mh0,
+        |  list_min(list_transform(sh, x -> ('0x'||substr(md5('1|'||x),1,8))::BIGINT)) AS mh1,
+        |  list_min(list_transform(sh, x -> ('0x'||substr(md5('2|'||x),1,8))::BIGINT)) AS mh2,
+        |  list_min(list_transform(sh, x -> ('0x'||substr(md5('3|'||x),1,8))::BIGINT)) AS mh3,
+        |  list_min(list_transform(sh, x -> ('0x'||substr(md5('4|'||x),1,8))::BIGINT)) AS mh4,
+        |  list_min(list_transform(sh, x -> ('0x'||substr(md5('5|'||x),1,8))::BIGINT)) AS mh5
+        |FROM sh""".stripMargin,
+    "x_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
+        |    ELSE [] END AS sh
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(sh, x -> ('0x'||substr(md5('0|'||x),1,8))::BIGINT)) AS mh0,
+        |    list_min(list_transform(sh, x -> ('0x'||substr(md5('1|'||x),1,8))::BIGINT)) AS mh1,
+        |    list_min(list_transform(sh, x -> ('0x'||substr(md5('2|'||x),1,8))::BIGINT)) AS mh2,
+        |    list_min(list_transform(sh, x -> ('0x'||substr(md5('3|'||x),1,8))::BIGINT)) AS mh3
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, concat_ws(':', 'b0', mh0, mh1) AS bucket FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, concat_ws(':', 'b1', mh2, mh3) AS bucket FROM sig)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+    "x_simhash" -> (
+      """WITH ex AS (
+        |  SELECT doc_id, ('0x'||substr(md5(w),1,8))::BIGINT AS h
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(w)),
+        |agg AS (
+        |  SELECT doc_id,
+        |""".stripMargin +
+      (0 until 16).map(b => s"    sum(((h >> $b) & 1) * 2 - 1) AS s$b")
+        .mkString(",\n") +
+      """
+        |  FROM ex GROUP BY doc_id)
+        |SELECT doc_id,
+        |""".stripMargin +
+      (0 until 16).map(b => s"  (CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" +\n") +
+      """ AS simhash16
+        |FROM agg""".stripMargin),
+    "x_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+        |      list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+        |    ELSE [] END AS grams
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.grams, b.grams))), 4) > 0.1""".stripMargin,
+    "x_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id AS neighbor, round(cos, 4) AS cos_sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "x_lang_id" ->
+      """SELECT doc_id, lang,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','and','of','to','in','is','on'))) AS stopword_hits,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','and','of','to','in','is','on'))) AS DOUBLE) /
+        |    len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','and','of','to','in','is','on'))) AS DOUBLE) /
+        |    len(string_split(text, ' ')) > 0.05 THEN 'en' ELSE 'other' END AS predicted
+        |FROM documents""".stripMargin,
+    "x_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+        |  round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) /
+        |    len(string_split(text, ' ')), 4) AS mean_word_len,
+        |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
+        |    (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)), 4) AS quality
+        |FROM documents""".stripMargin,
+    "x_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+        |FROM documents""".stripMargin,
+    "x_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_fp,
+        |  md5(list_aggregate(list_sort(string_split(text, ' ')), 'string_agg', ' ')) AS bag_fp
+        |FROM documents""".stripMargin)
+}
