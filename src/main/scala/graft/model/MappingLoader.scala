@@ -52,8 +52,10 @@ object MappingLoader {
   }
 
   private def preprocess(text: String): String = {
-    // Drop ruby object tags, inline or standalone.
+    // Drop ruby object tags, inline or standalone (incl. `!ruby/range`
+    // and `!ruby/object:RegexpRange` — both leave a plain begin/end/excl map).
     var t = text.replaceAll("!ruby/object:[A-Za-z0-9_:]+", "")
+      .replaceAll("!ruby/range(?![A-Za-z])", "")
     // Rewrite ruby regexp literals to marked, quoted strings.
     val re = "!ruby/regexp\\s+/((?:[^/\\\\]|\\\\.)*)/([imx]*)".r
     t = re.replaceAllIn(t, m => {

@@ -1,0 +1,252 @@
+package graft.tabulate
+
+import graft.clean.RubyTranslate
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Non-tabular (multi-line record) segmentation — the Spark rendering of the
+  * reference's `NdrImport::NonTabular::Table` (N1–N6,
+  * `lib/ndr_import/non_tabular/table.rb:100-167`,
+  * `non_tabular/record.rb:71-99`, `non_tabular/column_mapping.rb:26-48`).
+  *
+  * The reference walks lines once with mutable state (in-record flag,
+  * current record, removed flags). Here the same state machine is expressed
+  * with window functions over `(file, lineno)`:
+  *
+  *   - `remove_lines` (N2): a line is removed when it sits inside a
+  *     consecutive block matching one of the named pattern sequences —
+  *     `lead()` conjunctions detect block starts, `lag()` spreads the flag.
+  *   - segmentation (N3): record id = running count of start-marker lines
+  *     (plus a virtual start for `start_in_a_record`); with an
+  *     `end_line_pattern`, open/closed state = start-count − end-count.
+  *   - tabulation (N4): captured lines are collected per record (sorted by
+  *     line number = the reference's `record_line_number`) and each column's
+  *     `non_tabular_cell` becomes a pure expression chain — slice /
+  *     array_position for line ranges (incl. RegexpRange), regexp_extract
+  *     chains for `capture`, array_join for `join`.
+  *
+  * Everything per-line is narrow; the only shuffles are the per-file window
+  * partitioning and the per-record groupBy — both keyed so that one file's
+  * lines stay together (the reference's semantics are inherently per-file
+  * sequential; parallelism comes from MANY files, the honest 100 TB shape).
+  *
+  * Input: (file, lineno, line). Output: the MappingCompiler input contract
+  * (file, lineno = 0-based record ordinal per file, cells array<string>).
+  */
+object NonTabular {
+
+  final class MappingError(msg: String) extends RuntimeException(msg)
+
+  /** Validate N6 (`non_tabular/column_mapping.rb:50-72`) + the table-level
+    * requirements (`non_tabular/table.rb:51-55`). */
+  def validate(mapping: TableMapping): NonTabularSpec = {
+    val spec = mapping.nonTabular.getOrElse(
+      throw new MappingError("This table has no start_line_pattern"))
+    if (mapping.tablenamePattern.isDefined)
+      throw new MappingError("Should not define tablename_pattern")
+    mapping.columns.foreach { cm =>
+      val name = cm.rawtextName.orElse(cm.column).orElse(cm.standardMapping).getOrElse("")
+      cm.nonTabularCell match {
+        case None => throw new MappingError(
+          s"This mapping ($name) has no non_tabular_cell")
+        case Some(cell) =>
+          if (cell.lines.isEmpty) throw new MappingError(
+            s"This mapping ($name) has no non_tabular_cell lines")
+          if (cell.capture.isEmpty) throw new MappingError(
+            s"This mapping ($name) has no non_tabular_cell capture")
+      }
+    }
+    spec
+  }
+
+  /** Segment + tabulate: (file, lineno, line) → (file, lineno, cells). */
+  def tabulate(linesDf: DataFrame, mapping: TableMapping): DataFrame = {
+    val spec = validate(mapping)
+    val startPat = RubyTranslate.regex(spec.startLinePattern)
+    val endPat = spec.endLinePattern.map(RubyTranslate.regex)
+    val sBase = if (spec.startInARecord) 1 else 0
+
+    val wOrd = Window.partitionBy("file").orderBy("lineno")
+    val wAll = Window.partitionBy("file")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    // N1: rstrip, absolute line numbers already present.
+    val base = linesDf.select(col("file"), col("lineno"), rtrim(col("line")).as("rline"))
+
+    // N2: remove_lines — block starts via lead() conjunction, then spread.
+    val removeSeqs = spec.removeLines.values.toSeq.map(_.map(RubyTranslate.regex))
+    val withBlockStarts = removeSeqs.zipWithIndex.foldLeft(base) {
+      case (df, (pats, si)) =>
+        val blockStart = pats.zipWithIndex.map { case (p, k) =>
+          coalesce(lead(col("rline"), k).over(wOrd).rlike(p), lit(false))
+        }.reduce(_ && _)
+        df.withColumn(s"_bs$si", blockStart)
+    }
+    val removed =
+      if (removeSeqs.isEmpty) lit(false)
+      else removeSeqs.zipWithIndex.flatMap { case (pats, si) =>
+        (0 until pats.length).map(j =>
+          coalesce(lag(col(s"_bs$si"), j).over(wOrd), lit(false)))
+      }.reduce(_ || _)
+
+    // N3: classify lines and count start/end markers.
+    val flagged = withBlockStarts
+      .withColumn("removed", removed)
+      .withColumn("is_start", col("rline").rlike(startPat))
+      .withColumn("is_end", endPat match {
+        case Some(p) => !col("is_start") && col("rline").rlike(p)
+        case None    => lit(false)
+      })
+      .withColumn("start_cnt",
+        sum(col("is_start").cast("int")).over(wOrd) + lit(sBase))
+      .withColumn("end_cnt", sum(col("is_end").cast("int")).over(wOrd))
+      .withColumn("start_cnt_x", col("start_cnt") - col("is_start").cast("int"))
+      .withColumn("end_cnt_x", col("end_cnt") - col("is_end").cast("int"))
+
+    // start-before-end (`non_tabular/table.rb:139-141`): only with an end
+    // pattern; a start while a record is open is a mapping error.
+    val guarded = endPat match {
+      case Some(_) =>
+        flagged.withColumn("rline",
+          when(col("is_start") && col("start_cnt_x") > col("end_cnt_x"),
+            raise_error(lit("Start line pattern matched before the end of the preceding record")))
+            .otherwise(col("rline")))
+      case None => flagged
+    }
+
+    val inRecord = endPat match {
+      case Some(_) =>
+        when(col("is_start"), lit(true))
+          .when(col("is_end"), col("start_cnt_x") > col("end_cnt_x"))
+          .otherwise(col("start_cnt") > col("end_cnt"))
+      case None =>
+        when(col("is_start"), lit(true)).otherwise(col("start_cnt") > 0)
+    }
+    val captured = inRecord && !col("removed") &&
+      when(col("is_start"), lit(spec.captureStartLine))
+        .when(col("is_end"), lit(spec.captureEndLine))
+        .otherwise(lit(true))
+
+    // A line "closes" its record: an end line closing an open record.
+    val closes = col("is_end") && col("start_cnt_x") > col("end_cnt_x")
+
+    val perLine = guarded
+      .withColumn("rec_id", col("start_cnt"))
+      .withColumn("captured", captured)
+      .withColumn("closes", closes)
+      .withColumn("max_rec", max(col("start_cnt")).over(wAll))
+      .withColumn("open_at_eof", endPat match {
+        case Some(_) => last(col("start_cnt") > col("end_cnt")).over(wAll)
+        case None    => last(col("start_cnt") > 0).over(wAll)
+      })
+
+    // Group captured lines per (file, record); keep per-record flags.
+    val groups = perLine
+      .filter(col("rec_id") >= 1)
+      .groupBy(col("file"), col("rec_id"))
+      .agg(
+        sort_array(collect_list(when(col("captured"),
+          struct(col("lineno"), col("rline"))))).as("cap"),
+        max(col("closes").cast("int")).as("any_close"),
+        first(col("max_rec")).as("max_rec"),
+        first(col("open_at_eof")).as("open_at_eof"))
+      .withColumn("lines", transform(col("cap"), s => s.getField("rline")))
+      .withColumn("n_cap", size(col("lines")))
+
+    // Record validity (`table.rb:134-167` start_record/end_record/
+    // process_end_of_record): closed records always emit (even empty);
+    // the trailing open record emits only if end_in_a_record AND non-empty.
+    val valid = endPat match {
+      case Some(_) =>
+        col("any_close") === 1 ||
+          (col("rec_id") === col("max_rec") && col("open_at_eof") &&
+            lit(spec.endInARecord) && col("n_cap") > 0)
+      case None =>
+        col("rec_id") < col("max_rec") ||
+          (lit(spec.endInARecord) && col("n_cap") > 0)
+    }
+
+    // Synthetic record for `start_in_a_record` when no line precedes the
+    // first start marker (the reference still tabulates that empty record).
+    val withSynthetic = if (sBase == 1) {
+      val meta = perLine.groupBy(col("file"))
+        .agg(max(col("start_cnt")).as("max_rec"),
+             max(when(col("rec_id") === 1, 1).otherwise(0)).as("has_seg0"),
+             max(col("open_at_eof").cast("int")).as("open_eof"))
+      val synth = meta.filter(col("has_seg0") === 0 && col("max_rec") >= 1)
+        .select(col("file"), lit(1L).as("rec_id"),
+          array().cast("array<struct<lineno:long,rline:string>>").as("cap"),
+          lit(0).as("any_close"), col("max_rec"),
+          (col("open_eof") === 1).as("open_at_eof"))
+        .withColumn("lines", array().cast("array<string>"))
+        .withColumn("n_cap", lit(0))
+      groups.unionByName(synth)
+    } else groups
+
+    val validRecords = withSynthetic.filter(valid)
+
+    // N4: tabulate each record into cells.
+    val cells = array(mapping.columns.map(cm => cellExpr(cm, col("lines"))): _*)
+
+    val wRec = Window.partitionBy("file").orderBy("rec_id")
+    validRecords
+      .select(col("file"), col("rec_id"), cells.as("cells"))
+      .withColumn("lineno", row_number().over(wRec).cast("long") - 1)
+      .select(col("file"), col("lineno"), col("cells"))
+  }
+
+  /** One column's `non_tabular_cell` as an expression over the record's
+    * captured-lines array (`non_tabular/record.rb:71-99`). */
+  private def cellExpr(cm: ColumnMapping, lines: Column): Column = {
+    val cell = cm.nonTabularCell.get
+    val n = size(lines)
+
+    // Resolve the line selector to a (possibly null) sub-array.
+    def intIdx(i: Int): Column = if (i < 0) n + i else lit(i)
+    def boundIdx(b: LineSelector.Bound): Column = b match {
+      case LineSelector.IntBound(i) => intIdx(i)
+      case LineSelector.RegexBound(p) =>
+        val pos = array_position(
+          transform(lines, l => l.rlike(RubyTranslate.regex(p))), lit(true))
+        // 0 = no match = RegexpRange::PatternMatchError → null cell
+        when(pos === 0, lit(null).cast("int")).otherwise((pos - 1).cast("int"))
+    }
+
+    val selected: Column = cell.lines.get match {
+      case LineSelector.At(i) =>
+        val el = when(n > 0, element_at(lines,
+          if (i >= 0) lit(i + 1) else lit(i)))
+        when(el.isNull, array().cast("array<string>")).otherwise(array(el))
+      case LineSelector.Range(a, b, excl) =>
+        val ai = boundIdx(a)
+        val biRaw = boundIdx(b)
+        val bi = if (excl) biRaw - 1 else biRaw
+        val len = bi - ai + 1
+        when(ai.isNull || biRaw.isNull, lit(null).cast("array<string>"))
+          .when(ai < 0 || ai >= n, array().cast("array<string>"))
+          .when(len <= 0, array().cast("array<string>"))
+          .otherwise(slice(lines, ai + 1, least(len, n - ai)))
+    }
+
+    // capture: sequential group-1 extraction; nil → "" between patterns;
+    // final Ruby strip (all whitespace + NUL).
+    def capture(l: Column): Column = {
+      val out = cell.capture.foldLeft(l) { (v, rubyPat) =>
+        val p = RubyTranslate.regex(rubyPat)
+        val s = coalesce(v, lit(""))
+        when(s.rlike(p), regexp_extract(s, p, 1)).otherwise(lit(null).cast("string"))
+      }
+      when(out.isNull, out)
+        .otherwise(regexp_replace(out, "^[\\s\\u0000]+|[\\s\\u0000]+$", ""))
+    }
+
+    val mapped = transform(selected, capture _)
+    val kept =
+      if (cell.preserveBlankLines) filter(mapped, v => v.isNotNull)
+      else filter(mapped, v => v.isNotNull && trim(v) =!= "")
+    when(selected.isNull, lit(null).cast("string"))
+      .otherwise(array_join(kept, cell.join.getOrElse("")))
+  }
+}
