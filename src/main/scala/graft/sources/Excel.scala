@@ -1,0 +1,184 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import scala.collection.mutable
+import scala.xml.XML
+
+/** Excel reader (S3 — reference `lib/ndr_import/file/excel.rb`).
+  *
+  * xlsx/xlsm are parsed for real: an .xlsx is a zip of XML parts, so the
+  * workbook/sheet/sharedStrings/styles parts are read with the JDK zip
+  * stream + scala-xml — no external spreadsheet library. One table per
+  * worksheet (`excel.rb:20-27`), cells padded to the sheet's column span
+  * (`excel.rb:66-77` first_column..last_column) and rendered with Roo's
+  * exact cast rules (`excel.rb:31-50`):
+  *
+  *   - date-formatted numbers → `yyyy-mm-dd` (date) or
+  *     `yyyy-mm-dd hh:mm:ss` (datetime) — Rails `:db` format;
+  *   - whole floats → integer strings (`12` not `12.0`);
+  *   - everything else → string, stripped.
+  *
+  * An `.xls` that is really an xlsx (zip magic) is parsed as xlsx — the
+  * reference's rescue-and-retry (`excel.rb:104-115`). Genuine OLE .xls and
+  * password-protected workbooks need binary parsers this environment does
+  * not ship (Apache POI would provide both); they raise a clearly-marked
+  * unsupported error — the registry/pipeline plumbing around them is real.
+  */
+object Excel {
+
+  /** Excel serial-date epoch (1900 date system, with the Lotus leap bug —
+    * serial 60 ≙ the fictitious 1900-02-29 — handled as Roo does via the
+    * 1899-12-30 base). */
+  private val Epoch = java.time.LocalDate.of(1899, 12, 30)
+
+  // Builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30).
+  private val DateFmtIds = Set(14, 15, 16, 17, 18, 19, 20, 21, 22, 45, 46, 47)
+
+  final case class Sheet(name: String, rows: Seq[Seq[String]])
+
+  def isZip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == 'K'
+
+  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val out = mutable.HashMap.empty[String, Array[Byte]]
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) out(e.getName) = zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.toMap
+  }
+
+  /** Does a custom format code render as a date/time? (y/m/d/h/s tokens
+    * outside quoted/bracketed sections.) */
+  private def isDateFormatCode(code: String): Boolean = {
+    val cleaned = code
+      .replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\[[^\\]]*\\]", "")
+      .replaceAll("\\\\.", "")
+    cleaned.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
+  }
+
+  private def castNumber(v: Double): String =
+    if (v == v.floor && !v.isInfinite && math.abs(v) < 1e15) v.toLong.toString
+    else v.toString
+
+  private def castDate(serial: Double): String = {
+    val days = serial.floor.toLong
+    val date = Epoch.plusDays(days)
+    val frac = serial - days
+    if (frac == 0.0) date.toString
+    else {
+      val secs = math.round(frac * 86400)
+      val t = java.time.LocalTime.ofSecondOfDay(secs % 86400)
+      s"$date ${"%02d:%02d:%02d".format(t.getHour, t.getMinute, t.getSecond)}"
+    }
+  }
+
+  /** Parse an xlsx/xlsm byte array into its sheets (cast, padded). */
+  def parseXlsx(bytes: Array[Byte]): Seq[Sheet] = {
+    val parts = zipEntries(bytes)
+    def xml(name: String) = parts.get(name).map(b => XML.load(new ByteArrayInputStream(b)))
+
+    val workbook = xml("xl/workbook.xml").getOrElse(sys.error("Not an xlsx: no xl/workbook.xml"))
+    val rels = xml("xl/_rels/workbook.xml.rels")
+      .map(r => (r \ "Relationship").map(n =>
+        (n \@ "Id") -> (n \@ "Target").stripPrefix("/xl/").stripPrefix("xl/")).toMap)
+      .getOrElse(Map.empty)
+
+    val shared: IndexedSeq[String] = xml("xl/sharedStrings.xml")
+      .map(ss => (ss \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq)
+      .getOrElse(IndexedSeq.empty)
+
+    // style index → is-date-format
+    val styleIsDate: IndexedSeq[Boolean] = xml("xl/styles.xml").map { st =>
+      val custom = (st \ "numFmts" \ "numFmt").map(n =>
+        (n \@ "numFmtId").toInt -> isDateFormatCode(n \@ "formatCode")).toMap
+      (st \ "cellXfs" \ "xf").map { xf =>
+        val id = Option(xf \@ "numFmtId").filter(_.nonEmpty).map(_.toInt).getOrElse(0)
+        DateFmtIds.contains(id) || custom.getOrElse(id, false)
+      }.toIndexedSeq
+    }.getOrElse(IndexedSeq.empty)
+
+    (workbook \ "sheets" \ "sheet").map { s =>
+      val name = s \@ "name"
+      val rid = s.attribute("http://schemas.openxmlformats.org/officeDocument/2006/relationships", "id")
+        .map(_.text).getOrElse("")
+      val target = rels.getOrElse(rid, s"worksheets/sheet1.xml")
+      val sheetXml = xml(s"xl/$target").getOrElse(sys.error(s"Missing sheet part xl/$target"))
+      Sheet(name, sheetRows(sheetXml, shared, styleIsDate))
+    }
+  }
+
+  private def colIndex(ref: String): Int =
+    ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c.toUpper - 'A' + 1))
+
+  private def sheetRows(sheetXml: scala.xml.Elem, shared: IndexedSeq[String],
+                        styleIsDate: IndexedSeq[Boolean]): Seq[Seq[String]] = {
+    // (rowIdx → (colIdx → value)); dims derived from populated cells, like
+    // Roo's first_row/last_row/first_column/last_column.
+    val cells = mutable.HashMap.empty[(Int, Int), String]
+    var implicitRow = 0
+    (sheetXml \ "sheetData" \ "row").foreach { row =>
+      implicitRow = Option(row \@ "r").filter(_.nonEmpty).map(_.toInt).getOrElse(implicitRow + 1)
+      var implicitCol = 0
+      (row \ "c").foreach { c =>
+        val ref = c \@ "r"
+        implicitCol = if (ref.nonEmpty) colIndex(ref) else implicitCol + 1
+        val t = c \@ "t"
+        val v = (c \ "v").text
+        val value: Option[String] = t match {
+          case "s"         => Some(shared(v.toInt).trim)
+          case "inlineStr" => Some((c \ "is" \\ "t").map(_.text).mkString.trim)
+          case "str"       => Some(v.trim)
+          case "b"         => Some(if (v == "1") "true" else "false")
+          case "e"         => Some(v.trim)
+          case _ if v.isEmpty => None
+          case _ => // number, possibly date-styled
+            val style = Option(c \@ "s").filter(_.nonEmpty).map(_.toInt).getOrElse(-1)
+            val isDate = style >= 0 && style < styleIsDate.length && styleIsDate(style)
+            val d = v.toDouble
+            Some(if (isDate) castDate(d) else castNumber(d))
+        }
+        value.foreach(cells((implicitRow, implicitCol)) = _)
+      }
+    }
+    if (cells.isEmpty) return Nil
+    val rowMin = cells.keys.map(_._1).min; val rowMax = cells.keys.map(_._1).max
+    val colMin = cells.keys.map(_._2).min; val colMax = cells.keys.map(_._2).max
+    (rowMin to rowMax).map(r => (colMin to colMax).map(c => cells.get((r, c)).orNull))
+  }
+
+  /** Parse bytes by extension with the reference's retry semantics
+    * (`excel.rb:98-115`): zip magic wins regardless of extension; genuine
+    * OLE needs POI (unsupported here). */
+  def parseWorkbook(fileName: String, bytes: Array[Byte]): Seq[Sheet] = {
+    if (isZip(bytes)) parseXlsx(bytes)
+    else if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xD0 && (bytes(1) & 0xFF) == 0xCF)
+      sys.error(s"Unable to read the file '$fileName'; legacy OLE .xls parsing " +
+        "requires Apache POI, which this environment does not provide (STUB)")
+    else sys.error(s"Unable to read the file '$fileName'")
+  }
+
+  /** One row per (file, tablename=sheet, lineno, cells) — the engine's
+    * uniform tabular contract, one task per file (binaryFile). */
+  def tables(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        parseWorkbook(file, bytes).flatMap { sheet =>
+          sheet.rows.zipWithIndex.map { case (cells, i) =>
+            (file, sheet.name, i.toLong, cells)
+          }
+        }
+      }.toDF("file", "tablename", "lineno", "cells")
+  }
+}
