@@ -1,0 +1,182 @@
+package graft.run
+
+import graft.compile.MappingCompiler
+import graft.model.TableMapping
+import graft.sources._
+import graft.tabulate.NonTabular
+import graft.xml.{XmlTable => XmlTableTransform}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end orchestration — the Spark rendering of
+  * `UniversalImporterHelper#extract` (T1/T12/T13,
+  * `lib/ndr_import/universal_importer_helper.rb`):
+  *
+  *   1. expand containers driver-side (Registry.files);
+  *   2. match each inner file to its first matching mapping
+  *      (filename_pattern, T1) and read it with the format's source;
+  *   3. per (file, tablename): re-match, consume+validate headers
+  *      (driver-side, T3/T4), trim header/footer rows (T2), compile the
+  *      mapping once and transform (klass fan-out T7, skip T8);
+  *   4. union per canonical table (T12 — the reference's TableEnumProxy is
+  *      `unionByName` here).
+  *
+  * Everything after path resolution is lazy Catalyst plans; the caller gets
+  * one DataFrame per canonical table and composes freely (joins, aggs,
+  * writes) with full pushdown.
+  */
+object Importer {
+
+  /** One resolved (mapping, records-DataFrame) pair. */
+  final case class MappedTable(mapping: TableMapping, records: DataFrame)
+
+  def extract(spark: SparkSession, sourceFile: String, mappings: Seq[TableMapping],
+              containerOpts: Registry.ContainerOptions = Registry.ContainerOptions())
+      : Seq[MappedTable] = {
+    Registry.files(sourceFile, containerOpts).flatMap { file =>
+      mappings.find(_.matches(file, None)) match {
+        case None => Nil
+        case Some(fileMapping) =>
+          tablesFor(spark, file, fileMapping).flatMap { case (tablename, transform) =>
+            mappings.find(_.matches(file, tablename)).map { mapping =>
+              MappedTable(mapping, transform(mapping))
+            }
+          }
+      }
+    }
+  }
+
+  /** T12 — canonical table → union of its per-file record streams. */
+  def mappedTables(spark: SparkSession, sourceFile: String, mappings: Seq[TableMapping],
+                   containerOpts: Registry.ContainerOptions = Registry.ContainerOptions())
+      : Map[String, DataFrame] =
+    extract(spark, sourceFile, mappings, containerOpts)
+      .groupBy(_.mapping.canonicalName.getOrElse(""))
+      .view.mapValues(_.map(_.records).reduce(_ unionByName _)).toMap
+
+  // ---------------------------------------------------------------- private
+
+  /** The per-(file, tablename) transforms a file offers. Most formats have
+    * one anonymous table; Excel has one per sheet (`file/excel.rb:20-27`). */
+  private def tablesFor(spark: SparkSession, file: String, fileMapping: TableMapping)
+      : Seq[(Option[String], TableMapping => DataFrame)] = {
+    val format = Registry.formatFor(file, fileMapping.format)
+    format match {
+      case "csv" | "delimited" =>
+        single { m =>
+          tabularRecords(spark, m, Tabular.delimited(spark, Seq(file), m))
+        }
+      case "txt" | "text" | "nontabular" =>
+        single { m =>
+          val lines = LineSource.lines(spark, Seq(file))
+          nonTabularOrPlain(m, lines)
+        }
+      case "jsonl" =>
+        single { m =>
+          val colNames = m.columns.flatMap(_.column)
+          tabularRecords(spark, m, jsonlCells(spark, file, m, colNames))
+        }
+      case "vcf" =>
+        single(m => tabularRecords(spark, m, Tabular.vcf(spark, Seq(file))))
+      case "avro" =>
+        single(m => tabularRecords(spark, m, Avro.rows(spark, Seq(file))))
+      case "xls" | "xlsm" | "xlsx" =>
+        val sheets = Excel.tables(spark, Seq(file)).cache()
+        val names = sheets.select("tablename").distinct()
+          .collect().map(_.getString(0)).toSeq
+        names.map { sheet =>
+          (Option(sheet), (m: TableMapping) =>
+            tabularRecords(spark, m,
+              sheets.filter(col("tablename") === sheet).drop("tablename")))
+        }
+      case "xml" | "xml_table" =>
+        single(m => XmlTableTransform.records(XmlSource.records(spark, Seq(file), m), m))
+      case "pdf" =>
+        single(m => nonTabularOrPlain(m, Pdf.lines(spark, Seq(file))))
+      case "acroform" =>
+        single(m => acroFormRecords(spark, file, m))
+      case "doc" | "docx" =>
+        single { m =>
+          val lines = wordLines(spark, file)
+          nonTabularOrPlain(m, lines)
+        }
+      case other => throw new Registry.UnknownFormatError(other)
+    }
+  }
+
+  private def single(f: TableMapping => DataFrame)
+      : Seq[(Option[String], TableMapping => DataFrame)] = Seq((None, f))
+
+  /** Fixed-width unpack (T9) routes through its unpack patterns; everything
+    * else is already (file, lineno, cells). */
+  private def tabularRecords(spark: SparkSession, mapping: TableMapping,
+                             rows0: DataFrame): DataFrame = {
+    val rows =
+      if (mapping.columns.exists(_.unpackPattern.isDefined) && rows0.columns.contains("line"))
+        Tabular.fixedWidth(rows0, mapping.columns.flatMap(_.unpackPattern))
+      else rows0
+    val headerRows =
+      if (mapping.headerLines > 0)
+        rows.filter(col("lineno") < mapping.headerLines).orderBy("lineno")
+          .collect().map(r => Option(r.getSeq[String](r.fieldIndex("cells")))
+            .map(_.toSeq).getOrElse(Nil)).toSeq
+      else Nil
+    val validated = MappingCompiler.consumeHeader(mapping, headerRows)
+    MappingCompiler(validated).records(MappingCompiler.dataRows(rows, validated))
+  }
+
+  /** Non-tabular segmentation when the mapping declares it; else each line
+    * is a one-cell row. */
+  private def nonTabularOrPlain(mapping: TableMapping, lines: DataFrame): DataFrame = {
+    if (mapping.nonTabular.isDefined) {
+      val cells = NonTabular.tabulate(lines, mapping)
+      MappingCompiler(mapping).records(cells)
+    } else {
+      val rows = lines.select(col("file"), col("lineno"), array(col("line")).as("cells"))
+      MappingCompiler(mapping).records(MappingCompiler.dataRows(rows, mapping))
+    }
+  }
+
+  /** JSONL: array rows → cells by position; object rows → cells by mapping
+    * column name (`file/json_lines.rb:16-50`). */
+  private def jsonlCells(spark: SparkSession, file: String, mapping: TableMapping,
+                         colNames: Seq[String]): DataFrame = {
+    val lines = LineSource.lines(spark, Seq(file))
+    val asArray = from_json(col("line"), org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
+    val asMap = from_json(col("line"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+    val cells = when(asArray.isNotNull, asArray)
+      .otherwise(array(colNames.map(n => try_element_at(asMap, lit(n))): _*))
+    lines.select(col("file"), col("lineno"), cells.as("cells"))
+  }
+
+  /** AcroForm: validate all hash keys are mapped (T10,
+    * `pdf_form/table.rb:29-68`), reorder to mapping order, then the
+    * standard pipeline. */
+  private def acroFormRecords(spark: SparkSession, file: String,
+                              mapping: TableMapping): DataFrame = {
+    val hash = Pdf.acroForm(spark, Seq(file))
+    val declared = mapping.columns.flatMap(_.column)
+    val unmappedCheck = filter(map_keys(col("fields_hash")),
+      k => !k.isin(declared.map(lit(_)): _*))
+    val guarded = hash.withColumn("fields_hash",
+      when(size(unmappedCheck) > 0,
+        map_concat(col("fields_hash"), map(raise_error(concat(
+          lit("Unmapped data: "), array_join(unmappedCheck, ", "))), lit(""))))
+        .otherwise(col("fields_hash")))
+    val cells = array(declared.map(n => element_at(col("fields_hash"), n)): _*)
+    MappingCompiler(mapping).records(
+      guarded.select(col("file"), col("lineno"), cells.as("cells")))
+  }
+
+  private def wordLines(spark: SparkSession, file: String): DataFrame = {
+    import org.apache.spark.sql.functions.{posexplode, col => c}
+    val texts = spark.read.format("binaryFile").load(file)
+      .select(c("path").as("file"),
+        BinaryDecode.wordDocText(c("content")).as("text"))
+    texts.select(c("file"),
+        posexplode(LineSource.splitLines(c("text"))).as(Seq("lineno", "line")))
+      .select(c("file"), c("lineno").cast("long").as("lineno"), c("line"))
+  }
+}
