@@ -55,8 +55,11 @@ object QueryPack {
     val cust = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = T(s, dir, "orders")
     val li = T(s, dir, "lineitem")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    // orders ⋈ broadcast(customer) is itself small (one segment) →
+    // broadcast it too: lineitem is never shuffled before the final agg.
+    val dim = ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderpriority")
+    li.join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey", "o_orderpriority")
       .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
         .cast("double").as("revenue"))
@@ -244,31 +247,44 @@ object QueryPack {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures over word 3-shingles, 6 hash seeds. Narrow
-    * (per-row); the LSH band-bucket join happens on the signature. */
+  /** MinHash signatures over word 3-shingles: ONE md5 per shingle, then 6
+    * hash functions derived arithmetically ((a*h+b) mod p — the standard
+    * minhash family). 6x less hashing than per-seed md5; identical
+    * arithmetic is expressible in DuckDB for the oracle. Narrow (per-row);
+    * the LSH band-bucket join happens on the signature. */
   def xMinhash(s: SparkSession, dir: String): DataFrame = {
-    val w = words(col("text"))
+    // Materialise the split ONCE per row: referencing `split(text)` inside a
+    // transform() lambda re-evaluates it per element (O(n^2) per doc).
+    val w = col("w")
     val shingles = transform(
       sequence(lit(1), size(w) - 2),
       i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
     val doc = T(s, dir, "documents")
+      .withColumn("w", words(col("text")))
       .withColumn("sh", when(size(w) >= 3, shingles).otherwise(array().cast("array<string>")))
-    val sigs = (0 until 6).map { seed =>
-      array_min(transform(col("sh"), x => h32(concat(lit(seed.toString), lit("|"), x))))
-        .as(s"mh$seed")
+      .withColumn("hs", transform(col("sh"), h32 _))
+    val sigs = (0 until 6).map { i =>
+      val (a, b) = (2 * i + 3, 1000003 * i + 12345)
+      array_min(transform(col("hs"), h => (h * a + b) % MinhashP)).as(s"mh$i")
     }
     doc.select(col("doc_id") +: sigs: _*)
   }
+
+  /** First prime above 2^32 — keeps a*h+b (< 2^52) overflow-free in both
+    * engines' 64-bit arithmetic. */
+  private val MinhashP = 4294967311L
 
   /** LSH near-dup candidates: band on (mh0,mh1) and (mh2,mh3) — docs
     * sharing a band bucket are candidate pairs. Shuffle on band key only;
     * never all-pairs. */
   def xMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = xMinhash(s, dir).cache()
-    val bands = sig.select(col("doc_id"),
-        concat_ws(":", lit("b0"), col("mh0"), col("mh1")).as("bucket"))
-      .union(sig.select(col("doc_id"),
-        concat_ws(":", lit("b1"), col("mh2"), col("mh3")).as("bucket")))
+    // Single scan: explode each signature into its band buckets, cache the
+    // (small) banded table, self-join on bucket. Shuffle carries only
+    // (doc_id, bucket) — never all-pairs, never the shingle arrays.
+    val bands = xMinhash(s, dir).select(col("doc_id"), explode(array(
+        concat_ws(":", lit("b0"), col("mh0"), col("mh1")),
+        concat_ws(":", lit("b1"), col("mh2"), col("mh3")))).as("bucket"))
+      .cache()
     bands.as("a").join(bands.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -294,11 +310,12 @@ object QueryPack {
   /** N-gram Jaccard near-dup over a bounded candidate set (all-pairs on a
     * small id range — production path is LSH above). */
   def xJaccard(s: SparkSession, dir: String): DataFrame = {
-    val w = words(col("text"))
+    val w = col("w")
     val grams = array_distinct(transform(
       sequence(lit(1), size(w) - 1),
       i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
     val d = T(s, dir, "documents").filter(col("doc_id") < 100)
+      .withColumn("w", words(col("text")))
       .select(col("doc_id"), when(size(w) >= 2, grams)
         .otherwise(array().cast("array<string>")).as("grams"))
     d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
@@ -340,9 +357,12 @@ object QueryPack {
   /** Language-ID heuristic: stopword-hit ratio (n-gram heuristic per the
     * extension spec); narrow scan. */
   def xLangId(s: SparkSession, dir: String): DataFrame = {
-    val w = words(col("text"))
-    val hits = size(filter(w, t => t.isInCollection(stopwords)))
-    T(s, dir, "documents").select(
+    val w = col("w")
+    val hits = col("hits")
+    T(s, dir, "documents")
+      .withColumn("w", words(col("text")))
+      .withColumn("hits", size(filter(w, t => t.isInCollection(stopwords))))
+      .select(
       col("doc_id"), col("lang"),
       size(w).as("n_tokens"), hits.as("stopword_hits"),
       round(hits.cast("double") / size(w), 4).as("stopword_ratio"),
@@ -352,11 +372,13 @@ object QueryPack {
 
   /** Quality scoring: token/char/punct stats composed into a score. */
   def xQuality(s: SparkSession, dir: String): DataFrame = {
-    val w = words(col("text"))
-    val nTok = size(w)
-    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0)))
+    val nTok = col("n_tok")
+    val nPunct = col("n_p")
     val meanLen = (length(col("text")) - nTok + 1).cast("double") / nTok
-    T(s, dir, "documents").select(
+    T(s, dir, "documents")
+      .withColumn("n_tok", size(words(col("text"))))
+      .withColumn("n_p", size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))))
+      .select(
       col("doc_id"), nTok.as("n_tokens"), nPunct.as("n_punct"),
       round(meanLen, 4).as("mean_word_len"),
       round(least(nTok.cast("double") / lit(50.0), lit(1.0)) *
@@ -517,15 +539,19 @@ object QueryPack {
         |      list_transform(range(1, len(string_split(text, ' ')) - 1),
         |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
         |    ELSE [] END AS sh
-        |  FROM documents)
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_transform(sh, x -> ('0x'||substr(md5(x),1,8))::BIGINT) AS hs
+        |  FROM sh)
         |SELECT doc_id,
-        |  list_min(list_transform(sh, x -> ('0x'||substr(md5('0|'||x),1,8))::BIGINT)) AS mh0,
-        |  list_min(list_transform(sh, x -> ('0x'||substr(md5('1|'||x),1,8))::BIGINT)) AS mh1,
-        |  list_min(list_transform(sh, x -> ('0x'||substr(md5('2|'||x),1,8))::BIGINT)) AS mh2,
-        |  list_min(list_transform(sh, x -> ('0x'||substr(md5('3|'||x),1,8))::BIGINT)) AS mh3,
-        |  list_min(list_transform(sh, x -> ('0x'||substr(md5('4|'||x),1,8))::BIGINT)) AS mh4,
-        |  list_min(list_transform(sh, x -> ('0x'||substr(md5('5|'||x),1,8))::BIGINT)) AS mh5
-        |FROM sh""".stripMargin,
+        |  list_min(list_transform(hs, h -> (h * 3 + 12345) % 4294967311)) AS mh0,
+        |  list_min(list_transform(hs, h -> (h * 5 + 1012348) % 4294967311)) AS mh1,
+        |  list_min(list_transform(hs, h -> (h * 7 + 2012351) % 4294967311)) AS mh2,
+        |  list_min(list_transform(hs, h -> (h * 9 + 3012354) % 4294967311)) AS mh3,
+        |  list_min(list_transform(hs, h -> (h * 11 + 4012357) % 4294967311)) AS mh4,
+        |  list_min(list_transform(hs, h -> (h * 13 + 5012360) % 4294967311)) AS mh5
+        |FROM hashed""".stripMargin,
     "x_minhash_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -534,13 +560,17 @@ object QueryPack {
         |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
         |    ELSE [] END AS sh
         |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_transform(sh, x -> ('0x'||substr(md5(x),1,8))::BIGINT) AS hs
+        |  FROM sh),
         |sig AS (
         |  SELECT doc_id,
-        |    list_min(list_transform(sh, x -> ('0x'||substr(md5('0|'||x),1,8))::BIGINT)) AS mh0,
-        |    list_min(list_transform(sh, x -> ('0x'||substr(md5('1|'||x),1,8))::BIGINT)) AS mh1,
-        |    list_min(list_transform(sh, x -> ('0x'||substr(md5('2|'||x),1,8))::BIGINT)) AS mh2,
-        |    list_min(list_transform(sh, x -> ('0x'||substr(md5('3|'||x),1,8))::BIGINT)) AS mh3
-        |  FROM sh),
+        |    list_min(list_transform(hs, h -> (h * 3 + 12345) % 4294967311)) AS mh0,
+        |    list_min(list_transform(hs, h -> (h * 5 + 1012348) % 4294967311)) AS mh1,
+        |    list_min(list_transform(hs, h -> (h * 7 + 2012351) % 4294967311)) AS mh2,
+        |    list_min(list_transform(hs, h -> (h * 9 + 3012354) % 4294967311)) AS mh3
+        |  FROM hashed),
         |bands AS (
         |  SELECT doc_id, concat_ws(':', 'b0', mh0, mh1) AS bucket FROM sig
         |  UNION ALL
