@@ -22,24 +22,44 @@ object Tabular {
     * col_sep too). Cell count is bounded by the mapping's column count,
     * like the reference's positional semantics.
     */
-  def delimited(spark: SparkSession, paths: Seq[String], mapping: TableMapping): DataFrame = {
+  def delimited(spark: SparkSession, paths: Seq[String], mapping: TableMapping,
+                strict: Boolean = false): DataFrame = {
     val sep = mapping.delimiter.getOrElse(",")
     delimitedCells(LineSource.lines(spark, paths), sep, mapping.columns.size,
-                   mapping.liberalParsing)
+                   mapping.liberalParsing, strict)
   }
 
   def delimitedCells(linesDf: DataFrame, sep: String, nCols: Int,
-                     liberal: Boolean): DataFrame = {
+                     liberal: Boolean, strict: Boolean = false): DataFrame = {
     val cells: Column =
       if (sep.length == 1) {
-        val schema = StructType((0 until nCols).map(i => StructField(s"c$i", StringType)))
+        val schema = StructType(
+          (0 until nCols).map(i => StructField(s"c$i", StringType)) :+
+            StructField("_corrupt", StringType))
         val opts = Map(
           "sep" -> sep, "mode" -> "PERMISSIVE",
           "enforceSchema" -> "true",
+          "columnNameOfCorruptRecord" -> "_corrupt",
           "unescapedQuoteHandling" ->
-            (if (liberal) "STOP_AT_DELIMITER" else "STOP_AT_CLOSING_QUOTE"))
+            (if (liberal) "STOP_AT_DELIMITER"
+             else if (strict) "RAISE_ERROR"
+             else "STOP_AT_CLOSING_QUOTE"))
         val parsed = from_csv(col("line"), schema, opts)
-        array((0 until nCols).map(i => parsed.getField(s"c$i")): _*)
+        val plain = array((0 until nCols).map(i => parsed.getField(s"c$i")): _*)
+        if (strict) {
+          // Ruby CSV's grammar: fields are fully quoted or contain no raw
+          // quotes; a quote inside an unquoted field is "Illegal quoting"
+          // (`helpers/file/delimited.rb:90-100` — import fails on the
+          // first bad row, named 1-based).
+          val q = java.util.regex.Pattern.quote(sep)
+          val field = "(?:\"(?:[^\"]|\"\")*\"|[^\"" + q + "]*)"
+          val validLine = s"^$field(?:$q$field)*$$"
+          when(!col("line").rlike(validLine) || parsed.getField("_corrupt").isNotNull,
+            array(raise_error(concat(
+              lit("Invalid CSV format on row "), (col("lineno") + 1).cast(StringType),
+              lit(" of "), element_at(split(col("file"), "/"), -1)))))
+            .otherwise(plain)
+        } else plain
       } else {
         split(col("line"), java.util.regex.Pattern.quote(sep), -1)
       }
