@@ -23,10 +23,10 @@ import scala.xml.XML
   *   - everything else → string, stripped.
   *
   * An `.xls` that is really an xlsx (zip magic) is parsed as xlsx — the
-  * reference's rescue-and-retry (`excel.rb:104-115`). Genuine OLE .xls and
-  * password-protected workbooks need binary parsers this environment does
-  * not ship (Apache POI would provide both); they raise a clearly-marked
-  * unsupported error — the registry/pipeline plumbing around them is real.
+  * reference's rescue-and-retry (`excel.rb:104-115`); genuine OLE .xls goes
+  * through the native BIFF8 parser ([[Biff8]]/[[Cfb]]). Password-protected
+  * workbooks (OOXML agile encryption) need a crypto stack this build does
+  * not implement yet and raise a clearly-marked unsupported error.
   */
 object Excel {
 
@@ -161,9 +161,7 @@ object Excel {
     * OLE needs POI (unsupported here). */
   def parseWorkbook(fileName: String, bytes: Array[Byte]): Seq[Sheet] = {
     if (isZip(bytes)) parseXlsx(bytes)
-    else if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xD0 && (bytes(1) & 0xFF) == 0xCF)
-      sys.error(s"Unable to read the file '$fileName'; legacy OLE .xls parsing " +
-        "requires Apache POI, which this environment does not provide (STUB)")
+    else if (Cfb.isCfb(bytes)) Biff8.parse(bytes)
     else sys.error(s"Unable to read the file '$fileName'")
   }
 
