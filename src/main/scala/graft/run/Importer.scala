@@ -81,7 +81,7 @@ object Importer {
       case "avro" =>
         single(m => tabularRecords(spark, m, Avro.rows(spark, Seq(file))))
       case "xls" | "xlsm" | "xlsx" =>
-        val sheets = Excel.tables(spark, Seq(file)).cache()
+        val sheets = Excel.tables(spark, Seq(file), fileMapping.filePassword).cache()
         val names = sheets.select("tablename").distinct()
           .collect().map(_.getString(0)).toSeq
         names.map { sheet =>
@@ -97,7 +97,7 @@ object Importer {
         single(m => acroFormRecords(spark, file, m))
       case "doc" | "docx" =>
         single { m =>
-          val lines = wordLines(spark, file)
+          val lines = wordLines(spark, file, m.filePassword)
           nonTabularOrPlain(m, lines)
         }
       case other => throw new Registry.UnknownFormatError(other)
@@ -170,11 +170,12 @@ object Importer {
       guarded.select(col("file"), col("lineno"), cells.as("cells")))
   }
 
-  private def wordLines(spark: SparkSession, file: String): DataFrame = {
-    import org.apache.spark.sql.functions.{posexplode, col => c}
+  private def wordLines(spark: SparkSession, file: String,
+                        password: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{posexplode, col => c, udf}
+    val wordUdf = udf((b: Array[Byte]) => BinaryDecode.extractWordText(b, password))
     val texts = spark.read.format("binaryFile").load(file)
-      .select(c("path").as("file"),
-        BinaryDecode.wordDocText(c("content")).as("text"))
+      .select(c("path").as("file"), wordUdf(c("content")).as("text"))
     texts.select(c("file"),
         posexplode(LineSource.splitLines(c("text"))).as(Seq("lineno", "line")))
       .select(c("file"), c("lineno").cast("long").as("lineno"), c("line"))

@@ -21,9 +21,17 @@ object BinaryDecode {
 
   private val OleMagic = Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte)
 
-  def extractWordText(bytes: Array[Byte]): String = {
+  def extractWordText(bytes: Array[Byte]): String = extractWordText(bytes, None)
+
+  def extractWordText(bytes: Array[Byte], password: Option[String]): String = {
     if (bytes == null || bytes.isEmpty) return null
-    if (bytes.length >= 4 && bytes.take(4).sameElements(OleMagic)) extractDocStub(bytes)
+    if (bytes.length >= 4 && bytes.take(4).sameElements(OleMagic)) {
+      if (OoxmlCrypto.isEncrypted(bytes)) password match {
+        case Some(pw) => extractDocx(OoxmlCrypto.decrypt(bytes, pw))
+        case None     => sys.error("Document is password protected (set file_password)")
+      }
+      else extractDocStub(bytes)
+    }
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == 'K') extractDocx(bytes)
     else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }

@@ -159,20 +159,27 @@ object Excel {
   /** Parse bytes by extension with the reference's retry semantics
     * (`excel.rb:98-115`): zip magic wins regardless of extension; genuine
     * OLE needs POI (unsupported here). */
-  def parseWorkbook(fileName: String, bytes: Array[Byte]): Seq[Sheet] = {
+  def parseWorkbook(fileName: String, bytes: Array[Byte],
+                    password: Option[String] = None): Seq[Sheet] = {
     if (isZip(bytes)) parseXlsx(bytes)
+    else if (OoxmlCrypto.isEncrypted(bytes)) password match {
+      case Some(pw) => parseXlsx(OoxmlCrypto.decrypt(bytes, pw))
+      case None     => sys.error(s"Unable to read the file '$fileName'; it is " +
+        "password protected (set file_password)")
+    }
     else if (Cfb.isCfb(bytes)) Biff8.parse(bytes)
     else sys.error(s"Unable to read the file '$fileName'")
   }
 
   /** One row per (file, tablename=sheet, lineno, cells) — the engine's
     * uniform tabular contract, one task per file (binaryFile). */
-  def tables(spark: SparkSession, paths: Seq[String]): DataFrame = {
+  def tables(spark: SparkSession, paths: Seq[String],
+             password: Option[String] = None): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (file, bytes) =>
-        parseWorkbook(file, bytes).flatMap { sheet =>
+        parseWorkbook(file, bytes, password).flatMap { sheet =>
           sheet.rows.zipWithIndex.map { case (cells, i) =>
             (file, sheet.name, i.toLong, cells)
           }
