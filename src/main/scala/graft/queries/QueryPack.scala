@@ -352,6 +352,70 @@ object QueryPack {
         round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Deterministic random-hyperplane constants for LSH: sign[i][d] ∈ {-1,1}
+    * from md5("i:d") — generated once on the driver, embedded as literals
+    * in both the Spark plan and the DuckDB oracle. */
+  private[queries] val lshPlanes: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 8).map { i =>
+      (0 until 64).map { d =>
+        md.reset()
+        val h = md.digest(s"$i:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) -1 else 1
+      }
+    }
+  }
+
+  /** LSH-bucketed ANN — the scale path: 8 random-hyperplane sign bits form
+    * a bucket; candidates only meet inside their bucket (shuffle on the
+    * bucket key, never all-pairs). Emits each vector's bucket and its
+    * best within-bucket neighbour. The brute-force twin is `x_ann_cosine`.
+    */
+  def xAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dotPlane(plane: Seq[Int]): Column =
+      aggregate(zip_with(col("embedding"), typedLit(plane.map(_.toDouble)),
+        (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+    val bucket = lshPlanes.zipWithIndex.map { case (p, i) =>
+      when(dotPlane(p) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val sig = T(s, dir, "embeddings").withColumn("bucket", bucket)
+
+    val dot = aggregate(
+      zip_with(col("a.embedding"), col("b.embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    def norm(side: String) = sqrt(aggregate(
+      transform(col(s"$side.embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val pairs = sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
+        col("b.vec_id").as("neighbor"),
+        round(dot / (norm("a") * norm("b")), 4).as("cos_sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("neighbor"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  private def lshOracleSql: String = {
+    def planeSql(p: Seq[Int]): String = p.mkString("[", ",", "]")
+    val bucketExpr = lshPlanes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_sum(list_transform(range(1,65), j -> CAST(embedding[j] AS DOUBLE) * (${planeSql(p)})[j])) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor,
+       |    round(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))) /
+       |      (sqrt(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)))) *
+       |       sqrt(list_sum(list_transform(range(1,65), j -> CAST(b.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))))), 4) AS cos_sim
+       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor) AS rn
+       |  FROM pairs)
+       |SELECT vec_id, bucket, neighbor, cos_sim FROM ranked WHERE rn = 1""".stripMargin
+  }
+
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "on")
 
   /** Language-ID heuristic: stopword-hit ratio (n-gram heuristic per the
@@ -426,6 +490,7 @@ object QueryPack {
     "x_simhash" -> (xSimhash _),
     "x_jaccard" -> (xJaccard _),
     "x_ann_cosine" -> (xAnnCosine _),
+    "x_ann_lsh" -> (xAnnLsh _),
     "x_lang_id" -> (xLangId _),
     "x_quality" -> (xQuality _),
     "x_token_count" -> (xTokenCount _),
@@ -623,6 +688,7 @@ object QueryPack {
         |  FROM scored)
         |SELECT q_id, rank, vec_id AS neighbor, round(cos, 4) AS cos_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "x_ann_lsh" -> lshOracleSql,
     "x_lang_id" ->
       """SELECT doc_id, lang,
         |  len(string_split(text, ' ')) AS n_tokens,
