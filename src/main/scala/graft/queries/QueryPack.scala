@@ -84,6 +84,15 @@ object QueryPack {
         .cast("double").as("revenue"))
   }
 
+  /** TPC-H Q6-style: selective scan-level filters + exact revenue sum.
+    * The filters and the 4-column projection must reach the parquet scan
+    * (PushedFilters / ReadSchema) — asserted by PlanQualitySpec. */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"), count(lit(1)).as("n"))
+
   /** Rollup aggregation (grouping sets). */
   def aggRollup(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
@@ -471,6 +480,7 @@ object QueryPack {
     "q1_agg" -> (q1Agg _),
     "q3_top_orders" -> (q3TopOrders _),
     "q5_region_revenue" -> (q5RegionRevenue _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "agg_rollup" -> (aggRollup _),
     "agg_distinct" -> (aggDistinct _),
     "w1_running_total" -> (w1RunningTotal _),
@@ -521,6 +531,11 @@ object QueryPack {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA' GROUP BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty

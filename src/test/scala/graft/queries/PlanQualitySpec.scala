@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Guards the 100 TB posture: filters/projections must reach the parquet
+  * scan and row pipelines must stay inside whole-stage codegen. */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formattedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("q6: predicate pushdown and column pruning reach the scan") {
+    val plan = formattedPlan(QueryPack.q6ForecastRevenue(spark, sf))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.05"),
+      s"discount filter not pushed:\n$plan")
+    assert(plan.contains("LessThan(l_quantity,24"), "quantity filter not pushed")
+    // projection pruned to the 3 referenced columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("q3: both joins are broadcasts — lineitem is never shuffled pre-agg") {
+    val plan = formattedPlan(QueryPack.q3TopOrders(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("mapping pipeline stays narrow: records() plan has no exchange") {
+    val yaml =
+      """|klass: K
+         |columns:
+         |- column: a
+         |  mappings:
+         |  - field: a
+         |    clean: :name
+         |""".stripMargin
+    import spark.implicits._
+    val df = Seq(("f", 0L, Seq("x"))).toDF("file", "lineno", "cells")
+    val recs = graft.compile.MappingCompiler(
+      graft.model.MappingLoader.loadTable(yaml)).records(df)
+    val plan = formattedPlan(recs)
+    assert(!plan.contains("Exchange"), s"mapping pipeline shuffles:\n$plan")
+  }
+}
