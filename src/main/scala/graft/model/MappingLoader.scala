@@ -144,6 +144,11 @@ object MappingLoader {
       significantMappedFields =
         m.get("significant_mapped_fields").map(strList).getOrElse(Nil),
       xmlRecordXpath = optStr(m, "xml_record_xpath").map(unmark),
+      fileMetadata = m.get("xml_file_metadata") match {
+        case Some(fm: Map[String, Any] @unchecked) =>
+          fm.map { case (k, v) => k -> str(v) }
+        case _ => Map.empty[String, String]
+      },
       patternMatchRecordXpath = bool(m, "pattern_match_record_xpath"),
       yieldXmlRecord = bool(m, "yield_xml_record"),
       nonTabular = nonTab,

@@ -90,7 +90,21 @@ object Importer {
               sheets.filter(col("tablename") === sheet).drop("tablename")))
         }
       case "xml" | "xml_table" =>
-        single(m => XmlTableTransform.records(XmlSource.records(spark, Seq(file), m), m))
+        single { m =>
+          val recs = XmlTableTransform.records(XmlSource.records(spark, Seq(file), m), m)
+          // S8 — file metadata evaluated once per file (driver-side parse of
+          // the file head), attached as literal columns.
+          if (m.fileMetadata.isEmpty) recs
+          else {
+            val text = LineSource.decodeSmart(
+              java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+                file.stripPrefix("file:"))))
+            val values = XmlSource.metadataValues(text, m.fileMetadata)
+            values.foldLeft(recs) { case (df, (k, v)) =>
+              df.withColumn(s"meta_$k", lit(v))
+            }
+          }
+        }
       case "pdf" =>
         single(m => nonTabularOrPlain(m, Pdf.lines(spark, Seq(file))))
       case "acroform" =>
