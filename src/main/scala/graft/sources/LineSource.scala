@@ -59,6 +59,37 @@ object LineSource {
   def lines(spark: SparkSession, paths: Seq[String]): DataFrame =
     explodeLines(fileTexts(spark, paths))
 
+  /** Quote-aware CSV record split: newlines inside a quoted field belong
+    * to the record (Ruby CSV semantics — `CSV.foreach` row enumeration).
+    * Stateful, so a pure-Scala walk rather than an expression; still one
+    * pass per file. */
+  def splitCsvRecords(text: String, quote: Char = '"'): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == quote) { inQuotes = !inQuotes; sb += c }
+      else if (!inQuotes && (c == '\n' || c == '\r')) {
+        if (c == '\r' && i + 1 < text.length && text.charAt(i + 1) == '\n') i += 1
+        out += sb.toString; sb.clear()
+      } else sb += c
+      i += 1
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq
+  }
+
+  private val csvRecordsUdf = udf((t: String) =>
+    if (t == null) Seq.empty[String] else splitCsvRecords(t))
+
+  /** (file, lineno, line) with quote-aware record splitting for CSV. */
+  def csvLines(spark: SparkSession, paths: Seq[String]): DataFrame =
+    fileTexts(spark, paths)
+      .select(col("file"), posexplode(csvRecordsUdf(col("text"))).as(Seq("lineno", "line")))
+      .select(col("file"), col("lineno").cast("long").as("lineno"), col("line"))
+
   def explodeLines(fileTextDf: DataFrame): DataFrame =
     fileTextDf
       .select(col("file"), posexplode(splitLines(col("text"))).as(Seq("lineno", "line")))

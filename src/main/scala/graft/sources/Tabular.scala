@@ -25,7 +25,11 @@ object Tabular {
   def delimited(spark: SparkSession, paths: Seq[String], mapping: TableMapping,
                 strict: Boolean = false): DataFrame = {
     val sep = mapping.delimiter.getOrElse(",")
-    delimitedCells(LineSource.lines(spark, paths), sep, mapping.columns.size,
+    // quote-aware record split so embedded newlines in quoted fields stay
+    // inside their record (Ruby CSV semantics)
+    val lines = if (sep.length == 1) LineSource.csvLines(spark, paths)
+                else LineSource.lines(spark, paths)
+    delimitedCells(lines, sep, mapping.columns.size,
                    mapping.liberalParsing, strict)
   }
 

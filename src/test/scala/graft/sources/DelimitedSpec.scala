@@ -82,6 +82,18 @@ class DelimitedSpec extends SparkSpec {
     assert(rows(2).sorted == (Seq.fill(25)("2") :+ "2\"malformed\"").sorted)
   }
 
+  test("embedded newlines inside quoted fields stay in their record") {
+    val content = "name,notes\nBob,\"line one\nline two\"\nAnn,plain\n"
+    val p = writeTmp("embedded.csv", content.getBytes("UTF-8"))
+    val rows = Tabular.delimited(spark, Seq(p),
+        TableMapping(delimiter = Some(","),
+          columns = Seq.fill(2)(graft.model.ColumnMapping())))
+      .orderBy("lineno").select("cells").collect().map(_.getSeq[String](0))
+    assert(rows.length == 3)
+    assert(rows(1) == Seq("Bob", "line one\nline two"))
+    assert(rows(2) == Seq("Ann", "plain"))
+  }
+
   test("strict mode fails with the reference's row-numbered message") {
     val content = az.mkString(",") + "\n" + Seq.fill(26)("1").mkString(",") + "\n" +
       (Seq.fill(25)("2") :+ "2\"malformed\"").mkString(",") + "\n"
