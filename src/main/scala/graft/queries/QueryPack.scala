@@ -406,6 +406,69 @@ object QueryPack {
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (the first 8 vectors
+    * as fixed centroids — a k-means seeding both engines can replicate)
+    * assigns every vector to its nearest cell; search happens within the
+    * cell only. Complements the hyperplane-LSH path. */
+  def xAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = T(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    val dist2 = aggregate(
+      zip_with(col("embedding"), col("cent"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"), dist2.as("d2"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val dot = aggregate(
+      zip_with(col("a.embedding"), col("b.embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    def norm(side: String) = sqrt(aggregate(
+      transform(col(s"$side.embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
+        col("b.vec_id").as("neighbor"),
+        round(dot / (norm("a") * norm("b")), 4).as("cos_sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("neighbor"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  private val ivfOracleSql: String =
+    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cent_id AS cell FROM (
+      |    SELECT e.vec_id, e.embedding, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(1,65), j ->
+      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)) *
+      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)))), c.cent_id) AS rn
+      |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS neighbor,
+      |    round(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(range(1,65), j -> CAST(b.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))))), 4) AS cos_sim
+      |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor) AS rn
+      |  FROM pairs)
+      |SELECT vec_id, cell, neighbor, cos_sim FROM ranked WHERE rn = 1""".stripMargin
+
+  /** Sliding (hopping) event-time window: 2-hour windows every hour. */
+  def w3Sliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"), (col("ts_ms") - pmod(col("ts_ms"), lit(3600000L))).as("hour0"))
+      .select(col("event_type"), explode(array(col("hour0"), col("hour0") - 3600000L)).as("win_start"))
+      .groupBy("event_type", "win_start")
+      .agg(count(lit(1)).as("n"))
+
   private def lshOracleSql: String = {
     def planeSql(p: Seq[Int]): String = p.mkString("[", ",", "]")
     val bucketExpr = lshPlanes.zipWithIndex.map { case (p, i) =>
@@ -501,6 +564,8 @@ object QueryPack {
     "x_jaccard" -> (xJaccard _),
     "x_ann_cosine" -> (xAnnCosine _),
     "x_ann_lsh" -> (xAnnLsh _),
+    "x_ann_ivf" -> (xAnnIvf _),
+    "w3_sliding" -> (w3Sliding _),
     "x_lang_id" -> (xLangId _),
     "x_quality" -> (xQuality _),
     "x_token_count" -> (xTokenCount _),
@@ -704,6 +769,16 @@ object QueryPack {
         |SELECT q_id, rank, vec_id AS neighbor, round(cos, 4) AS cos_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
     "x_ann_lsh" -> lshOracleSql,
+    "x_ann_ivf" -> ivfOracleSql,
+    "w3_sliding" ->
+      """WITH base AS (
+        |  SELECT event_type, epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS hour0 FROM events),
+        |expanded AS (
+        |  SELECT event_type, hour0 AS win_start FROM base
+        |  UNION ALL
+        |  SELECT event_type, hour0 - 3600000 AS win_start FROM base)
+        |SELECT event_type, win_start, count(*) AS n
+        |FROM expanded GROUP BY 1, 2""".stripMargin,
     "x_lang_id" ->
       """SELECT doc_id, lang,
         |  len(string_split(text, ' ')) AS n_tokens,
