@@ -420,22 +420,26 @@ object QueryPack {
         (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+    // Precompute each vector's norm ONCE; per-pair work is then a single
+    // dot product. Cache the (small) assignment so the self-join does not
+    // rebuild it per side.
     val assigned = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"), dist2.as("d2"))
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
+        sqrt(aggregate(transform(col("embedding"),
+          x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("norm"))
+      .cache()
     val dot = aggregate(
       zip_with(col("a.embedding"), col("b.embedding"),
         (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
-    def norm(side: String) = sqrt(aggregate(
-      transform(col(s"$side.embedding"), x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
         col("b.vec_id").as("neighbor"),
-        round(dot / (norm("a") * norm("b")), 4).as("cos_sim"))
+        round(dot / (col("a.norm") * col("b.norm")), 4).as("cos_sim"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("neighbor"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
