@@ -129,11 +129,17 @@ object Importer {
       if (mapping.columns.exists(_.unpackPattern.isDefined) && rows0.columns.contains("line"))
         Tabular.fixedWidth(rows0, mapping.columns.flatMap(_.unpackPattern))
       else rows0
+    // T5: last_data_column caps cells for header rows too (`table.rb:55-57`
+    // — process_line slices before validation).
+    val lastCol = mapping.lastColumnToTransform
     val headerRows =
       if (mapping.headerLines > 0)
         rows.filter(col("lineno") < mapping.headerLines).orderBy("lineno")
-          .collect().map(r => Option(r.getSeq[String](r.fieldIndex("cells")))
-            .map(_.toSeq).getOrElse(Nil)).toSeq
+          .collect().map { r =>
+            val cells = Option(r.getSeq[String](r.fieldIndex("cells")))
+              .map(_.toSeq).getOrElse(Nil)
+            if (lastCol >= 0) cells.take(lastCol + 1) else cells
+          }.toSeq
       else Nil
     val validated = MappingCompiler.consumeHeader(mapping, headerRows)
     MappingCompiler(validated).records(MappingCompiler.dataRows(rows, validated))

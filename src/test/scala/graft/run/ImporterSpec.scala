@@ -123,6 +123,98 @@ class ImporterSpec extends SparkSpec {
     assert(rows.toSeq == Seq("Hello", "World"))
   }
 
+  test("bespoke not-sign delimiter through the Importer (reference :49-73)") {
+    val dir = tmpDir()
+    val path = write(dir, "not_sign_delimited.txt",
+      "one\u00actwo\u00acthree\nsome\u00acdata\u00achere\nmore\u00acdata\u00achere\n"
+        .getBytes("UTF-8"))
+    val mappings = MappingLoader.loadTables(
+      """|- filename_pattern: !ruby/regexp /\.txt\z/i
+         |  format: delimited
+         |  delimiter: "\u00ac"
+         |  header_lines: 1
+         |  klass: SomeTestClass
+         |  columns:
+         |  - column: one
+         |  - column: two
+         |  - column: three
+         |""".stripMargin)
+    val rows = Importer.mappedTables(spark, path, mappings)("")
+      .orderBy("index")
+      .select(element_at(col("rawtext"), "one"), element_at(col("rawtext"), "two"),
+        element_at(col("rawtext"), "three"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("some", "data", "here"), ("more", "data", "here")))
+  }
+
+  test("last_data_column 'D' slices delimited + jsonl before header check") {
+    val dir = tmpDir()
+    val az = ('A' to 'Z').map(_.toString)
+    val pipe = write(dir, "normal_pipe.csv",
+      (az.mkString("|") + "\n" + Seq.fill(26)("1").mkString("|") + "\n" +
+        Seq.fill(26)("2").mkString("|") + "\n").getBytes("UTF-8"))
+    val mappings = MappingLoader.loadTables(
+      """|- filename_pattern: !ruby/regexp /pipe/i
+         |  format: delimited
+         |  delimiter: '|'
+         |  header_lines: 1
+         |  last_data_column: D
+         |  klass: SomeTestClass
+         |  columns:
+         |  - column: a
+         |  - column: b
+         |  - column: c
+         |  - column: d
+         |""".stripMargin)
+    val rows = Importer.mappedTables(spark, pipe, mappings)("")
+      .orderBy("index")
+      .select(map_values(col("rawtext"))).collect().map(_.getSeq[String](0).sorted)
+    assert(rows.toSeq == Seq(Seq("1", "1", "1", "1"), Seq("2", "2", "2", "2")))
+
+    val jsonl = write(dir, "array.jsonl",
+      ("[" + az.map("\"" + _ + "\"").mkString(",") + "]\n" +
+        "[" + Seq.fill(26)("1").mkString(",") + "]\n" +
+        "[" + Seq.fill(26)("2").mkString(",") + "]\n").getBytes("UTF-8"))
+    val jm = MappingLoader.loadTables(
+      """|- filename_pattern: !ruby/regexp /array/i
+         |  header_lines: 1
+         |  last_data_column: D
+         |  klass: SomeTestClass
+         |  columns:
+         |  - column: a
+         |  - column: b
+         |  - column: c
+         |  - column: d
+         |""".stripMargin)
+    val jrows = Importer.mappedTables(spark, jsonl, jm)("")
+      .orderBy("index")
+      .select(map_values(col("rawtext"))).collect().map(_.getSeq[String](0).sorted)
+    assert(jrows.toSeq == Seq(Seq("1", "1", "1", "1"), Seq("2", "2", "2", "2")))
+  }
+
+
+  test("file_password docx through non-tabular mapping (reference :75-103)") {
+    val docxPath = "/root/reference/test/resources/password_protected_hello_world.docx"
+    assume(new File(docxPath).exists())
+    val mappings = MappingLoader.loadTables(
+      """|- file_password: salad
+         |  format: docx
+         |  filename_pattern: !ruby/regexp /\.docx\z/i
+         |  start_line_pattern: !ruby/regexp /must not match anything a2f76abe/
+         |  start_in_a_record: true
+         |  end_in_a_record: true
+         |  klass: SomeTestKlass
+         |  columns:
+         |  - column: one
+         |    non_tabular_cell:
+         |      lines: -1
+         |      capture: !ruby/regexp /^(.*)$/i
+         |""".stripMargin)
+    val rows = Importer.mappedTables(spark, docxPath, mappings)("")
+      .select(element_at(col("rawtext"), "one")).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Three in fact"))
+  }
+
   test("7z container expands via commons-compress") {
     val dir = tmpDir()
     val szPath = new File(dir, "arch.7z").getAbsolutePath
