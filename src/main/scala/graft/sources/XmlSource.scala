@@ -58,24 +58,27 @@ object XmlSource {
     * Returns record XML strings in document order. */
   def splitRecords(xmlText: String, recordXpath: String,
                    patternMatch: Boolean): Seq[String] = {
-    try splitRecordsStrict(xmlText, recordXpath, patternMatch)
+    try splitRecordsStrict(new StringReader(xmlText), recordXpath, patternMatch).toSeq
     catch {
       case e: NestingError => throw e
       case _: javax.xml.stream.XMLStreamException =>
-        splitRecordsStrict(escapeControlChars(xmlText), recordXpath, patternMatch)
+        splitRecordsStrict(new StringReader(escapeControlChars(xmlText)),
+          recordXpath, patternMatch).toSeq
     }
   }
 
-  private def splitRecordsStrict(xmlText: String, recordXpath: String,
-                                 patternMatch: Boolean): Seq[String] = {
+  /** Streaming variant: records lazily off a java.io.Reader — memory is
+    * bounded by one record, not the file. Used by [[recordsStreaming]]
+    * for huge files; no control-char retry (that needs the full text). */
+  def splitRecordsStrict(source: java.io.Reader, recordXpath: String,
+                         patternMatch: Boolean): Iterator[String] = {
     val segments = recordXpath.split("/").filter(_.nonEmpty).toSeq
     val inF = XMLInputFactory.newInstance()
     inF.setProperty(XMLInputFactory.IS_COALESCING, true)
     inF.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     val outF = XMLOutputFactory.newInstance()
 
-    val reader = inF.createXMLEventReader(new StringReader(xmlText))
-    val out = mutable.ArrayBuffer.empty[String]
+    val reader = inF.createXMLEventReader(source)
     val stack = mutable.ArrayBuffer.empty[StackItem]
     var capture: StringWriter = null
     var captureWriter: javax.xml.stream.XMLEventWriter = null
@@ -97,35 +100,46 @@ object XmlSource {
       else stack.length == segments.length + 1 &&
         stack.drop(1).map(_.name) == segments
 
-    while (reader.hasNext) {
-      val ev = reader.nextEvent()
-      ev.getEventType match {
-        case XMLStreamConstants.START_ELEMENT =>
-          val se = ev.asStartElement()
-          val name = se.getName.getLocalPart
-          val attrs = attrsOf(se)
-          if (stack.exists(it => it.name == name && it.attrs == attrs))
-            throw new NestingError(name)
-          stack += StackItem(name, attrs)
-          if (capture == null && stackMatches(name)) {
-            capture = new StringWriter()
-            captureWriter = outF.createXMLEventWriter(capture)
-            captureDepth = stack.length
+    new Iterator[String] {
+      private var nextRecord: String = null
+      private def advance(): Unit = {
+        while (nextRecord == null && reader.hasNext) {
+          val ev = reader.nextEvent()
+          ev.getEventType match {
+            case XMLStreamConstants.START_ELEMENT =>
+              val se = ev.asStartElement()
+              val name = se.getName.getLocalPart
+              val attrs = attrsOf(se)
+              if (stack.exists(it => it.name == name && it.attrs == attrs))
+                throw new NestingError(name)
+              stack += StackItem(name, attrs)
+              if (capture == null && stackMatches(name)) {
+                capture = new StringWriter()
+                captureWriter = outF.createXMLEventWriter(capture)
+                captureDepth = stack.length
+              }
+              if (captureWriter != null) captureWriter.add(ev)
+            case XMLStreamConstants.END_ELEMENT =>
+              if (captureWriter != null) captureWriter.add(ev)
+              if (captureWriter != null && stack.length == captureDepth) {
+                captureWriter.flush(); captureWriter.close()
+                nextRecord = capture.toString
+                capture = null; captureWriter = null; captureDepth = -1
+              }
+              if (stack.nonEmpty) stack.remove(stack.length - 1)
+            case _ =>
+              if (captureWriter != null) captureWriter.add(ev)
           }
-          if (captureWriter != null) captureWriter.add(ev)
-        case XMLStreamConstants.END_ELEMENT =>
-          if (captureWriter != null) captureWriter.add(ev)
-          if (captureWriter != null && stack.length == captureDepth) {
-            captureWriter.flush(); captureWriter.close()
-            out += capture.toString
-            capture = null; captureWriter = null; captureDepth = -1
-          }
-          if (stack.nonEmpty) stack.remove(stack.length - 1)
-        case _ =>
-          if (captureWriter != null) captureWriter.add(ev)
+        }
+      }
+      def hasNext: Boolean = { advance(); nextRecord != null }
+      def next(): String = {
+        advance()
+        val r = nextRecord; nextRecord = null
+        if (r == null) throw new NoSuchElementException
+        r
       }
     }
-    out.toSeq
   }
 
   /** S8 — evaluate `{name → xpath}` metadata once per document. The xpaths
@@ -170,5 +184,30 @@ object XmlSource {
           case (xml, i) => (file, i.toLong, xml)
         }
       }.toDF("file", "index", "record_xml")
+  }
+
+  /** True-streaming variant for HUGE files (the 100 TB posture):
+    * `binaryFiles` hands each executor a [[org.apache.spark.input.PortableDataStream]]
+    * and the StAX cursor runs directly on it — memory is bounded by one
+    * record, never the file. UTF-8/UTF-16 detection is delegated to the
+    * XML parser's own BOM/prolog sniffing; the control-char retry needs
+    * the batch path. */
+  def recordsStreaming(spark: SparkSession, paths: Seq[String],
+                       mapping: TableMapping): DataFrame = {
+    val xpath = mapping.xmlRecordXpath.getOrElse(
+      sys.error("xml_record_xpath is required for xml tables"))
+    val pattern = mapping.patternMatchRecordXpath
+    import spark.implicits._
+    val files = spark.sparkContext.binaryFiles(paths.mkString(","))
+    spark.createDataset(files.flatMap { case (file, pds) =>
+      val in = pds.open()
+      val reader = new java.io.InputStreamReader(
+        new java.io.BufferedInputStream(in, 256 * 1024),
+        // the decode probe order of LineSource, on the stream head
+        java.nio.charset.StandardCharsets.UTF_8)
+      splitRecordsStrict(reader, xpath, pattern).zipWithIndex.map {
+        case (xml, i) => (file, i.toLong, xml)
+      }
+    }).toDF("file", "index", "record_xml")
   }
 }

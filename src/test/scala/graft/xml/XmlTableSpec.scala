@@ -240,6 +240,21 @@ class XmlTableSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming records variant matches the batch split (bounded memory)") {
+    val spark = graft.runtime.GraftSession.local
+    val dir = java.nio.file.Files.createTempDirectory("xmlstream")
+    val xml = "<root>" + (1 to 50).map(i =>
+      s"<record><id>$i</id><v a='x$i'>payload $i</v></record>").mkString + "</root>"
+    java.nio.file.Files.write(dir.resolve("big.xml"), xml.getBytes("UTF-8"))
+    val mapping = graft.model.TableMapping(xmlRecordXpath = Some("record"))
+    val batch = graft.sources.XmlSource.records(spark, Seq(dir.toString + "/big.xml"), mapping)
+      .orderBy("index").select("record_xml").collect().map(_.getString(0))
+    val streamed = graft.sources.XmlSource.recordsStreaming(spark, Seq(dir.toString + "/big.xml"), mapping)
+      .orderBy("index").select("record_xml").collect().map(_.getString(0))
+    assert(batch.length == 50 && streamed.length == 50)
+    assert(batch.toSeq == streamed.toSeq)
+  }
+
   test("pattern_match_record_xpath: regex on root children names") {
     val xml = "<root><recordOne><a>1</a></recordOne><other><b>2</b></other>" +
       "<recordTwo><a>3</a></recordTwo></root>"
