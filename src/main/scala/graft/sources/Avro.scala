@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.model._
 import org.apache.avro.Schema
-import org.apache.avro.file.{DataFileStream, SeekableByteArrayInput, DataFileReader}
+import org.apache.avro.file.DataFileStream
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -81,5 +81,4 @@ object Avro {
   private def unwrap(s: Schema): Seq[Schema] =
     if (s.getType == Schema.Type.UNION) s.getTypes.asScala.toSeq else Seq(s)
 
-  private val _ = classOf[DataFileReader[_]] -> classOf[SeekableByteArrayInput]
 }
