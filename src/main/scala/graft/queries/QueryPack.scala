@@ -105,6 +105,23 @@ object QueryPack {
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
 
+  /** Set operations: customers with orders vs without (INTERSECT/EXCEPT). */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val custKeys = T(s, dir, "customer").select(col("c_custkey").as("k"))
+    val orderCust = T(s, dir, "orders").select(col("o_custkey").as("k"))
+    val withOrders = custKeys.intersect(orderCust)
+    val withoutOrders = custKeys.except(orderCust)
+    withOrders.withColumn("status", lit("active"))
+      .unionByName(withoutOrders.withColumn("status", lit("inactive")))
+  }
+
+  /** Row-level dedup via dropDuplicates on a projected key set. */
+  def dedupRows(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_shipdate")
+      .withColumn("ship_date", to_date(col("l_shipdate"))).drop("l_shipdate")
+      .dropDuplicates("l_returnflag", "l_linestatus", "ship_date")
+
   // === Window / ordered operators ==========================================
 
   /** Running total per user — the Window.partitionBy analogue of the
@@ -550,6 +567,8 @@ object QueryPack {
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "agg_rollup" -> (aggRollup _),
     "agg_distinct" -> (aggDistinct _),
+    "set_ops" -> (setOps _),
+    "dedup_rows" -> (dedupRows _),
     "w1_running_total" -> (w1RunningTotal _),
     "w2_sessionize" -> (w2Sessionize _),
     "s5_json_props" -> (s5JsonProps _),
@@ -612,6 +631,15 @@ object QueryPack {
     "agg_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "set_ops" ->
+      """SELECT k, 'active' AS status FROM (
+        |  SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders)
+        |UNION ALL
+        |SELECT k, 'inactive' AS status FROM (
+        |  SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders)""".stripMargin,
+    "dedup_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem""".stripMargin,
     "w1_running_total" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER
