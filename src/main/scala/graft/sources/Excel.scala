@@ -112,48 +112,91 @@ object Excel {
       val rid = s.attribute("http://schemas.openxmlformats.org/officeDocument/2006/relationships", "id")
         .map(_.text).getOrElse("")
       val target = rels.getOrElse(rid, s"worksheets/sheet1.xml")
-      val sheetXml = xml(s"xl/$target").getOrElse(sys.error(s"Missing sheet part xl/$target"))
-      Sheet(name, sheetRows(sheetXml, shared, styleIsDate))
+      val sheetBytes = parts.getOrElse(s"xl/$target", sys.error(s"Missing sheet part xl/$target"))
+      Sheet(name, sheetRows(sheetBytes, shared, styleIsDate))
     }
   }
 
   private def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c.toUpper - 'A' + 1))
 
-  private def sheetRows(sheetXml: scala.xml.Elem, shared: IndexedSeq[String],
+  /** StAX (streaming) worksheet parse — memory bounded by populated cells,
+    * not the sheet XML DOM; the scale path for very large sheets. */
+  private def sheetRows(sheetBytes: Array[Byte], shared: IndexedSeq[String],
                         styleIsDate: IndexedSeq[Boolean]): Seq[Seq[String]] = {
-    // (rowIdx → (colIdx → value)); dims derived from populated cells, like
-    // Roo's first_row/last_row/first_column/last_column.
+    import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_COALESCING, true)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    val r = f.createXMLStreamReader(new ByteArrayInputStream(sheetBytes))
+
     val cells = mutable.HashMap.empty[(Int, Int), String]
     var implicitRow = 0
-    (sheetXml \ "sheetData" \ "row").foreach { row =>
-      implicitRow = Option(row \@ "r").filter(_.nonEmpty).map(_.toInt).getOrElse(implicitRow + 1)
-      var implicitCol = 0
-      (row \ "c").foreach { c =>
-        val ref = c \@ "r"
-        implicitCol = if (ref.nonEmpty) colIndex(ref) else implicitCol + 1
-        val t = c \@ "t"
-        val v = (c \ "v").text
-        val value: Option[String] = t match {
-          case "s"         => Some(shared(v.toInt).trim)
-          case "inlineStr" => Some((c \ "is" \\ "t").map(_.text).mkString.trim)
-          case "str"       => Some(v.trim)
-          case "b"         => Some(if (v == "1") "true" else "false")
-          case "e"         => Some(v.trim)
-          case _ if v.isEmpty => None
-          case _ => // number, possibly date-styled
-            val style = Option(c \@ "s").filter(_.nonEmpty).map(_.toInt).getOrElse(-1)
-            val isDate = style >= 0 && style < styleIsDate.length && styleIsDate(style)
-            val d = v.toDouble
-            Some(if (isDate) castDate(d) else castNumber(d))
-        }
-        value.foreach(cells((implicitRow, implicitCol)) = _)
+    var implicitCol = 0
+    var cellType = ""
+    var cellStyle = -1
+    var inV = false
+    var inIs = false
+    var text = new StringBuilder
+    var cellRow = 0
+    var cellCol = 0
+
+    def emit(): Unit = {
+      val v = text.toString
+      val value: Option[String] = cellType match {
+        case "s"         => Some(shared(v.trim.toInt).trim)
+        case "inlineStr" => Some(v.trim)
+        case "str"       => Some(v.trim)
+        case "b"         => Some(if (v.trim == "1") "true" else "false")
+        case "e"         => Some(v.trim)
+        case _ if v.trim.isEmpty => None
+        case _ =>
+          val isDate = cellStyle >= 0 && cellStyle < styleIsDate.length && styleIsDate(cellStyle)
+          val d = v.trim.toDouble
+          Some(if (isDate) castDate(d) else castNumber(d))
+      }
+      value.foreach(cells((cellRow, cellCol)) = _)
+    }
+
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              val ref = Option(r.getAttributeValue(null, "r")).filter(_.nonEmpty)
+              implicitRow = ref.map(_.toInt).getOrElse(implicitRow + 1)
+              implicitCol = 0
+            case "c" =>
+              val ref = Option(r.getAttributeValue(null, "r")).getOrElse("")
+              implicitCol = if (ref.nonEmpty) colIndex(ref) else implicitCol + 1
+              cellRow = implicitRow; cellCol = implicitCol
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              cellStyle = Option(r.getAttributeValue(null, "s")).filter(_.nonEmpty)
+                .map(_.toInt).getOrElse(-1)
+              text = new StringBuilder
+            case "v" => inV = true
+            case "is" => inIs = true
+            case "t" if inIs => inV = true
+            case _ => ()
+          }
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+          if (inV) text ++= r.getText
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" => inV = false
+            case "t" if inIs => inV = false
+            case "is" => inIs = false
+            case "c" => emit()
+            case _ => ()
+          }
+        case _ => ()
       }
     }
+    r.close()
     if (cells.isEmpty) return Nil
     val rowMin = cells.keys.map(_._1).min; val rowMax = cells.keys.map(_._1).max
     val colMin = cells.keys.map(_._2).min; val colMax = cells.keys.map(_._2).max
-    (rowMin to rowMax).map(r => (colMin to colMax).map(c => cells.get((r, c)).orNull))
+    (rowMin to rowMax).map(rr => (colMin to colMax).map(cc => cells.get((rr, cc)).orNull))
   }
 
   /** Parse bytes by extension with the reference's retry semantics
