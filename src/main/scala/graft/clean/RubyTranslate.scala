@@ -56,6 +56,11 @@ object RubyTranslate {
     sb.toString
   }
 
+  /** Does a translated pattern carry a two-digit year (`yy` not `yyyy`)?
+    * Those need Ruby's strptime windowing applied after parsing. */
+  def twoDigitYear(javaFmt: String): Boolean =
+    "(?<!y)yy(?!y)".r.findFirstIn(javaFmt).isDefined
+
   /** Translate a Ruby regex source (possibly from a `!ruby/regexp /…/flags`
     * YAML scalar) into a Java regex string. Ruby and Java syntax overlap for
     * everything the reference's mappings use; the work is unwrapping the

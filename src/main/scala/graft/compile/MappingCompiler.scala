@@ -130,7 +130,13 @@ final class MappingCompiler(mapping: TableMapping, strict: Boolean = false) {
   private def mappedValue(raw: Column, fm: FieldMapping): Column = {
     if (fm.format.isDefined) {
       val fmt = RubyTranslate.dateFormat(fm.format.get)
-      val parsed = try_to_date(raw, fmt)
+      val parsed0 = try_to_date(raw, fmt)
+      // Ruby Date.strptime two-digit-year windowing: 69-99 → 19xx,
+      // 00-68 → 20xx (Java's `yy` bases everything on 2000).
+      val parsed =
+        if (RubyTranslate.twoDigitYear(fmt))
+          when(year(parsed0) >= 2069, add_months(parsed0, -1200)).otherwise(parsed0)
+        else parsed0
       val out = when(isBlank(raw), lit(null).cast(StringType))
         .otherwise(parsed.cast(StringType))
       if (strict)

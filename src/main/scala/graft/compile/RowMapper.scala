@@ -39,8 +39,15 @@ object RowMapper {
     if (fm.format.isDefined) {
       if (blank(original)) null
       else {
-        val fmt = DateTimeFormatter.ofPattern(RubyTranslate.dateFormat(fm.format.get))
-        try LocalDate.parse(original.trim, fmt).toString
+        val javaFmt = RubyTranslate.dateFormat(fm.format.get)
+        val fmt = DateTimeFormatter.ofPattern(javaFmt)
+        try {
+          var d = LocalDate.parse(original.trim, fmt)
+          // Ruby strptime windowing: 69-99 → 19xx (Java bases yy on 2000)
+          if (RubyTranslate.twoDigitYear(javaFmt) && d.getYear >= 2069)
+            d = d.minusYears(100)
+          d.toString
+        }
         catch {
           case e: Exception =>
             throw new IllegalArgumentException(s"${e.getMessage} value ${original.inspectRuby}")

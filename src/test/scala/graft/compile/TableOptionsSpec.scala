@@ -49,6 +49,33 @@ class TableOptionsSpec extends SparkSpec {
     assert(uuids.length == 2 && uuids.forall(_.matches("[0-9a-f-]{36}")))
   }
 
+  test("two-digit years window like Ruby strptime: 69-99 -> 19xx") {
+    import graft.model.FieldMapping
+    def parse(v: String, fmt: String): String =
+      RowMapper.mappedValue(v, FieldMapping(field = "d", format = Some(fmt)))
+    assert(parse("01/01/70", "dd/mm/yy") == "1970-01-01")
+    assert(parse("01/01/99", "dd/mm/yy") == "1999-01-01")
+    assert(parse("01/01/68", "dd/mm/yy") == "2068-01-01")
+    assert(parse("01/01/00", "dd/mm/yy") == "2000-01-01")
+    assert(parse("03/10/1978", "dd/mm/yyyy") == "1978-10-03") // yyyy untouched
+
+    // Catalyst path agrees
+    import spark.implicits._
+    val m = MappingLoader.loadTable(
+      """|klass: K
+         |columns:
+         |- column: d
+         |  mappings:
+         |  - field: d
+         |    format: dd/mm/yy
+         |""".stripMargin)
+    val df = Seq(("f", 0L, Seq("01/01/70")), ("f", 1L, Seq("01/01/68")))
+      .toDF("file", "lineno", "cells")
+    val got = MappingCompiler(m).records(df).orderBy("index")
+      .select(element_at(col("fields"), "d")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("1970-01-01", "2068-01-01"))
+  }
+
   test("xml_file_metadata loads as a name->xpath map (S8)") {
     val m = MappingLoader.loadTable(
       """|klass: K
