@@ -40,7 +40,9 @@ object RowMapper {
       if (blank(original)) null
       else {
         val javaFmt = RubyTranslate.dateFormat(fm.format.get)
-        val fmt = DateTimeFormatter.ofPattern(javaFmt)
+        // case-insensitive like Ruby strptime ('01/JAN/70' parses)
+        val fmt = new java.time.format.DateTimeFormatterBuilder()
+          .parseCaseInsensitive().appendPattern(javaFmt).toFormatter(java.util.Locale.UK)
         try {
           var d = LocalDate.parse(original.trim, fmt)
           // Ruby strptime windowing: 69-99 → 19xx (Java bases yy on 2000)
