@@ -65,8 +65,10 @@ object RowMapper {
       val m = p.matcher(if (original == null) "" else original)
       if (m.find() && m.groupCount >= 1 && m.group(1) != null) m.group(1).trim else null
     } else if (fm.daysafter.isDefined) {
-      val isInt = original != null && original.matches("-?\\d+") &&
-        original.replaceFirst("^(-?)0+(?=\\d)", "$1") == original
+      // Ruby: `value.to_i.to_s == value.to_s` — exact round-trip only
+      // ("007", "-0", "1.5" all pass through unchanged)
+      val isInt = original != null &&
+        (try original.toLong.toString == original catch { case _: Exception => false })
       if (!isInt) original
       else LocalDate.parse(fm.daysafter.get).plusDays(original.toLong).toString
     } else {
