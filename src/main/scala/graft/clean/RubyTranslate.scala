@@ -68,11 +68,15 @@ object RubyTranslate {
     */
   def regex(src: String): String = {
     val RubyLit = "(?s)^/(.*)/([imx]*)$".r
-    src match {
+    val translated = src match {
       case RubyLit(body, flags) =>
         val mods = flags.filter("imx".contains(_))
         if (mods.nonEmpty) s"(?$mods)$body" else body
       case other => other
     }
+    // Ruby-only character classes Java lacks: \h hex digit, \H non-hex.
+    translated
+      .replace("\\h", "[0-9a-fA-F]")
+      .replace("\\H", "[^0-9a-fA-F]")
   }
 }
