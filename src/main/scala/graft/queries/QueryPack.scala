@@ -461,6 +461,21 @@ object QueryPack {
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  private def dedupEmbeddingOracleSql: String = {
+    def planeSql(p: Seq[Int]): String = p.mkString("[", ",", "]")
+    val bucketExpr = lshPlanes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_sum(list_transform(range(1,65), j -> CAST(embedding[j] AS DOUBLE) * (${planeSql(p)})[j])) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding, $bucketExpr AS bucket,
+       |    sqrt(list_sum(list_transform(range(1,65), j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)))) AS norm
+       |  FROM embeddings)
+       |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       |  round(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))) / (a.norm * b.norm), 4) AS cos_sim
+       |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))) / (a.norm * b.norm), 4) >= 0.2""".stripMargin
+  }
+
   private val ivfOracleSql: String =
     """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
       |assigned AS (
@@ -489,6 +504,34 @@ object QueryPack {
       .select(col("event_type"), explode(array(col("hour0"), col("hour0") - 3600000L)).as("win_start"))
       .groupBy("event_type", "win_start")
       .agg(count(lit(1)).as("n"))
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates with
+    * cosine above a threshold — the embedding flavour of dedup (same
+    * bucket machinery as x_ann_lsh; threshold keeps only true near-dups).
+    */
+  def xDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val _ = Window // (kept for symmetry with the ANN variants)
+    def dotPlane(plane: Seq[Int]): Column =
+      aggregate(zip_with(col("embedding"), typedLit(plane.map(_.toDouble)),
+        (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+    val bucket = lshPlanes.zipWithIndex.map { case (p, i) =>
+      when(dotPlane(p) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val sig = T(s, dir, "embeddings")
+      .withColumn("bucket", bucket)
+      .withColumn("norm", sqrt(aggregate(transform(col("embedding"),
+        x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x)))
+    val dot = aggregate(
+      zip_with(col("a.embedding"), col("b.embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+        round(dot / (col("a.norm") * col("b.norm")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.2)
+  }
 
   private def lshOracleSql: String = {
     def planeSql(p: Seq[Int]): String = p.mkString("[", ",", "]")
@@ -588,6 +631,7 @@ object QueryPack {
     "x_ann_cosine" -> (xAnnCosine _),
     "x_ann_lsh" -> (xAnnLsh _),
     "x_ann_ivf" -> (xAnnIvf _),
+    "x_dedup_embedding" -> (xDedupEmbedding _),
     "w3_sliding" -> (w3Sliding _),
     "x_lang_id" -> (xLangId _),
     "x_quality" -> (xQuality _),
@@ -802,6 +846,7 @@ object QueryPack {
         |FROM ranked WHERE rank <= 5""".stripMargin,
     "x_ann_lsh" -> lshOracleSql,
     "x_ann_ivf" -> ivfOracleSql,
+    "x_dedup_embedding" -> dedupEmbeddingOracleSql,
     "w3_sliding" ->
       """WITH base AS (
         |  SELECT event_type, epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS hour0 FROM events),
