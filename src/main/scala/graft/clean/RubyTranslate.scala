@@ -61,6 +61,43 @@ object RubyTranslate {
   def twoDigitYear(javaFmt: String): Boolean =
     "(?<!y)yy(?!y)".r.findFirstIn(javaFmt).isDefined
 
+  /** Translate a Ruby `gsub` replacement string into Java
+    * `Matcher.appendReplacement` syntax (what both `String#replaceAll` and
+    * Spark's `regexp_replace` consume), so the compiled and interpreted
+    * replace paths share one semantics (`mapper.rb:64` `value.gsub!`):
+    * `\1`…`\9` → `$1`…, `\0`/`\&` → `$0`, `\k<name>` → `${name}`,
+    * `\\` → literal backslash; literal `$` and unknown `\x` escapes are
+    * quoted so they can never be misread as Java group references.
+    */
+  def replacement(ruby: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < ruby.length) {
+      val c = ruby.charAt(i)
+      if (c == '\\') {
+        if (i + 1 >= ruby.length) { sb.append("\\\\"); i += 1 } // dangling \ = literal
+        else {
+          val n = ruby.charAt(i + 1)
+          if (n.isDigit) { sb.append('$').append(n); i += 2 }
+          else if (n == '&') { sb.append("$0"); i += 2 }
+          else if (n == '\\') { sb.append("\\\\"); i += 2 }
+          else if (n == 'k' && i + 2 < ruby.length && ruby.charAt(i + 2) == '<' &&
+                   ruby.indexOf('>', i + 3) > 0) {
+            val end = ruby.indexOf('>', i + 3)
+            sb.append("${").append(ruby.substring(i + 3, end)).append('}')
+            i = end + 1
+          } else {
+            // Ruby keeps unknown escapes verbatim (backslash + char)
+            sb.append("\\\\").append(if (n == '$') "\\$" else n.toString)
+            i += 2
+          }
+        }
+      } else if (c == '$') { sb.append("\\$"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Translate a Ruby regex source (possibly from a `!ruby/regexp /…/flags`
     * YAML scalar) into a Java regex string. Ruby and Java syntax overlap for
     * everything the reference's mappings use; the work is unwrapping the

@@ -119,11 +119,14 @@ final class MappingCompiler(mapping: TableMapping, strict: Boolean = false) {
 
   private def isBlank(c: Column): Column = c.isNull || trim(c) === ""
 
-  /** M7 — replace-before-mapping (`mapper.rb:48-66`). */
+  /** M7 — replace-before-mapping (`mapper.rb:48-66`). Replacement strings
+    * carry Ruby gsub semantics (`\1` backrefs, literal `$`), translated once
+    * so this path and RowMapper.applyReplaces agree. */
   private def applyReplaces(c: Column, fm: FieldMapping): Column =
     fm.replace.foldLeft(c) { (acc, r) =>
       when(acc.isNull, acc)
-        .otherwise(regexp_replace(acc, RubyTranslate.regex(r.pattern), r.replacement))
+        .otherwise(regexp_replace(acc, RubyTranslate.regex(r.pattern),
+                                  RubyTranslate.replacement(r.replacement)))
     }
 
   /** `mapped_value` (`mapper.rb:204-232`) — exactly one op family applies. */
@@ -158,10 +161,17 @@ final class MappingCompiler(mapping: TableMapping, strict: Boolean = false) {
         .otherwise(lit(null).cast(StringType))
     } else if (fm.daysafter.isDefined) {
       // Integer-looking values (to_i round-trip, `mapper.rb:226`) become
-      // epoch + n days; everything else passes through unchanged.
+      // epoch + n days; everything else passes through unchanged. Values
+      // outside Int range can't be a Spark DateType (days are stored int32)
+      // — both this path and RowMapper pass them through rather than one
+      // emitting null and the other a 273-million-AD date.
+      // ≤18 digits keeps the ANSI long cast safe; between() guards the
+      // int32 range without an overflowing cast.
       val epoch = to_date(lit(fm.daysafter.get))
-      when(raw.rlike("^(-?[1-9][0-9]*|0)$"),
-           date_add(epoch, raw.cast("int")).cast(StringType))
+      val n = raw.cast("long")
+      when(raw.rlike("^(-?[1-9][0-9]{0,17}|0)$") &&
+             n.between(Int.MinValue.toLong, Int.MaxValue.toLong),
+           date_add(epoch, n.cast("int")).cast(StringType))
         .otherwise(raw)
     } else {
       // default normalise M13: blank → null, else strip
@@ -244,18 +254,25 @@ final class MappingCompiler(mapping: TableMapping, strict: Boolean = false) {
     combined ++ colNameFields
   }
 
-  /** The rawtext map for one klass (M5 — always captures the raw value). */
+  /** The rawtext map for one klass (M5 — always captures the raw value).
+    * Duplicate rawtext keys (two columns sharing a rawtext_name, unnamed
+    * columns all keyed "") follow Ruby hash assignment — last column wins —
+    * deduped driver-side because Spark's map() throws on duplicate keys
+    * under the default mapKeyDedupPolicy=EXCEPTION. */
   def rawtextFor(klass: String, cells: Column): Column = {
     val cols = maskedColumns(klass)
-    val entries: Seq[Column] = cols.zipWithIndex.flatMap { case (cm, i) =>
+    val pairs: Seq[(String, Column)] = cols.zipWithIndex.flatMap { case (cm, i) =>
       if (cm.doNotCapture) Nil
       else {
-        val base = Seq(lit(cm.rawtextKey), rawCell(cells, i, cm))
-        val colname = cm.mapColumnNameTo.toSeq.flatMap(t =>
-          Seq(lit(t), lit(cm.column.getOrElse(""))))
+        val base = Seq(cm.rawtextKey -> rawCell(cells, i, cm))
+        val colname = cm.mapColumnNameTo.toSeq.map(t =>
+          t -> lit(cm.column.getOrElse("")))
         base ++ colname
       }
     }
+    val deduped = collection.mutable.LinkedHashMap.empty[String, Column]
+    pairs.foreach { case (k, v) => deduped(k) = v }
+    val entries = deduped.toSeq.flatMap { case (k, v) => Seq(lit(k), v) }
     if (entries.isEmpty) map() else map(entries: _*)
   }
 
@@ -298,10 +315,10 @@ final class MappingCompiler(mapping: TableMapping, strict: Boolean = false) {
         rawtextFor(k, col("cells")).as("rawtext"))
     }
 
-    val guarded = if (strict) {
-      trimmed.withColumn("cells",
-        when(tooMany.isNotNull, array(tooMany)).otherwise(col("cells")))
-    } else trimmed
+    // The reference raises unconditionally on over-wide rows
+    // (`mapper.rb:96-99`), as does RowMapper — never silently truncate.
+    val guarded = trimmed.withColumn("cells",
+      when(tooMany.isNotNull, array(tooMany)).otherwise(col("cells")))
 
     guarded
       .select(col("lineno").as("index"), col("file"),

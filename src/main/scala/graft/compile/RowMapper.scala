@@ -66,9 +66,13 @@ object RowMapper {
       if (m.find() && m.groupCount >= 1 && m.group(1) != null) m.group(1).trim else null
     } else if (fm.daysafter.isDefined) {
       // Ruby: `value.to_i.to_s == value.to_s` — exact round-trip only
-      // ("007", "-0", "1.5" all pass through unchanged)
+      // ("007", "-0", "1.5" all pass through unchanged). Day counts outside
+      // Int range also pass through: Spark DateType stores days as int32, so
+      // the compiled path can't represent them — both paths agree instead.
       val isInt = original != null &&
-        (try original.toLong.toString == original catch { case _: Exception => false })
+        (try original.toLong.toString == original &&
+             original.toLong.isValidInt
+         catch { case _: Exception => false })
       if (!isInt) original
       else LocalDate.parse(fm.daysafter.get).plusDays(original.toLong).toString
     } else {
@@ -85,7 +89,7 @@ object RowMapper {
     if (value == null) null
     else fm.replace.foldLeft(value) { (v, r) =>
       v.replaceAll(RubyTranslate.regex(r.pattern),
-        java.util.regex.Matcher.quoteReplacement(r.replacement))
+        RubyTranslate.replacement(r.replacement))
     }
 
   private def decodeValue(raw: String, encoding: String): String = {

@@ -106,49 +106,52 @@ object Biff8 {
     val it = records(wb, 0)
     var sstParts: mutable.ArrayBuffer[Array[Byte]] = null
     var inGlobals = true
+
+    // Full dispatch for every non-SST global record; the SST case below
+    // re-enters here for the record that terminates its CONTINUE run, so a
+    // FORMAT/XF landing right after the SST group still updates xfIsDate
+    // (nonstandard writers order records freely).
+    def handleGlobal(r: Rec): Unit = r.id match {
+      case 0x22 => date1904 = r.data.nonEmpty && r.data(0) == 1
+      case 0x85 => // BOUNDSHEET
+        val b = ByteBuffer.wrap(r.data).order(ByteOrder.LITTLE_ENDIAN)
+        val offset = b.getInt(0)
+        val cch = r.data(6) & 0xFF
+        val grbit = r.data(7) & 0x01
+        val name =
+          if (grbit == 0) new String(r.data, 8, cch, "ISO-8859-1")
+          else new String(r.data, 8, cch * 2, "UTF-16LE")
+        sheets += name -> offset
+      case 0x41E => // FORMAT
+        val b = ByteBuffer.wrap(r.data).order(ByteOrder.LITTLE_ENDIAN)
+        val id = b.getShort(0).toInt & 0xFFFF
+        // string at offset 2 (unicode, single record)
+        val cch = b.getShort(2).toInt & 0xFFFF
+        val grbit = r.data(4) & 0x01
+        val code =
+          if (grbit == 0) new String(r.data, 5, math.min(cch, r.data.length - 5), "ISO-8859-1")
+          else new String(r.data, 5, math.min(cch * 2, r.data.length - 5), "UTF-16LE")
+        customDateFmt(id) = code.replaceAll("\\[[^\\]]*\\]", "")
+          .replaceAll("\"[^\"]*\"", "").exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
+      case 0xE0 => // XF
+        val fmtId = ByteBuffer.wrap(r.data).order(ByteOrder.LITTLE_ENDIAN).getShort(2).toInt & 0xFFFF
+        xfIsDate += (DateFmtIds.contains(fmtId) || customDateFmt.getOrElse(fmtId, false))
+      case 0x0A => inGlobals = false // EOF
+      case _ => ()
+    }
+
     while (it.hasNext && inGlobals) {
-      val (at, r) = it.next()
+      val (_, r) = it.next()
       r.id match {
-        case 0x22 => date1904 = r.data.nonEmpty && r.data(0) == 1
-        case 0x85 => // BOUNDSHEET
-          val b = ByteBuffer.wrap(r.data).order(ByteOrder.LITTLE_ENDIAN)
-          val offset = b.getInt(0)
-          val cch = r.data(6) & 0xFF
-          val grbit = r.data(7) & 0x01
-          val name =
-            if (grbit == 0) new String(r.data, 8, cch, "ISO-8859-1")
-            else new String(r.data, 8, cch * 2, "UTF-16LE")
-          sheets += name -> offset
-        case 0x41E => // FORMAT
-          val b = ByteBuffer.wrap(r.data).order(ByteOrder.LITTLE_ENDIAN)
-          val id = b.getShort(0).toInt & 0xFFFF
-          // string at offset 2 (unicode, single record)
-          val cch = b.getShort(2).toInt & 0xFFFF
-          val grbit = r.data(4) & 0x01
-          val code =
-            if (grbit == 0) new String(r.data, 5, math.min(cch, r.data.length - 5), "ISO-8859-1")
-            else new String(r.data, 5, math.min(cch * 2, r.data.length - 5), "UTF-16LE")
-          customDateFmt(id) = code.replaceAll("\\[[^\\]]*\\]", "")
-            .replaceAll("\"[^\"]*\"", "").exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
-        case 0xE0 => // XF
-          val fmtId = ByteBuffer.wrap(r.data).order(ByteOrder.LITTLE_ENDIAN).getShort(2).toInt & 0xFFFF
-          xfIsDate += (DateFmtIds.contains(fmtId) || customDateFmt.getOrElse(fmtId, false))
         case 0xFC => // SST (+ CONTINUEs)
           sstParts = mutable.ArrayBuffer(r.data.drop(8))
           val total = ByteBuffer.wrap(r.data).order(ByteOrder.LITTLE_ENDIAN).getInt(4)
           // collect following CONTINUE records
           var done = false
           while (!done && it.hasNext) {
-            val save = it
             val (_, nr) = it.next()
             if (nr.id == 0x3C) sstParts += nr.data
-            else {
-              handleGlobal(nr); done = true
-            }
-          }
-          def handleGlobal(nr: Rec): Unit = nr.id match {
-            case 0x0A => inGlobals = false // EOF of globals
-            case _    => ()
+            else { handleGlobal(nr); done = true }
           }
           val reader = new SstReader(sstParts.toIndexedSeq)
           var i = 0
@@ -157,8 +160,7 @@ object Biff8 {
             try { sst += reader.readString(); i += 1 }
             catch { case _: Exception => failed = true }
           }
-        case 0x0A => inGlobals = false // EOF
-        case _ => ()
+        case _ => handleGlobal(r)
       }
     }
 

@@ -37,8 +37,12 @@ object Tabular {
                      liberal: Boolean, strict: Boolean = false): DataFrame = {
     val cells: Column =
       if (sep.length == 1) {
+        // one probe column beyond the mapping width: a non-null there means
+        // the source row is over-wide, which MappingCompiler.records must
+        // see (the reference raises "Line has too many columns" — it never
+        // silently truncates; `mapper.rb:96-99`)
         val schema = StructType(
-          (0 until nCols).map(i => StructField(s"c$i", StringType)) :+
+          (0 to nCols).map(i => StructField(s"c$i", StringType)) :+
             StructField("_corrupt", StringType))
         val opts = Map(
           "sep" -> sep, "mode" -> "PERMISSIVE",
@@ -49,16 +53,23 @@ object Tabular {
              else if (strict) "RAISE_ERROR"
              else "STOP_AT_CLOSING_QUOTE"))
         val parsed = from_csv(col("line"), schema, opts)
-        val plain = array((0 until nCols).map(i => parsed.getField(s"c$i")): _*)
+        val inWidth = array((0 until nCols).map(i => parsed.getField(s"c$i")): _*)
+        val probe = parsed.getField(s"c$nCols")
+        val plain =
+          when(probe.isNotNull, concat(inWidth, array(probe))).otherwise(inWidth)
         if (strict) {
           // Ruby CSV's grammar: fields are fully quoted or contain no raw
           // quotes; a quote inside an unquoted field is "Illegal quoting"
           // (`helpers/file/delimited.rb:90-100` — import fails on the
           // first bad row, named 1-based).
+          // the grammar regex is the sole strict check: _corrupt now also
+          // fires on benign token-count mismatches against the probe-widened
+          // schema, and over-wide rows must reach the mapper's own
+          // "too many columns" error, not a CSV-format one
           val q = java.util.regex.Pattern.quote(sep)
           val field = "(?:\"(?:[^\"]|\"\")*\"|[^\"" + q + "]*)"
           val validLine = s"^$field(?:$q$field)*$$"
-          when(!col("line").rlike(validLine) || parsed.getField("_corrupt").isNotNull,
+          when(!col("line").rlike(validLine),
             array(raise_error(concat(
               lit("Invalid CSV format on row "), (col("lineno") + 1).cast(StringType),
               lit(" of "), element_at(split(col("file"), "/"), -1)))))

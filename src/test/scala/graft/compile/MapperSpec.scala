@@ -57,6 +57,47 @@ class MapperSpec extends SparkSpec {
     assert(one(yaml, "2.1") == Some("2.1"))
   }
 
+  test("replace: Ruby \\1 backrefs resolve; literal $ and \\ never crash") {
+    // Ruby gsub replacement semantics (`mapper.rb:64`): \1 is a group ref
+    val backref = "    replace:\n      ? !ruby/regexp /^id-(\\w+)$/\n      : 'got \\1'"
+    assert(one(backref, "id-abc42") == Some("got abc42"))
+    // literal $ in the replacement is NOT a Java group reference
+    val dollar = "    replace:\n      \"USD\": \"$\""
+    assert(one(dollar, "5 USD") == Some("5 $"))
+    // dangling backslash stays a literal backslash
+    val bslash = "    replace:\n      \"-\": '\\'"
+    assert(one(bslash, "a-b") == Some("a\\b"))
+    // interpreter path agrees on all three
+    import graft.model.{FieldMapping, Replace}
+    assert(RowMapper.mappedValue(null, FieldMapping("f")) == null)
+    def interp(pat: String, repl: String, isRe: Boolean, v: String): String = {
+      val fm = FieldMapping("f", replace = Seq(Replace(
+        if (isRe) pat else java.util.regex.Pattern.quote(pat), repl, isRe)))
+      val replaced = fm.replace.foldLeft(v)((s, r) =>
+        s.replaceAll(graft.clean.RubyTranslate.regex(r.pattern),
+                     graft.clean.RubyTranslate.replacement(r.replacement)))
+      RowMapper.mappedValue(replaced, FieldMapping("f"))
+    }
+    assert(interp("^id-(\\w+)$", "got \\1", isRe = true, "id-abc42") == "got abc42")
+    assert(interp("USD", "$", isRe = false, "5 USD") == "5 $")
+    assert(interp("-", "\\", isRe = false, "a-b") == "a\\b")
+  }
+
+  test("over-wide rows raise even in the default non-strict mode") {
+    val yaml = "- column: a\n  mappings:\n  - field: f"
+    val ex = intercept[Exception] { mappedLine(Seq("1", "2"), yaml) }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(ex).contains("too many columns"),
+           s"unexpected error: ${messages(ex)}")
+  }
+
+  test("duplicate rawtext keys: last column wins (Ruby hash assignment)") {
+    val yaml = "- column: a\n  rawtext_name: shared\n- column: b\n  rawtext_name: shared"
+    val (_, raw) = mappedLine(Seq("first", "second"), yaml)
+    assert(raw == Map("shared" -> "second"))
+  }
+
   test("daysafter: integer strings offset the epoch; others pass through") {
     def da(v: String) = one("    daysafter: \"2012-05-16\"", v)
     assert(da("2") == Some("2012-05-18"))
@@ -66,6 +107,11 @@ class MapperSpec extends SparkSpec {
     assert(da("") == None) // blank field values are dropped
     assert(da("16535") == Some("2057-08-23"))
     assert(da("9379") == Some("2038-01-19"))
+    // beyond-int day counts can't be a Spark date — pass through in BOTH
+    // paths (compiler would otherwise cast-to-null, interpreter compute)
+    assert(da("99999999999") == Some("99999999999"))
+    assert(RowMapper.mappedValue("99999999999",
+      graft.model.FieldMapping("f", daysafter = Some("2012-05-16"))) == "99999999999")
     assert(one("    daysafter: \"1900-02-01\"", "16900") == Some("1946-05-11"))
     assert(one("    daysafter: \"1967-12-31\"", "16900") == Some("2014-04-08"))
     assert(one("    daysafter: \"2000-01-01\"", "16900") == Some("2046-04-09"))

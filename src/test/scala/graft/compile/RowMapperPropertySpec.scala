@@ -38,6 +38,10 @@ class RowMapperPropertySpec extends SparkSpec {
        |  mappings:
        |  - field: extracted
        |    match: !ruby/regexp /^id-(\w+)/
+       |  - field: repl
+       |    replace:
+       |      ? !ruby/regexp /^id-(\w+)/
+       |      : 'got \1 for $'
        |  - field: dated
        |    format: dd/mm/yyyy
        |- column: d
