@@ -352,25 +352,37 @@ object QueryPack {
       .filter(col("jaccard") > 0.1)
   }
 
+  /** Shared vector ops over the 64-dim embedding column. Higher-order
+    * functions, deliberately: an unrolled 64-term `element_at` sum was
+    * measured 4-5× SLOWER — the generated method blows past the JIT/
+    * whole-stage-codegen size limits and the stage falls back to
+    * interpretation. The fold order matches DuckDB's `list_sum` exactly,
+    * so oracle hashes are stable. */
+  private def dotCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+  private def normCol(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+  private def dotLit(a: Column, v: Seq[Double]): Column =
+    aggregate(zip_with(a, typedLit(v), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Brute-force cosine top-5 ANN: broadcast the query vectors, score all
     * candidates, rank per query. The sf-scalable baseline (IVF/LSH variant
-    * rides on the same scoring expression). */
+    * rides on the same scoring expression). Norms are projected once per
+    * side instead of recomputed per pair. */
   def xAnnCosine(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = T(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val dot = aggregate(
-      zip_with(col("q_emb"), col("embedding"),
-        (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    def norm(c: Column) = sqrt(aggregate(
-      transform(c, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    val scored = emb.crossJoin(broadcast(queries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normCol(col("embedding")).as("q_nrm"))
+    val scored = emb.withColumn("nrm", normCol(col("embedding")))
+      .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        (dot / (norm(col("q_emb")) * norm(col("embedding")))).as("cos"))
+        (dotCols(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -398,29 +410,28 @@ object QueryPack {
     * best within-bucket neighbour. The brute-force twin is `x_ann_cosine`.
     */
   def xAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def dotPlane(plane: Seq[Int]): Column =
-      aggregate(zip_with(col("embedding"), typedLit(plane.map(_.toDouble)),
-        (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
     val bucket = lshPlanes.zipWithIndex.map { case (p, i) =>
-      when(dotPlane(p) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(dotLit(col("embedding"), p.map(_.toDouble)) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
     val sig = T(s, dir, "embeddings").withColumn("bucket", bucket)
-
-    val dot = aggregate(
-      zip_with(col("a.embedding"), col("b.embedding"),
-        (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    def norm(side: String) = sqrt(aggregate(
-      transform(col(s"$side.embedding"), x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    val pairs = sig.as("a").join(sig.as("b"),
+      .withColumn("nrm", normCol(col("embedding")))
+    // force the bucket-key shuffle join (the at-scale shape): a broadcast
+    // of one side would run the whole pair scoring inside the probe side's
+    // scan partitions — a single row group means a single thread
+    val pairs = sig.as("a").hint("shuffle_hash").join(sig.as("b").hint("shuffle_hash"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
         col("b.vec_id").as("neighbor"),
-        round(dot / (norm("a") * norm("b")), 4).as("cos_sim"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("neighbor"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        round(dotCols(col("a.embedding"), col("b.embedding")) /
+              (col("a.nrm") * col("b.nrm")), 4).as("cos_sim"))
+    // rank-1 per vector as a partial-aggregating max_by — unlike a
+    // row_number window this map-side combines before the shuffle, the
+    // right shape when buckets hold millions of candidates
+    pairs.groupBy("vec_id", "bucket")
+      .agg(max_by(struct(col("neighbor"), col("cos_sim")),
+                  struct(col("cos_sim"), -col("neighbor"))).as("best"))
+      .select(col("vec_id"), col("bucket"),
+        col("best.neighbor").as("neighbor"), col("best.cos_sim").as("cos_sim"))
   }
 
   /** IVF-style ANN: a deterministic coarse quantizer (the first 8 vectors
@@ -428,37 +439,50 @@ object QueryPack {
     * assigns every vector to its nearest cell; search happens within the
     * cell only. Complements the hyperplane-LSH path. */
   def xAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = T(s, dir, "embeddings")
-    val cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    val dist2 = aggregate(
-      zip_with(col("embedding"), col("cent"),
-        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
-    // Precompute each vector's norm ONCE; per-pair work is then a single
-    // dot product. Cache the (small) assignment so the self-join does not
-    // rebuild it per side.
-    val assigned = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"), dist2.as("d2"))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
-        sqrt(aggregate(transform(col("embedding"),
-          x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x)).as("norm"))
-      .cache()
-    val dot = aggregate(
-      zip_with(col("a.embedding"), col("b.embedding"),
-        (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val pairs = assigned.as("a").join(assigned.as("b"),
+    // IVF proper: the coarse quantizer is driver-resident. Collect the 8
+    // fixed centroids (8 × Dim floats — the deterministic k-means seeding
+    // both engines replicate) and embed them as literals. Assignment is
+    // then a narrow, fully-codegen argmin per row — no crossJoin, no
+    // window shuffle, no cache to evict. This is also the 100 TB shape:
+    // centroids always fit on the driver, only vectors stay distributed.
+    val cents: Seq[(Long, IndexedSeq[Double])] = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x => x.toString.toDouble
+      }.toIndexedSeq))
+      .sortBy(_._1).toSeq
+    // all 8 distances in one pass over a literal centroid matrix;
+    // argmin = first position of the min (= lowest cent_id on ties,
+    // the reference tie-break)
+    val ds = transform(typedLit(cents.map(_._2.toSeq)), c =>
+      aggregate(zip_with(col("embedding"), c,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x))
+    val cell = element_at(typedLit(cents.map(_._1)),
+      array_position(ds, array_min(ds)).cast("int"))
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      cell.as("cell"), normCol(col("embedding")).as("nrm"))
+    // 8 cells would collapse a shuffle join to 8 tasks at any scale —
+    // broadcast the build side instead (vectors-per-cell beyond broadcast
+    // size would call for a salted shuffle, not a coarser quantizer).
+    // The probe side is round-robin repartitioned so the pair scoring uses
+    // every core even when the input is one parquet row group.
+    val pairs = assigned.repartition(s.sparkContext.defaultParallelism).as("a")
+      .join(broadcast(assigned.as("b")),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
         col("b.vec_id").as("neighbor"),
-        round(dot / (col("a.norm") * col("b.norm")), 4).as("cos_sim"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("neighbor"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        round(dotCols(col("a.embedding"), col("b.embedding")) /
+              (col("a.nrm") * col("b.nrm")), 4).as("cos_sim"))
+    pairs.groupBy("vec_id", "cell")
+      .agg(max_by(struct(col("neighbor"), col("cos_sim")),
+                  struct(col("cos_sim"), -col("neighbor"))).as("best"))
+      .select(col("vec_id"), col("cell"),
+        col("best.neighbor").as("neighbor"), col("best.cos_sim").as("cos_sim"))
   }
 
   private def dedupEmbeddingOracleSql: String = {
@@ -510,23 +534,14 @@ object QueryPack {
     * bucket machinery as x_ann_lsh; threshold keeps only true near-dups).
     */
   def xDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val _ = Window // (kept for symmetry with the ANN variants)
-    def dotPlane(plane: Seq[Int]): Column =
-      aggregate(zip_with(col("embedding"), typedLit(plane.map(_.toDouble)),
-        (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
     val bucket = lshPlanes.zipWithIndex.map { case (p, i) =>
-      when(dotPlane(p) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(dotLit(col("embedding"), p.map(_.toDouble)) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
     val sig = T(s, dir, "embeddings")
       .withColumn("bucket", bucket)
-      .withColumn("norm", sqrt(aggregate(transform(col("embedding"),
-        x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x)))
-    val dot = aggregate(
-      zip_with(col("a.embedding"), col("b.embedding"),
-        (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    sig.as("a").join(sig.as("b"),
+      .withColumn("norm", normCol(col("embedding")))
+    val dot = dotCols(col("a.embedding"), col("b.embedding"))
+    sig.as("a").hint("shuffle_hash").join(sig.as("b").hint("shuffle_hash"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
         round(dot / (col("a.norm") * col("b.norm")), 4).as("cos_sim"))
