@@ -121,12 +121,19 @@ final class MappingCompiler(mapping: TableMapping, strict: Boolean = false) {
 
   /** M7 — replace-before-mapping (`mapper.rb:48-66`). Replacement strings
     * carry Ruby gsub semantics (`\1` backrefs, literal `$`), translated once
-    * so this path and RowMapper.applyReplaces agree. */
+    * so this path and RowMapper.applyReplaces agree. Array cells (which
+    * travel as their JSON rendering — see Tabular.jsonCells) get the
+    * replace applied per element, the reference's `apply_replaces`
+    * recursion (`mapper.rb:59-66`). */
   private def applyReplaces(c: Column, fm: FieldMapping): Column =
     fm.replace.foldLeft(c) { (acc, r) =>
+      val pat  = RubyTranslate.regex(r.pattern)
+      val repl = RubyTranslate.replacement(r.replacement)
+      val asArr = from_json(acc, org.apache.spark.sql.types.ArrayType(StringType))
       when(acc.isNull, acc)
-        .otherwise(regexp_replace(acc, RubyTranslate.regex(r.pattern),
-                                  RubyTranslate.replacement(r.replacement)))
+        .when(trim(acc).startsWith("[") && asArr.isNotNull,
+              to_json(transform(asArr, x => regexp_replace(x, pat, repl))))
+        .otherwise(regexp_replace(acc, pat, repl))
     }
 
   /** `mapped_value` (`mapper.rb:204-232`) — exactly one op family applies. */

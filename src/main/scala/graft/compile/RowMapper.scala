@@ -87,10 +87,45 @@ object RowMapper {
 
   private def applyReplaces(value: String, fm: FieldMapping): String =
     if (value == null) null
-    else fm.replace.foldLeft(value) { (v, r) =>
+    else parseJsonArray(value) match {
+      // M7 recurses into Array cells (`mapper.rb:59-66`); arrays travel as
+      // their JSON rendering, matching the compiler's from_json/to_json
+      case Some(elems) =>
+        renderJsonArray(elems.map(e =>
+          if (e == null) null else replaceString(e, fm)))
+      case None => replaceString(value, fm)
+    }
+
+  private def replaceString(value: String, fm: FieldMapping): String =
+    fm.replace.foldLeft(value) { (v, r) =>
       v.replaceAll(RubyTranslate.regex(r.pattern),
         RubyTranslate.replacement(r.replacement))
     }
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** A cell is an array iff it is a complete JSON array document — the
+    * interpreter twin of the compiler's `from_json(..., array<string>)`
+    * guard (numbers/objects coerce to their JSON text, like Spark's
+    * string-typed parse). */
+  private def parseJsonArray(value: String): Option[Seq[String]] =
+    if (!value.trim.startsWith("[")) None
+    else try {
+      val p = jsonMapper.getFactory.createParser(value)
+      val node = jsonMapper.readTree[com.fasterxml.jackson.databind.JsonNode](p)
+      if (p.nextToken() != null) None // trailing content → not an array cell
+      else if (node == null || !node.isArray) None
+      else Some((0 until node.size).map { i =>
+        val e = node.get(i)
+        if (e.isNull) null else if (e.isTextual) e.asText else e.toString
+      })
+    } catch { case _: Exception => None }
+
+  private def renderJsonArray(elems: Seq[String]): String =
+    elems.map {
+      case null => "null"
+      case s    => jsonMapper.writeValueAsString(s)
+    }.mkString("[", ",", "]")
 
   private def decodeValue(raw: String, encoding: String): String = {
     if (blank(raw)) return raw

@@ -83,6 +83,28 @@ class MapperSpec extends SparkSpec {
     assert(interp("-", "\\", isRe = false, "a-b") == "a\\b")
   }
 
+  test("replace recurses into Array cells (reference mapper_test.rb:414-418)") {
+    // array cells travel as their JSON rendering; each element is replaced
+    val yaml =
+      """|- column: consultantcode
+         |  mappings:
+         |  - field: consultantcode
+         |- column: hospital
+         |  mappings:
+         |  - field: hospital
+         |    replace:
+         |    - ? !ruby/regexp /Addenbrookes/
+         |      : 'RGT01'""".stripMargin
+    val (fields, _) = mappedLine(
+      Seq("C9999998", "[\"Addenbrookes\",\"RGT01\"]"), yaml)
+    assert(fields("hospital") == "[\"RGT01\",\"RGT01\"]")
+    // interpreter twin agrees
+    val cols = MappingLoader.loadColumns(yaml)
+    val (f2, _) = RowMapper.mappedLine(
+      Seq("C9999998", "[\"Addenbrookes\",\"RGT01\"]"), cols)
+    assert(f2("hospital") == "[\"RGT01\",\"RGT01\"]")
+  }
+
   test("over-wide rows raise even in the default non-strict mode") {
     val yaml = "- column: a\n  mappings:\n  - field: f"
     val ex = intercept[Exception] { mappedLine(Seq("1", "2"), yaml) }
