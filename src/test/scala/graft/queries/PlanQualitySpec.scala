@@ -32,6 +32,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
 
+  test("ivf: no crossJoin, no window — broadcast pair join + partial max_by") {
+    val plan = formattedPlan(QueryPack.xAnnIvf(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"crossJoin crept back:\n$plan")
+    assert(!plan.contains("Window"), s"window crept back:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"cell join not broadcast:\n$plan")
+  }
+
+  test("lsh: bucket join is a shuffle join (never a single-partition broadcast)") {
+    val plan = formattedPlan(QueryPack.xAnnLsh(spark, sf))
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"bucket join lost its shuffle shape:\n$plan")
+    assert(!plan.contains("Window"), s"window crept back:\n$plan")
+    // rank-1 is an aggregation → partial (map-side) combine before exchange
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"max_by aggregation missing:\n$plan")
+  }
+
+  test("q5: dims broadcast; only the fact join shuffles") {
+    val plan = formattedPlan(QueryPack.q5RegionRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
+  }
+
   test("mapping pipeline stays narrow: records() plan has no exchange") {
     val yaml =
       """|klass: K

@@ -100,6 +100,57 @@ class BinarySourcesSpec extends SparkSpec {
     }
   }
 
+  test("pdf: reference hello_world.pdf matches pdf-reader's output exactly") {
+    // a Word-generated PDF: object streams, Tm positioning, positional
+    // layout with a skipped row — the reference's own golden
+    // (`test/file/pdf_test.rb:12-21`)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/test/resources/hello_world.pdf"))
+    val lines = Pdf.extractTextLines(bytes)
+    assert(lines == Seq(
+      "Hello                                      World", "",
+      "Goodbye                                    Universe"))
+  }
+
+  test("pdf: reference flat_file.pdf — full text, reading order, q/Q + cm transforms") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/test/resources/flat_file.pdf"))
+    val lines = Pdf.extractTextLines(bytes)
+    val text = lines.mkString("\n")
+    assert(text.contains("Lorem ipsum dolor sit amet"))
+    // reading order: page markers appear ascending
+    val order = "== Page (\\d) of 5 ==".r.findAllMatchIn(text).map(_.group(1).toInt).toSeq
+    assert(order == Seq(1, 2, 3, 4, 5), s"page markers out of order: $order")
+  }
+
+  test("pdf: CID font text via ToUnicode CMap and hex strings") {
+    // two-byte codes 0x0001..0x0003 → "Hi!" through a bfchar/bfrange CMap
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <0069>
+        |endbfchar
+        |1 beginbfrange
+        |<0003> <0003> <0021>
+        |endbfrange
+        |endcmap
+        |""".stripMargin
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F9 4 0 R >> >> /Contents 6 0 R >> endobj\n" +
+      "4 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 5 0 R >> endobj\n" +
+      s"5 0 obj << /Length ${cmap.length} >> stream\n$cmap\nendstream endobj\n" +
+      "6 0 obj << >> stream\nBT /F9 12 Tf <000100020003> Tj ET\nendstream endobj\n" +
+      "%%EOF").getBytes("ISO-8859-1")
+    assert(Pdf.extractTextLines(pdf) == Seq("Hi!"))
+  }
+
   test("pdf: acroform fields scraped as a single hash row (S15)") {
     val pdf = ("%PDF-1.4\n" +
       "1 0 obj << /FT /Tx /T (surname) /V (SMITH) /Subtype /Widget >> endobj\n" +

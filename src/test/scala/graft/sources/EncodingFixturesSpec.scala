@@ -51,10 +51,11 @@ class EncodingFixturesSpec extends SparkSpec {
     assert(recs.nonEmpty)
   }
 
-  test("not_a_pdf.pdf yields no text lines rather than crashing") {
+  test("not_a_pdf.pdf raises like the reference (pdf_test.rb:23-33)") {
     assume(exists("not_a_pdf.pdf"))
-    val lines = Pdf.extractTextLines(
-      Files.readAllBytes(Paths.get(res, "not_a_pdf.pdf")))
-    assert(lines.isEmpty)
+    val e = intercept[RuntimeException] {
+      Pdf.extractTextLines(Files.readAllBytes(Paths.get(res, "not_a_pdf.pdf")))
+    }
+    assert(e.getMessage.contains("as a PDF"))
   }
 }
