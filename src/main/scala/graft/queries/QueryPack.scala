@@ -153,6 +153,60 @@ object QueryPack {
       .agg(count(lit(1)).as("n_events"), min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
   }
 
+  /** As-of join, distributed shape: one shuffle on the key, one sort, a
+    * carry-forward window — never an inequality join (which degenerates to
+    * a per-key cross product at scale). Each purchase event is joined to
+    * the latest strictly-prior click of the same user. */
+  def xAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prior = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+             ignoreNulls = true).over(prior))
+      .withColumn("last_click_ms",
+        last(when(col("event_type") === "click", col("ts_ms")),
+             ignoreNulls = true).over(prior))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+              col("last_click_id"), col("last_click_ms"))
+  }
+
+  /** Range join, distributed shape: explode each probe interval into the
+    * hour buckets it covers, equi-join on (key, bucket), then apply the
+    * exact bounds — bounded fan-out instead of an inequality join. Counts
+    * the clicks within one hour after each signup, per user. */
+  def xRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val H = 3600000L
+    val ev = events(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("event_id").as("signup_id"),
+              col("ts_ms").as("s_ms"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"s_ms div $H"), expr(s"(s_ms + $H) div $H"))))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+              col("ts_ms").as("c_ms"))
+      .withColumn("cbucket", expr(s"c_ms div $H"))
+    signups.join(clicks,
+        col("su") === col("cu") && col("bucket") === col("cbucket") &&
+          col("c_ms") > col("s_ms") && col("c_ms") <= col("s_ms") + H)
+      .groupBy(col("signup_id"), col("su").as("user_id"))
+      .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click_id"))
+  }
+
+  /** Hot-key-safe aggregation through the salting utilities: two-phase
+    * (salted partial → merge) with exact decimal sums — byte-identical to
+    * the single-phase result, but a hot key fans across `salts` tasks. */
+  def xSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.runtime.Skew.saltedAgg(events(s, dir), Seq(col("event_type")), 16,
+        partial = Map("n" -> count(lit(1)), "v" -> sum(dec(col("value")))),
+        merge   = Map("n" -> sum(col("n")), "v" -> sum(col("v"))))
+      .select(col("event_type"), col("n"),
+              col("v").cast("double").as("value_sum"))
+
   // === Source-operator semantics (S/T/M) over the test tables ==============
 
   /** S5 — JSON parsing semantics (the JSONL reader's per-line parse). */
@@ -651,7 +705,10 @@ object QueryPack {
     "x_lang_id" -> (xLangId _),
     "x_quality" -> (xQuality _),
     "x_token_count" -> (xTokenCount _),
-    "x_fingerprint" -> (xFingerprint _))
+    "x_fingerprint" -> (xFingerprint _),
+    "x_asof_join" -> (xAsofJoin _),
+    "x_range_join" -> (xRangeJoin _),
+    "x_salted_agg" -> (xSaltedAgg _))
 
   /** DuckDB equivalents. Shared md5-prefix hash:
     * `('0x'||substr(md5(x),1,8))::BIGINT` == Spark `conv(substr(md5(x),1,8),16,10)`. */
@@ -901,5 +958,29 @@ object QueryPack {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_fp,
         |  md5(list_aggregate(list_sort(string_split(text, ' ')), 'string_agg', ' ')) AS bag_fp
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "x_asof_join" ->
+      """SELECT event_id, user_id, ts_ms, last_click_id, last_click_ms FROM (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ms
+        |  FROM events)
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "x_range_join" ->
+      """SELECT s.event_id AS signup_id, s.user_id AS user_id,
+        |  count(*) AS n_clicks, min(c.event_id) AS first_click_id
+        |FROM events s JOIN events c
+        |  ON c.user_id = s.user_id
+        | AND s.event_type = 'signup' AND c.event_type = 'click'
+        | AND epoch_ms(c.ts) > epoch_ms(s.ts)
+        | AND epoch_ms(c.ts) <= epoch_ms(s.ts) + 3600000
+        |GROUP BY 1, 2""".stripMargin,
+    "x_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1""".stripMargin)
 }
