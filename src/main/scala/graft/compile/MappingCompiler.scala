@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.StringType
   * rawtext map<string,string>, index long. Dates are rendered ISO
   * (`yyyy-MM-dd`, Ruby `Date#to_s`); zipped fields as JSON arrays.
   */
-final class MappingCompiler(mapping: TableMapping, strict: Boolean = false) {
+final class MappingCompiler(mapping: TableMapping) {
 
   import MappingCompiler._
 
@@ -149,11 +149,13 @@ final class MappingCompiler(mapping: TableMapping, strict: Boolean = false) {
         else parsed0
       val out = when(isBlank(raw), lit(null).cast(StringType))
         .otherwise(parsed.cast(StringType))
-      if (strict)
-        when(!isBlank(raw) && parsed.isNull,
-             raise_error(concat(lit("invalid date value "), raw)).cast(StringType))
-          .otherwise(out)
-      else out
+      // The reference raises unconditionally on unparseable non-blank dates
+      // (`mapper.rb:206-211`, ArgumentError "invalid date value <v>"), as
+      // does RowMapper — never silently null a bad date.
+      when(!isBlank(raw) && parsed.isNull,
+           raise_error(concat(lit("invalid date value \""), raw, lit("\"")))
+             .cast(StringType))
+        .otherwise(out)
     } else if (fm.clean.nonEmpty) {
       val cleaned = fm.clean.foldLeft(raw)((c, name) => Cleaners.forName(name)(c))
       when(isBlank(raw), lit(null).cast(StringType)).otherwise(cleaned)
@@ -349,8 +351,8 @@ final class MappingCompiler(mapping: TableMapping, strict: Boolean = false) {
 
 object MappingCompiler {
 
-  def apply(mapping: TableMapping, strict: Boolean = false): MappingCompiler =
-    new MappingCompiler(mapping, strict)
+  def apply(mapping: TableMapping): MappingCompiler =
+    new MappingCompiler(mapping)
 
   /** Rails `Array#to_sentence`, used in reference error text. */
   def toSentence(items: Seq[String]): String = items match {

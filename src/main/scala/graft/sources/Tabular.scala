@@ -22,19 +22,17 @@ object Tabular {
     * col_sep too). Cell count is bounded by the mapping's column count,
     * like the reference's positional semantics.
     */
-  def delimited(spark: SparkSession, paths: Seq[String], mapping: TableMapping,
-                strict: Boolean = false): DataFrame = {
+  def delimited(spark: SparkSession, paths: Seq[String], mapping: TableMapping): DataFrame = {
     val sep = mapping.delimiter.getOrElse(",")
     // quote-aware record split so embedded newlines in quoted fields stay
     // inside their record (Ruby CSV semantics)
     val lines = if (sep.length == 1) LineSource.csvLines(spark, paths)
                 else LineSource.lines(spark, paths)
-    delimitedCells(lines, sep, mapping.columns.size,
-                   mapping.liberalParsing, strict)
+    delimitedCells(lines, sep, mapping.columns.size, mapping.liberalParsing)
   }
 
   def delimitedCells(linesDf: DataFrame, sep: String, nCols: Int,
-                     liberal: Boolean, strict: Boolean = false): DataFrame = {
+                     liberal: Boolean): DataFrame = {
     val cells: Column =
       if (sep.length == 1) {
         // one probe column beyond the mapping width: a non-null there means
@@ -49,23 +47,23 @@ object Tabular {
           "enforceSchema" -> "true",
           "columnNameOfCorruptRecord" -> "_corrupt",
           "unescapedQuoteHandling" ->
-            (if (liberal) "STOP_AT_DELIMITER"
-             else if (strict) "RAISE_ERROR"
-             else "STOP_AT_CLOSING_QUOTE"))
+            (if (liberal) "STOP_AT_DELIMITER" else "STOP_AT_CLOSING_QUOTE"))
         val parsed = from_csv(col("line"), schema, opts)
         val inWidth = array((0 until nCols).map(i => parsed.getField(s"c$i")): _*)
         val probe = parsed.getField(s"c$nCols")
         val plain =
           when(probe.isNotNull, concat(inWidth, array(probe))).otherwise(inWidth)
-        if (strict) {
+        if (liberal) plain
+        else {
           // Ruby CSV's grammar: fields are fully quoted or contain no raw
-          // quotes; a quote inside an unquoted field is "Illegal quoting"
-          // (`helpers/file/delimited.rb:90-100` — import fails on the
-          // first bad row, named 1-based).
-          // the grammar regex is the sole strict check: _corrupt now also
-          // fires on benign token-count mismatches against the probe-widened
-          // schema, and over-wide rows must reach the mapper's own
-          // "too many columns" error, not a CSV-format one
+          // quotes; a quote inside an unquoted field is "Illegal quoting".
+          // The reference aborts the import on the first bad row, named
+          // 1-based (`helpers/file/delimited.rb:90-100`) — unconditional
+          // here too; `liberal_parsing` is the sanctioned tolerance knob.
+          // The grammar regex is the sole check: _corrupt also fires on
+          // benign token-count mismatches against the probe-widened schema,
+          // and over-wide rows must reach the mapper's own "too many
+          // columns" error, not a CSV-format one.
           val q = java.util.regex.Pattern.quote(sep)
           val field = "(?:\"(?:[^\"]|\"\")*\"|[^\"" + q + "]*)"
           val validLine = s"^$field(?:$q$field)*$$"
@@ -74,7 +72,7 @@ object Tabular {
               lit("Invalid CSV format on row "), (col("lineno") + 1).cast(StringType),
               lit(" of "), element_at(split(col("file"), "/"), -1)))))
             .otherwise(plain)
-        } else plain
+        }
       } else {
         split(col("line"), java.util.regex.Pattern.quote(sep), -1)
       }

@@ -10,11 +10,11 @@ class MapperSpec extends SparkSpec {
 
   /** Run one line through a columns-YAML mapping under a table-level klass,
     * returning (fields, rawtext). */
-  private def mappedLine(cells: Seq[String], columnsYaml: String,
-                         strict: Boolean = false): (Map[String, String], Map[String, String]) = {
+  private def mappedLine(cells: Seq[String], columnsYaml: String)
+      : (Map[String, String], Map[String, String]) = {
     val mapping = TableMapping(klass = Some("K"),
                                columns = MappingLoader.loadColumns(columnsYaml))
-    val compiler = MappingCompiler(mapping, strict)
+    val compiler = MappingCompiler(mapping)
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(
       Seq(Row(cells, 0L, "test")).asJava,
@@ -38,11 +38,18 @@ class MapperSpec extends SparkSpec {
       |  - field: f
       |$op""".stripMargin, "f")
 
-  test("format parses dd/mm/yyyy and yyyymmdd; bad dates → nil (lenient)") {
+  test("format parses dd/mm/yyyy and yyyymmdd; bad dates raise (mapper_test.rb:356-369)") {
     assert(one("    format: dd/mm/yyyy", "25/01/2011") == Some("2011-01-25"))
     assert(one("    format: yyyymmdd", "20110125") == Some("2011-01-25"))
     assert(one("    format: dd/mm/yyyy", "03/04/2011") == Some("2011-04-03")) // day-first
-    assert(one("    format: dd/mm/yyyy", "03/25/2011") == None) // month 25 invalid
+    // Unparseable non-blank → ArgumentError naming the value, like the
+    // reference (`mapper.rb:206-211`); never silently nil.
+    val ex = intercept[Exception](one("    format: dd/mm/yyyy", "03/25/2011"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("value \"03/25/2011\"")), msgs(ex).mkString(" | "))
+    // blank stays nil, no raise
+    assert(one("    format: dd/mm/yyyy", "") == None)
   }
 
   test("map: exact match maps, missing key passes through") {

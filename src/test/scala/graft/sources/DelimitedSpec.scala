@@ -27,9 +27,8 @@ class DelimitedSpec extends SparkSpec {
     TableMapping(delimiter = Some(sep), liberalParsing = liberal,
       columns = Seq.fill(26)(graft.model.ColumnMapping()))
 
-  private def readRows(path: String, sep: String, liberal: Boolean = false,
-                       strict: Boolean = false): Seq[Seq[String]] =
-    Tabular.delimited(spark, Seq(path), mapping(sep, liberal), strict)
+  private def readRows(path: String, sep: String, liberal: Boolean = false): Seq[Seq[String]] =
+    Tabular.delimited(spark, Seq(path), mapping(sep, liberal))
       .orderBy("lineno").select("cells").collect()
       .map(_.getSeq[String](0).toSeq).toSeq
 
@@ -94,12 +93,14 @@ class DelimitedSpec extends SparkSpec {
     assert(rows(2) == Seq("Ann", "plain"))
   }
 
-  test("strict mode fails with the reference's row-numbered message") {
+  test("illegal quoting fails unconditionally with the reference's row-numbered message") {
+    // `delimited_test.rb` malformed.csv: the import aborts on the first bad
+    // row unless liberal_parsing is set — no opt-in strict mode.
     val content = az.mkString(",") + "\n" + Seq.fill(26)("1").mkString(",") + "\n" +
       (Seq.fill(25)("2") :+ "2\"malformed\"").mkString(",") + "\n"
     val p = writeTmp("malformed.csv", content.getBytes("UTF-8"))
     val ex = intercept[Exception] {
-      readRows(p, ",", strict = true)
+      readRows(p, ",")
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
