@@ -3,7 +3,6 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.util.zip.Inflater
 import scala.collection.mutable
 
 /** PDF text + AcroForm extraction (S12/S15 — reference
@@ -34,22 +33,6 @@ import scala.collection.mutable
 object Pdf {
 
   // ------------------------------------------------------------------ bytes
-
-  private def inflate(data: Array[Byte]): Array[Byte] = {
-    val inf = new Inflater()
-    inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
-    val buf = new Array[Byte](16 * 1024)
-    try {
-      while (!inf.finished() && !inf.needsInput()) {
-        val n = inf.inflate(buf)
-        if (n > 0) out.write(buf, 0, n)
-        else if (n == 0 && inf.needsDictionary()) return out.toByteArray
-      }
-      out.toByteArray
-    } catch { case _: Exception => out.toByteArray }
-    finally inf.end()
-  }
 
   private def latin(bytes: Array[Byte]): String =
     new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -163,13 +146,65 @@ object Pdf {
     out
   }
 
+  /** The stream's `/Filter` chain with per-filter `/DecodeParms`, in
+    * application order (§7.4.1: a name or an array of names; parms a dict,
+    * an array of dict-or-null, or absent). */
+  private[sources] def filterChain(dict: String): Seq[(String, PdfFilters.Parms)] = {
+    def namesAt(idx: Int): Seq[String] = {
+      var i = idx
+      while (i < dict.length && isWs(dict.charAt(i))) i += 1
+      if (i < dict.length && dict.charAt(i) == '[') {
+        val end = dict.indexOf(']', i)
+        val body = dict.substring(i + 1, if (end < 0) dict.length else end)
+        "/([A-Za-z0-9]+)".r.findAllMatchIn(body).map(_.group(1)).toSeq
+      } else if (i < dict.length && dict.charAt(i) == '/') {
+        "/([A-Za-z0-9]+)".r.findFirstMatchIn(dict.substring(i)).map(_.group(1)).toSeq
+      } else Nil
+    }
+    def parmsAt(idx: Int): Seq[PdfFilters.Parms] = {
+      var i = idx
+      while (i < dict.length && isWs(dict.charAt(i))) i += 1
+      if (i + 1 < dict.length && dict.charAt(i) == '<' && dict.charAt(i + 1) == '<') {
+        Seq(PdfFilters.parseParms(dict.substring(i, scanDict(dict, i))))
+      } else if (i < dict.length && dict.charAt(i) == '[') {
+        // array elements: null or << ... >>
+        val out = mutable.ArrayBuffer.empty[PdfFilters.Parms]
+        i += 1
+        while (i < dict.length && dict.charAt(i) != ']') {
+          if (dict.charAt(i) == '<' && i + 1 < dict.length && dict.charAt(i + 1) == '<') {
+            val end = scanDict(dict, i)
+            out += PdfFilters.parseParms(dict.substring(i, end))
+            i = end
+          } else {
+            if (dict.startsWith("null", i)) { out += PdfFilters.Parms(); i += 4 }
+            else i += 1
+          }
+        }
+        out.toSeq
+      } else Nil
+    }
+    val filters = "/Filter(?![A-Za-z])".r.findFirstMatchIn(dict)
+      .map(m => namesAt(m.end)).getOrElse(Nil)
+    if (filters.isEmpty) Nil
+    else {
+      val parms = "/(?:DecodeParms|DP)(?![A-Za-z])".r.findFirstMatchIn(dict)
+        .map(m => parmsAt(m.end)).getOrElse(Nil)
+      filters.zipWithIndex.map { case (f, i) =>
+        f -> (if (i < parms.length) parms(i) else PdfFilters.Parms())
+      }
+    }
+  }
+
   private def decodedStream(o: Obj): Array[Byte] =
     o.stream match {
       case None => Array.emptyByteArray
       case Some(data) =>
-        if (o.dict.contains("/FlateDecode")) inflate(data)
-        else if (o.dict.contains("/Filter")) Array.emptyByteArray // unsupported
-        else data
+        // Apply the full filter chain in order; unsupported filters raise
+        // (the reference surfaces them as page-scoped pdf-reader errors —
+        // never a silent empty page).
+        filterChain(o.dict).foldLeft(data) { case (d, (name, parms)) =>
+          PdfFilters(name, d, parms)
+        }
     }
 
   /** Expand `/Type/ObjStm` object streams: header of `N` (num, offset)
@@ -612,22 +647,36 @@ object Pdf {
   // --------------------------------------------------------------- public
 
   /** Extract text lines, page by page (`pdf.rb:13-33` — pdf-reader
-    * `page.text.split("\n")`). */
-  def extractTextLines(bytes: Array[Byte]): Seq[String] = {
+    * `page.text.split("\n")`). Per-page failures (unsupported stream
+    * filters, corrupt content) raise with the page number, like the
+    * reference's `process_page` (`file/pdf.rb:26-33`,
+    * `helpers/file/pdf.rb:10-25`) — never a silent empty page. */
+  def extractTextLines(bytes: Array[Byte], name: String = "file"): Seq[String] = {
     if (!latin(bytes.take(8)).startsWith("%PDF"))
-      sys.error("Failed to read file as a PDF")
+      sys.error(s"Failed to read $name as a PDF")
     val doc = new Doc(bytes)
-    val viaPages = doc.pages.flatMap { case (pageDict, resources) =>
-      val content = doc.contentOf(pageDict)
-      if (content.isEmpty) Nil
-      else layout(pageSegments(content, doc.fontsOf(resources)))
+    val viaPages = doc.pages.zipWithIndex.flatMap { case ((pageDict, resources), idx) =>
+      try {
+        val content = doc.contentOf(pageDict)
+        if (content.isEmpty) Nil
+        else layout(pageSegments(content, doc.fontsOf(resources)))
+      } catch {
+        case e: Exception =>
+          throw new RuntimeException(
+            s"Invalid format on page ${idx + 1} of $name " +
+              s"[${e.getClass.getSimpleName}: ${e.getMessage}]", e)
+      }
     }
     if (viaPages.nonEmpty) viaPages
     else {
       // page-tree-less documents (minimal writers): every stream carrying
-      // text operators, in object order
+      // text operators, in object order. Streams with image-only filters
+      // can't hold text operators — skip them rather than raising here.
       doc.objs.values.toSeq.filter(_.stream.isDefined)
-        .map(o => latin(decodedStream(o)))
+        .flatMap { o =>
+          try Some(latin(decodedStream(o)))
+          catch { case _: PdfFilters.UnsupportedFilterError => None }
+        }
         .filter(t => t.contains("Tj") || t.contains("TJ") || t.contains("BT"))
         .flatMap(t => layout(pageSegments(t, Map.empty)))
     }
@@ -669,7 +718,8 @@ object Pdf {
     spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (file, bytes) =>
-        extractTextLines(bytes).zipWithIndex.map { case (l, i) => (file, i.toLong, l) }
+        val base = file.substring(file.lastIndexOf('/') + 1)
+        extractTextLines(bytes, base).zipWithIndex.map { case (l, i) => (file, i.toLong, l) }
       }.toDF("file", "lineno", "line")
   }
 
