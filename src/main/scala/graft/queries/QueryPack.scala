@@ -488,19 +488,28 @@ object QueryPack {
         col("best.neighbor").as("neighbor"), col("best.cos_sim").as("cos_sim"))
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (the first 8 vectors
-    * as fixed centroids — a k-means seeding both engines can replicate)
-    * assigns every vector to its nearest cell; search happens within the
-    * cell only. Complements the hyperplane-LSH path. */
-  def xAnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** IVF-style ANN: a deterministic coarse quantizer (the first ⌈√N⌉
+    * vectors as fixed centroids — a k-means seeding both engines can
+    * replicate) assigns every vector to its nearest cell; search happens
+    * within the cell only. Complements the hyperplane-LSH path.
+    *
+    * Scale shape: ⌈√N⌉ cells keep the cell key's cardinality growing with
+    * the data (average cell ≈ √N vectors), so the pair join can be a plain
+    * shuffle-hash join over cells — never a whole-table broadcast, which
+    * would OOM at 100×. Hot cells (a skewed quantizer) are spread with
+    * `Skew.saltedJoin`; AQE's skew-join splitting backs this up at runtime.
+    */
+  def xAnnIvf(s: SparkSession, dir: String, centroids: Option[Int] = None): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    // IVF proper: the coarse quantizer is driver-resident. Collect the 8
-    // fixed centroids (8 × Dim floats — the deterministic k-means seeding
-    // both engines replicate) and embed them as literals. Assignment is
-    // then a narrow, fully-codegen argmin per row — no crossJoin, no
-    // window shuffle, no cache to evict. This is also the 100 TB shape:
-    // centroids always fit on the driver, only vectors stay distributed.
-    val cents: Seq[(Long, IndexedSeq[Double])] = emb.filter(col("vec_id") < 8)
+    // K ≈ √N by default (parameterizable). count() is metadata-only on
+    // parquet; K centroid vectors always fit on the driver (√N grows as
+    // the square root of data volume — 10^10 vectors is 10^5 centroids).
+    val k = centroids.getOrElse(math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    // The coarse quantizer is driver-resident: collect the K fixed
+    // centroids and embed them as literals. Assignment is then a narrow,
+    // fully-codegen argmin per row — no crossJoin, no window shuffle, no
+    // cache to evict. Only the vectors stay distributed.
+    val cents: Seq[(Long, IndexedSeq[Double])] = emb.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Any](1).map {
@@ -509,7 +518,7 @@ object QueryPack {
         case x => x.toString.toDouble
       }.toIndexedSeq))
       .sortBy(_._1).toSeq
-    // all 8 distances in one pass over a literal centroid matrix;
+    // all K distances in one pass over a literal centroid matrix;
     // argmin = first position of the min (= lowest cent_id on ties,
     // the reference tie-break)
     val ds = transform(typedLit(cents.map(_._2.toSeq)), c =>
@@ -520,18 +529,21 @@ object QueryPack {
       array_position(ds, array_min(ds)).cast("int"))
     val assigned = emb.select(col("vec_id"), col("embedding"),
       cell.as("cell"), normCol(col("embedding")).as("nrm"))
-    // 8 cells would collapse a shuffle join to 8 tasks at any scale —
-    // broadcast the build side instead (vectors-per-cell beyond broadcast
-    // size would call for a salted shuffle, not a coarser quantizer).
-    // The probe side is round-robin repartitioned so the pair scoring uses
-    // every core even when the input is one parquet row group.
-    val pairs = assigned.repartition(s.sparkContext.defaultParallelism).as("a")
-      .join(broadcast(assigned.as("b")),
-        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
-        col("b.vec_id").as("neighbor"),
-        round(dotCols(col("a.embedding"), col("b.embedding")) /
-              (col("a.nrm") * col("b.nrm")), 4).as("cos_sim"))
+    // Pair join: shuffle-hash on the cell key (hinted — statistics would
+    // otherwise pick a broadcast at test scale, the shape that cannot
+    // survive 100×), salted so one hot cell fans across several reducers.
+    // The salted join's (cell, salt) shuffle also spreads the scoring work
+    // across all cores even when the input is a single parquet row group.
+    val build = assigned.select(col("vec_id").as("b_vec_id"),
+      col("embedding").as("b_embedding"), col("cell").as("b_cell"),
+      col("nrm").as("b_nrm"))
+    val pairs = graft.runtime.Skew.saltedJoin(
+        assigned.hint("shuffle_hash"), build.hint("shuffle_hash"),
+        col("cell"), col("b_cell"), salts = 4)
+      .filter(col("vec_id") =!= col("b_vec_id"))
+      .select(col("vec_id"), col("cell"), col("b_vec_id").as("neighbor"),
+        round(dotCols(col("embedding"), col("b_embedding")) /
+              (col("nrm") * col("b_nrm")), 4).as("cos_sim"))
     pairs.groupBy("vec_id", "cell")
       .agg(max_by(struct(col("neighbor"), col("cos_sim")),
                   struct(col("cos_sim"), -col("neighbor"))).as("best"))
@@ -555,7 +567,8 @@ object QueryPack {
   }
 
   private val ivfOracleSql: String =
-    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+      |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
       |assigned AS (
       |  SELECT vec_id, embedding, cent_id AS cell FROM (
       |    SELECT e.vec_id, e.embedding, c.cent_id,
@@ -699,7 +712,7 @@ object QueryPack {
     "x_jaccard" -> (xJaccard _),
     "x_ann_cosine" -> (xAnnCosine _),
     "x_ann_lsh" -> (xAnnLsh _),
-    "x_ann_ivf" -> (xAnnIvf _),
+    "x_ann_ivf" -> ((s, d) => xAnnIvf(s, d)),
     "x_dedup_embedding" -> (xDedupEmbedding _),
     "w3_sliding" -> (w3Sliding _),
     "x_lang_id" -> (xLangId _),

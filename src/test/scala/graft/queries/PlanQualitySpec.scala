@@ -32,11 +32,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
 
-  test("ivf: no crossJoin, no window — broadcast pair join + partial max_by") {
+  test("ivf: no crossJoin, no window, and the vector table is never broadcast") {
     val plan = formattedPlan(QueryPack.xAnnIvf(spark, sf))
     assert(!plan.contains("CartesianProduct"), s"crossJoin crept back:\n$plan")
     assert(!plan.contains("Window"), s"window crept back:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), s"cell join not broadcast:\n$plan")
+    // the 100 TB shape: cell join is a salted shuffle-hash join — a
+    // whole-table broadcast would OOM at scale
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"cell join lost its shuffle shape:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"vector table must not be broadcast:\n$plan")
   }
 
   test("lsh: bucket join is a shuffle join (never a single-partition broadcast)") {
