@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   * per row); partitioning is by file/row-group so codec work never
   * shuffles.
   *
-  * The CODECS are deterministic STUBS, clearly marked: no image/audio
-  * library ships in this container. Each stub derives its output from an
-  * md5 of the bytes, so pipelines are testable end-to-end and results are
-  * stable across runs; a real deployment swaps `decodeImageStub` /
-  * `sampleFramesStub` for javax.imageio / ffmpeg bindings without touching
-  * any of the Spark plumbing around them.
+  * IMAGE decode is REAL: PNG/JPEG/GIF/BMP via `javax.imageio` (ships in
+  * the JDK) — actual pixel dimensions and Rec. 601 mean luma. The
+  * AUDIO/VIDEO codecs remain deterministic STUBS, clearly marked (no
+  * media libraries ship in this container): each stub derives its output
+  * from an md5 of the bytes, so pipelines are testable end-to-end and
+  * stable across runs; a real deployment swaps `sampleFramesStub` for an
+  * ffmpeg binding without touching any of the Spark plumbing around it.
+  * Embeddings are likewise content-hash stubs (a real pipeline calls a
+  * model here).
   */
 object Multimodal {
 
@@ -30,8 +33,36 @@ object Multimodal {
   final case class ImageFeatures(docId: Long, width: Int, height: Int,
                                  meanLuma: Double, embedding: Array[Float])
 
-  /** STUB — "decode" an image: dimensions from metadata, pixels faked
-    * deterministically from the content hash. Real impl: javax.imageio. */
+  /** REAL image decode via javax.imageio: pixel dimensions and Rec. 601
+    * mean luma (0.299 R + 0.587 G + 0.114 B) from the actual raster.
+    * Returns None when the bytes aren't a decodable image (corrupt file,
+    * or a format ImageIO lacks a reader for). */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, sum / (w.toLong * h)))
+    }
+  }
+
+  /** STUB fallback — fake pixels deterministically from the content hash,
+    * used only when bytes aren't a decodable image (synthetic fixtures). */
   def decodeImageStub(bytes: Array[Byte], meta: MediaMeta): Array[Byte] = {
     val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     val n = math.max(1, meta.width * meta.height)
@@ -53,25 +84,58 @@ object Multimodal {
   }
 
   /** Feature extraction over a typed Dataset of media rows: one decode
-    * context per partition (mapPartitions), never per row. */
+    * context per partition (mapPartitions), never per row. Decodable
+    * images (PNG/JPEG/...) get REAL dimensions and mean luma from their
+    * pixels; undecodable bytes fall back to the deterministic stub so
+    * synthetic pipelines stay runnable end-to-end. */
   def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init happens HERE in a real codec (thread-local
-      // decoder, model session, etc.)
+      // decoder, model session, etc.); ImageIO's reader registry is
+      // JVM-static, so there is nothing further to initialise per task
       rows.filter(_.kind == "image").map { r =>
-        val px = decodeImageStub(r.bytes, r.meta)
-        val luma = if (px.isEmpty) 0.0 else px.map(b => (b & 0xFF).toDouble).sum / px.length
-        ImageFeatures(r.docId, r.meta.width, r.meta.height, luma, embedStub(r.bytes))
+        decodeImage(r.bytes) match {
+          case Some((w, h, luma)) =>
+            ImageFeatures(r.docId, w, h, luma, embedStub(r.bytes))
+          case None =>
+            val px = decodeImageStub(r.bytes, r.meta)
+            val luma = if (px.isEmpty) 0.0 else px.map(b => (b & 0xFF).toDouble).sum / px.length
+            ImageFeatures(r.docId, r.meta.width, r.meta.height, luma, embedStub(r.bytes))
+        }
       }
     }
   }
 
-  /** Resize stage (stub): metadata-only transform + re-derived pixels —
-    * shows the shape of a narrow, shuffle-free media pipeline stage. */
+  /** Resize stage — REAL for decodable images (scaled raster re-encoded
+    * as PNG via ImageIO, headless-safe), metadata-only passthrough for
+    * everything else. A narrow, shuffle-free media pipeline stage. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.map(r => r.copy(meta = r.meta.copy(width = w, height = h)))
+    media.map { r =>
+      val scaled: Option[Array[Byte]] =
+        if (r.kind != "image") None
+        else try {
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes)))
+            .map { img =>
+              val out = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              bos.toByteArray
+            }
+        } catch { case _: Exception => None }
+      scaled match {
+        case Some(b) => r.copy(bytes = b,
+          meta = r.meta.copy(format = "png", width = w, height = h))
+        case None => r.copy(meta = r.meta.copy(width = w, height = h))
+      }
+    }
   }
 
   /** Frame sampling for video rows → one output row per sampled frame. */

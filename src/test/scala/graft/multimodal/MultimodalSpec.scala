@@ -22,6 +22,51 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-5)
   }
 
+  /** A real w×h PNG/JPEG: left half black, right half white. */
+  private def realImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decode: actual dimensions and Rec.601 mean luma from pixels") {
+    import spark.implicits._
+    val png = realImage(8, 4, "png")
+    val ds = Seq(MediaRow(1, "image", png, MediaMeta("png", 0, 0, 0, 0))).toDS()
+    val f = imageFeatures(ds).collect().head
+    // dimensions come from the raster, not the (zeroed) metadata
+    assert(f.width == 8 && f.height == 4)
+    // half black (0), half white (255) → mean luma 127.5 exactly
+    assert(math.abs(f.meanLuma - 127.5) < 1e-9, s"luma ${f.meanLuma}")
+  }
+
+  test("real JPEG decode: dimensions exact, luma within lossy tolerance") {
+    import spark.implicits._
+    val jpg = realImage(16, 16, "jpg")
+    val ds = Seq(MediaRow(2, "image", jpg, MediaMeta("jpg", 0, 0, 0, 0))).toDS()
+    val f = imageFeatures(ds).collect().head
+    assert(f.width == 16 && f.height == 16)
+    assert(math.abs(f.meanLuma - 127.5) < 10.0, s"luma ${f.meanLuma}")
+  }
+
+  test("resize: decodable image re-rasterised to the target size") {
+    import spark.implicits._
+    val png = realImage(8, 8, "png")
+    val ds = Seq(MediaRow(3, "image", png, MediaMeta("png", 8, 8, 0, 0))).toDS()
+    val out = resize(ds, 4, 2).collect().head
+    assert(out.meta.width == 4 && out.meta.height == 2)
+    val (w, h, _) = Multimodal.decodeImage(out.bytes).get
+    assert(w == 4 && h == 2, "re-encoded bytes must decode at the new size")
+    // undecodable bytes: metadata-only passthrough, bytes untouched
+    val fake = media(4, "image", "not-an-image")
+    val out2 = resize(Seq(fake).toDS(), 2, 2).collect().head
+    assert(out2.bytes.toSeq == fake.bytes.toSeq && out2.meta.width == 2)
+  }
+
   test("frame sampling: k rows per video, embeddings differ per frame") {
     import spark.implicits._
     val ds = Seq(media(7, "video", "movie", frames = 5)).toDS()
