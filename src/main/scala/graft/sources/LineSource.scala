@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * encoding probe (`file/text.rb:35-47`: try UTF-16 first via BOM, then
   * UTF-8, then fall back to Windows-1252 — ndr_support `ensure_utf8!`).
   *
-  * Files are read via `binaryFile`, one row per file, so line numbers are
-  * exact and per-file ordering is free — no global sort, no shuffle. This
-  * is the honest 100 TB posture for the reference's workload: parallelism
-  * across MANY files (one task per file), never within one text file whose
-  * semantics (header/footer/segmentation) are inherently sequential.
+  * Files are read one-per-task so line numbers are exact and per-file
+  * ordering is free — no global sort, no shuffle. This is the honest
+  * 100 TB posture for the reference's workload: parallelism across MANY
+  * files (one task per file), never within one text file whose semantics
+  * (header/footer/segmentation) are inherently sequential. Small files
+  * ride `binaryFile` + expressions; files beyond [[DefaultInMemoryMaxBytes]]
+  * take a streaming reader (two-pass probe, O(line) memory) so a single
+  * multi-GiB text never hits binaryFile's 2 GiB record limit or
+  * materialises on an executor.
   */
 object LineSource {
 
@@ -55,9 +59,18 @@ object LineSource {
       .otherwise(arr)
   }
 
-  /** (file, lineno, line) — lineno 0-based per file, exact. */
-  def lines(spark: SparkSession, paths: Seq[String]): DataFrame =
-    explodeLines(fileTexts(spark, paths))
+  /** Files up to this size take the in-memory (binaryFile) expression
+    * path; larger files stream line-by-line in constant memory.
+    * `binaryFile` hard-fails beyond 2 GiB and decoding a multi-GiB text
+    * as one String doubles it on an executor — the streaming reader is
+    * the honest shape for pathological single files. */
+  val DefaultInMemoryMaxBytes: Long = 256L * 1024 * 1024
+
+  /** (file, lineno, line) — lineno 0-based per file, exact. Small files
+    * ride binaryFile; files over `inMemoryMaxBytes` stream. */
+  def lines(spark: SparkSession, paths: Seq[String],
+            inMemoryMaxBytes: Long = DefaultInMemoryMaxBytes): DataFrame =
+    dispatchBySize(spark, paths, inMemoryMaxBytes, csvQuoteAware = false)
 
   /** Quote-aware CSV record split: newlines inside a quoted field belong
     * to the record (Ruby CSV semantics — `CSV.foreach` row enumeration).
@@ -85,13 +98,161 @@ object LineSource {
     if (t == null) Seq.empty[String] else splitCsvRecords(t))
 
   /** (file, lineno, line) with quote-aware record splitting for CSV. */
-  def csvLines(spark: SparkSession, paths: Seq[String]): DataFrame =
-    fileTexts(spark, paths)
-      .select(col("file"), posexplode(csvRecordsUdf(col("text"))).as(Seq("lineno", "line")))
-      .select(col("file"), col("lineno").cast("long").as("lineno"), col("line"))
+  def csvLines(spark: SparkSession, paths: Seq[String],
+               inMemoryMaxBytes: Long = DefaultInMemoryMaxBytes): DataFrame =
+    dispatchBySize(spark, paths, inMemoryMaxBytes, csvQuoteAware = true)
 
   def explodeLines(fileTextDf: DataFrame): DataFrame =
     fileTextDf
       .select(col("file"), posexplode(splitLines(col("text"))).as(Seq("lineno", "line")))
       .select(col("file"), col("lineno").cast("long").as("lineno"), col("line"))
+
+  // ------------------------------------------------------------- streaming
+
+  /** Route each path by its size: ≤ max → in-memory expression path,
+    * > max → streaming reader. Unknown sizes (exotic filesystems) keep
+    * today's in-memory behaviour. */
+  private def dispatchBySize(spark: SparkSession, paths: Seq[String],
+                             inMemoryMaxBytes: Long,
+                             csvQuoteAware: Boolean): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (big, small) = paths.partition { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).getFileStatus(hp).getLen > inMemoryMaxBytes
+      } catch { case _: Exception => false }
+    }
+    val inMem =
+      if (small.isEmpty) None
+      else if (csvQuoteAware) Some(
+        fileTexts(spark, small)
+          .select(col("file"), posexplode(csvRecordsUdf(col("text"))).as(Seq("lineno", "line")))
+          .select(col("file"), col("lineno").cast("long").as("lineno"), col("line")))
+      else Some(explodeLines(fileTexts(spark, small)))
+    val streamed =
+      if (big.isEmpty) None else Some(streamedLines(spark, big, csvQuoteAware))
+    (inMem.toSeq ++ streamed.toSeq).reduce(_ unionByName _)
+  }
+
+  /** Streaming (file, lineno, line): one task per file, two passes like
+    * the reference's delimited encoding probe (`helpers/file/delimited.rb:
+    * 48-88` — the first pass proves the encoding, the second streams), so
+    * memory stays O(line), never O(file). Same probe order and line
+    * semantics as [[decodeSmart]]/[[splitLines]]. */
+  def streamedLines(spark: SparkSession, paths: Seq[String],
+                    csvQuoteAware: Boolean): DataFrame = {
+    import spark.implicits._
+    val parallelism = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(paths).repartition(parallelism)
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val cs = probeCharset(p)
+          val br = openReader(p, cs)
+          val recs = if (csvQuoteAware) csvRecordIterator(br) else lineIterator(br)
+          recs.zipWithIndex.map { case (l, i) => (p, i.toLong, l) }
+        }
+      }.toDF("file", "lineno", "line")
+  }
+
+  private def openStream(p: String): java.io.InputStream = {
+    // a fresh Configuration resolves file:// and default-scheme paths; a
+    // deployment with kerberised HDFS/S3 credentials would propagate the
+    // session's Hadoop conf to executors instead
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
+  }
+
+  /** Pass 1: BOM sniff + strict UTF-8 validation, streaming (no
+    * materialisation). Mirrors decodeSmart's probe order exactly. */
+  private[sources] def probeCharset(p: String): java.nio.charset.Charset = {
+    val in = new java.io.BufferedInputStream(openStream(p))
+    try {
+      in.mark(4)
+      val b0 = in.read(); val b1 = in.read()
+      if (b0 == 0xFE && b1 == 0xFF) return java.nio.charset.StandardCharsets.UTF_16BE
+      if (b0 == 0xFF && b1 == 0xFE) return java.nio.charset.StandardCharsets.UTF_16LE
+      // no UTF-16 BOM: rewind, skip a UTF-8 BOM if present, then validate
+      // the whole remainder as strict UTF-8 in 64 KiB chunks
+      in.reset()
+      in.mark(4)
+      val hasUtf8Bom = in.read() == 0xEF && in.read() == 0xBB && in.read() == 0xBF
+      if (!hasUtf8Bom) in.reset()
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val reader = new java.io.InputStreamReader(in, dec)
+      val buf = new Array[Char](64 * 1024)
+      try {
+        while (reader.read(buf) >= 0) ()
+        java.nio.charset.StandardCharsets.UTF_8
+      } catch {
+        case _: java.nio.charset.CharacterCodingException =>
+          java.nio.charset.Charset.forName("windows-1252")
+      }
+    } finally in.close()
+  }
+
+  /** Pass 2 reader: positioned past any BOM, decoding with the probed
+    * charset (UTF-16 readers also consume the BOM). */
+  private def openReader(p: String, cs: java.nio.charset.Charset): java.io.BufferedReader = {
+    val in = new java.io.BufferedInputStream(openStream(p))
+    val utf16 = cs == java.nio.charset.StandardCharsets.UTF_16BE ||
+      cs == java.nio.charset.StandardCharsets.UTF_16LE
+    if (utf16) { in.read(); in.read() } // skip BOM
+    else {
+      in.mark(3)
+      val hasUtf8Bom = in.read() == 0xEF && in.read() == 0xBB && in.read() == 0xBF
+      if (!hasUtf8Bom) in.reset()
+    }
+    new java.io.BufferedReader(new java.io.InputStreamReader(in, cs), 64 * 1024)
+  }
+
+  /** readLine-based iterator: \n, \r and \r\n all terminate, terminator
+    * dropped, no phantom empty line after a trailing newline — the exact
+    * splitLines semantics. Closes the reader at exhaustion. */
+  private def lineIterator(br: java.io.BufferedReader): Iterator[String] =
+    new Iterator[String] {
+      private var nxt = br.readLine()
+      def hasNext: Boolean = nxt != null
+      def next(): String = {
+        val v = nxt
+        nxt = br.readLine()
+        if (nxt == null) br.close()
+        v
+      }
+    }
+
+  /** Streaming twin of [[splitCsvRecords]]: newlines inside quoted fields
+    * stay in their record. Closes the reader at exhaustion. */
+  private def csvRecordIterator(br: java.io.BufferedReader,
+                                quote: Char = '"'): Iterator[String] =
+    new Iterator[String] {
+      private var done = false
+      private var nxt: String = advance()
+      private def advance(): String = {
+        if (done) return null
+        var c = br.read()
+        if (c < 0) { done = true; br.close(); return null }
+        val sb = new StringBuilder
+        var inQuotes = false
+        while (c >= 0) {
+          val ch = c.toChar
+          if (ch == quote) { inQuotes = !inQuotes; sb += ch }
+          else if (!inQuotes && (ch == '\n' || ch == '\r')) {
+            if (ch == '\r') {
+              br.mark(1)
+              val peek = br.read()
+              if (peek >= 0 && peek != '\n') br.reset()
+            }
+            return sb.toString
+          } else sb += ch
+          c = br.read()
+        }
+        done = true
+        br.close()
+        sb.toString // EOF without trailing newline: final record
+      }
+      def hasNext: Boolean = nxt != null
+      def next(): String = { val v = nxt; nxt = advance(); v }
+    }
 }
