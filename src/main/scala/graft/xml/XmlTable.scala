@@ -3,6 +3,7 @@ package graft.xml
 import graft.compile.RowMapper
 import graft.model._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import scala.collection.mutable
 import scala.xml.{Elem, Node}
@@ -216,6 +217,27 @@ object XmlTable {
       if (fields.get("skip").contains("true")) None
       else Some((klass, fields, rawtext, index))
     }
+  }
+
+  /** X5 — the reference's `yield_xml_record` batching
+    * (`lib/ndr_import/xml/table.rb:41-53`): one output row per source XML
+    * record, with that record's klass-records nested as an ordered array of
+    * (klass, fields, rawtext) structs. Narrow (no shuffle) — the grouping
+    * happens inside the per-record transform, so batch order matches the
+    * reference's yield order deterministically. */
+  def groupedRecords(df: DataFrame, mapping: TableMapping): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("file", "index", "record_xml").as[(String, Long, String)]
+      .map { case (file, index, xml) =>
+        val rec = scala.xml.XML.loadString(xml)
+        val batch = transformRecord(mapping, rec, index)
+          .map { case (k, f, r, _) => (k, f, r) }
+        (file, index, batch)
+      }.toDF("file", "index", "records")
+      .withColumn("records",
+        col("records").cast(
+          "array<struct<klass:string,fields:map<string,string>,rawtext:map<string,string>>>"))
   }
 
   /** (file, index, record_xml) → records DataFrame. Executor-side parse;
