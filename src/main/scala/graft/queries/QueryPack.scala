@@ -263,6 +263,78 @@ object QueryPack {
         element_at(col("cells"), 2).as("brand"))
   }
 
+  /** T12 — the orchestration layer end-to-end (`universal_importer_helper.rb`):
+    * a zip containing a CSV (nation) and an xlsx (region) flows through
+    * container expansion (S16), filename-pattern mapping match (T1),
+    * per-format reads (S2/S3), header consume+validate (T3), mapping
+    * compilation and canonical-table union (T12). The fixture is generated
+    * driver-side from the sf parquet (30 rows total), so the DuckDB oracle
+    * is a plain UNION ALL over the same tables. */
+  def t12ImporterUnion(s: SparkSession, dir: String): DataFrame = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val nation = T(s, dir, "nation").select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val region = T(s, dir, "region").select(col("r_regionkey").cast("long"), col("r_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+
+    val csv = ("key,name" +: nation.map { case (k, n) => s"$k,$n" })
+      .mkString("", "\n", "\n").getBytes("UTF-8")
+    // Minimal inline-string xlsx — values verbatim, no shared-strings part.
+    def esc(v: String) = v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def xmlRow(idx: Int, cells: Seq[String]) =
+      s"""<row r="$idx">""" + cells.zipWithIndex.map { case (v, c) =>
+        s"""<c r="${('A' + c).toChar}$idx" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+      }.mkString + "</row>"
+    val sheetRows = xmlRow(1, Seq("key", "name")) +:
+      region.zipWithIndex.map { case ((k, n), i) => xmlRow(i + 2, Seq(k.toString, n)) }
+    val xlsxParts = Seq(
+      "xl/workbook.xml" ->
+        ("""<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"""" +
+          """ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+          """<sheets><sheet name="Regions" sheetId="1" r:id="rId1"/></sheets></workbook>"""),
+      "xl/_rels/workbook.xml.rels" ->
+        ("""<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/></Relationships>"""),
+      "xl/worksheets/sheet1.xml" ->
+        ("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+          s"""<sheetData>${sheetRows.mkString}</sheetData></worksheet>"""))
+    val xlsxBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new ZipOutputStream(bos)
+      xlsxParts.foreach { case (name, content) =>
+        z.putNextEntry(new ZipEntry(name)); z.write(content.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t12")
+    val zipPath = tmp.resolve("places.zip")
+    val z = new ZipOutputStream(java.nio.file.Files.newOutputStream(zipPath))
+    z.putNextEntry(new ZipEntry("nation.csv")); z.write(csv); z.closeEntry()
+    z.putNextEntry(new ZipEntry("region.xlsx")); z.write(xlsxBytes); z.closeEntry()
+    z.close()
+
+    def tableYaml(pattern: String) =
+      s"""|- canonical_name: places
+          |  filename_pattern: !ruby/regexp /\\.$pattern\\z/i
+          |  header_lines: 1
+          |  klass: Place
+          |  columns:
+          |  - column: key
+          |    mappings:
+          |    - field: key
+          |  - column: name
+          |    mappings:
+          |    - field: name
+          |""".stripMargin
+    val mappings = MappingLoader.loadTables(tableYaml("csv") + tableYaml("xlsx"))
+
+    graft.run.Importer.mappedTables(s, zipPath.toString, mappings,
+        graft.run.Registry.ContainerOptions(unzipPath = tmp.toString))("places")
+      .select(element_at(col("fields"), "key").as("key"),
+              element_at(col("fields"), "name").as("name"))
+  }
+
   /** M8 + M12 — date parse with explicit format and days-after-epoch. */
   def m8Dates(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "orders").select(
@@ -699,6 +771,7 @@ object QueryPack {
     "s5_json_props" -> (s5JsonProps _),
     "t7_klass_fanout" -> (t7KlassFanout _),
     "t9_fixed_width" -> (t9FixedWidth _),
+    "t12_importer_union" -> (t12ImporterUnion _),
     "m8_dates" -> (m8Dates _),
     "m10_map_dict" -> (m10MapDict _),
     "m11_match" -> (m11Match _),
@@ -808,6 +881,10 @@ object QueryPack {
         |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_text,
         |  rtrim(rpad(p_brand, 12, ' ')) AS brand
         |FROM part""".stripMargin,
+    "t12_importer_union" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS key, n_name AS name FROM nation
+        |UNION ALL
+        |SELECT CAST(r_regionkey AS VARCHAR) AS key, r_name AS name FROM region""".stripMargin,
     "m8_dates" ->
       """SELECT o_orderkey,
         |  strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y')::DATE AS parsed_date,
