@@ -28,16 +28,16 @@ object Bench {
         try force(spark.read.parquet(f.getPath)) catch { case _: Throwable => }
       }
     try force(SparkEntry.queries("q1_agg")(spark, sfDir)) catch { case _: Throwable => }
-    // Steady-state: best of two runs per query (halves scheduler/GC noise
-    // without changing what is measured); fixed name order keeps runs
-    // comparable across rounds.
+    // Steady-state: median of three runs per query, so a single GC pause or
+    // scheduler hiccup can't masquerade as a regression (or an improvement);
+    // fixed name order keeps runs comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir)) catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times.sorted.apply(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
