@@ -335,6 +335,115 @@ object QueryPack {
               element_at(col("fields"), "name").as("name"))
   }
 
+  /** N1–N5 — the non-tabular segmentation pipeline end-to-end, distributed:
+    * each order is rendered as a three-line text block (still a narrow
+    * per-row transform — no driver-side collect), the block stream is
+    * segmented by the REAL window-function state machine
+    * ([[graft.tabulate.NonTabular]]) and tabulated, and the records flow
+    * through the REAL mapping compiler. The oracle is a plain projection of
+    * the same orders table. */
+  def n3Segments(s: SparkSession, dir: String): DataFrame = {
+    val yaml =
+      """|start_line_pattern: !ruby/regexp /\A=== ORDER/
+         |capture_start_line: true
+         |end_in_a_record: true
+         |klass: OrderBlock
+         |columns:
+         |- column: okey
+         |  non_tabular_cell:
+         |    lines: 0
+         |    capture: !ruby/regexp /\A=== ORDER (\d+)\z/
+         |  mappings:
+         |  - field: okey
+         |- column: prio
+         |  non_tabular_cell:
+         |    lines: 1
+         |    capture: !ruby/regexp /\APRIORITY: (.*)\z/
+         |  mappings:
+         |  - field: prio
+         |- column: status
+         |  non_tabular_cell:
+         |    lines: 2
+         |    capture: !ruby/regexp /\ASTATUS: (.*)\z/
+         |  mappings:
+         |  - field: status
+         |""".stripMargin
+    val mapping = MappingLoader.loadTable(yaml)
+    val lines = T(s, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("k"),
+              posexplode(array(
+                concat(lit("=== ORDER "), col("o_orderkey")),
+                concat(lit("PRIORITY: "), col("o_orderpriority")),
+                concat(lit("STATUS: "), col("o_orderstatus")))).as(Seq("pos", "line")))
+      .select(lit("orders.txt").as("file"),
+              (col("k") * 3 + col("pos")).as("lineno"), col("line"))
+    val cells = graft.tabulate.NonTabular.tabulate(lines, mapping)
+    MappingCompiler(mapping).records(cells)
+      .select(element_at(col("fields"), "okey").as("okey"),
+              element_at(col("fields"), "prio").as("prio"),
+              element_at(col("fields"), "status").as("status"))
+  }
+
+  /** X1/X3/X4 — the XML table layer end-to-end, distributed: each customer
+    * becomes an XML record with a repeating `<contact>` section (narrow
+    * per-row string build), parsed and augmented by the REAL
+    * [[graft.xml.XmlTable]] transform — section instances mint `#n` klasses
+    * and suffixed rawtext names, and the base klass is masked out. */
+  def x3XmlRepeat(s: SparkSession, dir: String): DataFrame = {
+    val yaml =
+      """|columns:
+         |- column: phone
+         |  klass: Cust
+         |  xml_cell:
+         |    relative_path: contacts/contact
+         |    multiple: true
+         |    build_new_record: true
+         |  mappings:
+         |  - field: phone
+         |""".stripMargin
+    val mapping = MappingLoader.loadTable(yaml)
+    val recs = T(s, dir, "customer").select(
+      lit("cust.xml").as("file"),
+      col("c_custkey").cast("long").as("index"),
+      concat(lit("<record><contacts>"),
+        lit("<contact><phone>"), col("c_name"), lit("</phone></contact>"),
+        lit("<contact><phone>alt-"), col("c_name"), lit("</phone></contact>"),
+        lit("</contacts></record>")).as("record_xml"))
+    graft.xml.XmlTable.records(recs, mapping)
+      .select(col("klass"), col("index").as("custkey"),
+              element_at(col("fields"), "phone").as("phone"))
+  }
+
+  /** S12 — the native PDF text reader end-to-end: parts are rendered into a
+    * generated PDF (one content stream per 50-line page, explicit Td
+    * positioning), the file is parsed back by [[graft.sources.Pdf]] on an
+    * executor, and the extracted lines are compared to a plain projection.
+    * Bounded to p_partkey < 2000 so the fixture stays small at every sf. */
+  def s12PdfText(s: SparkSession, dir: String): DataFrame = {
+    val parts = T(s, dir, "part").filter(col("p_partkey") < 2000)
+      .select(col("p_partkey").cast("long"), col("p_brand"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def escape(v: String) =
+      v.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val pdf = new StringBuilder("%PDF-1.4\n")
+    parts.grouped(50).zipWithIndex.foreach { case (page, pi) =>
+      val body = new StringBuilder("BT 0 780 Td ")
+      page.foreach { case (k, brand) =>
+        body ++= s"(P $k ${escape(brand)}) Tj 0 -12 Td "
+      }
+      body ++= "ET"
+      pdf ++= s"${pi + 1} 0 obj << /Length ${body.length} >> stream\n$body\nendstream\nendobj\n"
+    }
+    pdf ++= "%%EOF\n"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s12")
+    val pdfPath = tmp.resolve("parts.pdf")
+    java.nio.file.Files.write(pdfPath, pdf.toString.getBytes("ISO-8859-1"))
+
+    graft.sources.Pdf.lines(s, Seq(pdfPath.toString))
+      .select(regexp_extract(col("line"), "^P (\\d+) (.*)$", 1).cast("bigint").as("partkey"),
+              regexp_extract(col("line"), "^P (\\d+) (.*)$", 2).as("brand"))
+  }
+
   /** M8 + M12 — date parse with explicit format and days-after-epoch. */
   def m8Dates(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "orders").select(
@@ -772,6 +881,9 @@ object QueryPack {
     "t7_klass_fanout" -> (t7KlassFanout _),
     "t9_fixed_width" -> (t9FixedWidth _),
     "t12_importer_union" -> (t12ImporterUnion _),
+    "n3_segments" -> (n3Segments _),
+    "x3_xml_repeat" -> (x3XmlRepeat _),
+    "s12_pdf_text" -> (s12PdfText _),
     "m8_dates" -> (m8Dates _),
     "m10_map_dict" -> (m10MapDict _),
     "m11_match" -> (m11Match _),
@@ -885,6 +997,18 @@ object QueryPack {
       """SELECT CAST(n_nationkey AS VARCHAR) AS key, n_name AS name FROM nation
         |UNION ALL
         |SELECT CAST(r_regionkey AS VARCHAR) AS key, r_name AS name FROM region""".stripMargin,
+    "s12_pdf_text" ->
+      """SELECT p_partkey AS partkey, p_brand AS brand FROM part
+        |WHERE p_partkey < 2000""".stripMargin,
+    "n3_segments" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS okey, o_orderpriority AS prio,
+        |  o_orderstatus AS status
+        |FROM orders""".stripMargin,
+    "x3_xml_repeat" ->
+      """SELECT 'Cust#1' AS klass, c_custkey AS custkey, c_name AS phone FROM customer
+        |UNION ALL
+        |SELECT 'Cust#2' AS klass, c_custkey AS custkey, 'alt-' || c_name AS phone
+        |FROM customer""".stripMargin,
     "m8_dates" ->
       """SELECT o_orderkey,
         |  strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y')::DATE AS parsed_date,
