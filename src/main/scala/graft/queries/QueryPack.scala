@@ -369,13 +369,16 @@ object QueryPack {
          |  - field: status
          |""".stripMargin
     val mapping = MappingLoader.loadTable(yaml)
+    // 32 synthetic files — record blocks never span a file, so the per-file
+    // window state machine parallelises across files (the 100 TB shape:
+    // sequential within a file, parallel across many).
     val lines = T(s, dir, "orders")
       .select(col("o_orderkey").cast("long").as("k"),
               posexplode(array(
                 concat(lit("=== ORDER "), col("o_orderkey")),
                 concat(lit("PRIORITY: "), col("o_orderpriority")),
                 concat(lit("STATUS: "), col("o_orderstatus")))).as(Seq("pos", "line")))
-      .select(lit("orders.txt").as("file"),
+      .select(concat(lit("orders_"), col("k") % 32, lit(".txt")).as("file"),
               (col("k") * 3 + col("pos")).as("lineno"), col("line"))
     val cells = graft.tabulate.NonTabular.tabulate(lines, mapping)
     MappingCompiler(mapping).records(cells)
