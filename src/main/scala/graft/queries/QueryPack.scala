@@ -867,6 +867,40 @@ object QueryPack {
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("content_fp"),
       md5(array_join(array_sort(split(col("text"), " ")), " ")).as("bag_fp"))
 
+  /** Deterministic train/eval split — hash-mod partitioning on the document
+    * key (the standard reproducible split for training pipelines; no RNG, so
+    * re-runs and backfills land every doc in the same split). Narrow. */
+  def xTrainSplit(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(
+      col("doc_id"),
+      when(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+             .cast("bigint") % 100 < 90, lit("train"))
+        .otherwise(lit("eval")).as("split"))
+
+  /** PII redaction — scrub emails and phone-shaped tokens before training.
+    * PII is injected deterministically from the key so the scrub is
+    * observable on synthetic text; patterns stay in the RE2/Java-regex
+    * common subset so the oracle is the same expression. Narrow scan. */
+  def xRedact(s: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com or 0161 496 "), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    T(s, dir, "documents").select(
+      col("doc_id"),
+      md5(regexp_replace(
+        regexp_replace(dirty, "[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>"),
+        "0161 496 [0-9]{4}", "<PHONE>")).as("clean_hash"))
+  }
+
+  /** Word-repetition ratio (Gopher-style quality rule): fraction of
+    * duplicated words per document. Pure expressions, narrow. */
+  def xRepRatio(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), " +")
+    T(s, dir, "documents").select(
+      col("doc_id"),
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"), 4).as("rep_ratio"))
+  }
+
   // === Registry =============================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -907,6 +941,9 @@ object QueryPack {
     "x_quality" -> (xQuality _),
     "x_token_count" -> (xTokenCount _),
     "x_fingerprint" -> (xFingerprint _),
+    "x_train_split" -> (xTrainSplit _),
+    "x_redact" -> (xRedact _),
+    "x_rep_ratio" -> (xRepRatio _),
     "x_asof_join" -> (xAsofJoin _),
     "x_range_join" -> (xRangeJoin _),
     "x_salted_agg" -> (xSaltedAgg _))
@@ -1003,6 +1040,24 @@ object QueryPack {
     "s12_pdf_text" ->
       """SELECT p_partkey AS partkey, p_brand AS brand FROM part
         |WHERE p_partkey < 2000""".stripMargin,
+    "x_train_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+        |       THEN 'train' ELSE 'eval' END AS split
+        |FROM documents""".stripMargin,
+    "x_redact" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@example.com or 0161 496 ' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |    '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |    '0161 496 [0-9]{4}', '<PHONE>', 'g')) AS clean_hash
+        |FROM documents""".stripMargin,
+    "x_rep_ratio" ->
+      """SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS DOUBLE)
+        |            / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE), 4) AS rep_ratio
+        |FROM documents""".stripMargin,
     "n3_segments" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS okey, o_orderpriority AS prio,
         |  o_orderstatus AS status
