@@ -59,6 +59,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
   }
 
+  test("document operators stay narrow: split/redact/rep-ratio have no exchange") {
+    for (q <- Seq(QueryPack.xTrainSplit _, QueryPack.xRedact _, QueryPack.xRepRatio _)) {
+      val plan = formattedPlan(q(spark, sf))
+      assert(!plan.contains("Exchange"), s"narrow doc operator shuffles:\n$plan")
+    }
+  }
+
+  test("x3_xml_repeat: per-record transform is narrow (no exchange, no join)") {
+    val plan = formattedPlan(QueryPack.x3XmlRepeat(spark, sf))
+    assert(!plan.contains("Exchange"), s"XML transform shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"XML transform joins:\n$plan")
+  }
+
+  test("n3_segments: segmentation is windows + one group-by, never a join") {
+    val plan = formattedPlan(QueryPack.n3Segments(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"segmentation must not degrade to a product:\n$plan")
+    assert(plan.contains("Window"), "per-file window state machine missing")
+  }
+
   test("mapping pipeline stays narrow: records() plan has no exchange") {
     val yaml =
       """|klass: K
