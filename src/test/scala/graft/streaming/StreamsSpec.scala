@@ -54,6 +54,23 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming exact dedup drops watermark-window duplicates across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val df = in.toDF.toDF("ts", "text")
+    val q = dedupStream(df, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData((t("2024-01-01 10:00:00"), "alpha"), (t("2024-01-01 10:01:00"), "alpha"))
+    q.processAllAvailable()
+    in.addData((t("2024-01-01 10:02:00"), "alpha"), (t("2024-01-01 10:03:00"), "beta"))
+    q.processAllAvailable()
+    val rows = spark.sql("select text from dedup").collect().map(_.getString(0)).sorted
+    assert(rows.toSeq == Seq("alpha", "beta"))
+    q.stop()
+  }
+
   test("stateful sessionization closes sessions across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
