@@ -80,6 +80,21 @@ object Importer {
         single(m => tabularRecords(spark, m, Tabular.vcf(spark, Seq(file))))
       case "avro" =>
         single(m => tabularRecords(spark, m, Avro.rows(spark, Seq(file))))
+      case "parquet" | "orc" =>
+        // Spark-native extension: columnar files feed the mapping pipeline
+        // directly — cells are drawn by mapping column name (like JSONL
+        // object rows), values rendered as strings. Scan stays columnar
+        // (pruned to the mapped columns) and fully splittable.
+        single { m =>
+          val df = if (format == "parquet") spark.read.parquet(file)
+                   else spark.read.orc(file)
+          val names = m.columns.flatMap(_.column)
+          val cells = array(names.map(n => col(n).cast("string")): _*)
+          tabularRecords(spark, m, df.select(
+            lit(file).as("file"),
+            monotonically_increasing_id().as("lineno"),
+            cells.as("cells")))
+        }
       case "xls" | "xlsm" | "xlsx" =>
         val sheets = Excel.tables(spark, Seq(file), fileMapping.filePassword).cache()
         val names = sheets.select("tablename").distinct()

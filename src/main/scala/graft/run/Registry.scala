@@ -25,7 +25,10 @@ object Registry {
   val knownFormats: Set[String] = Set(
     "csv", "delimited", "txt", "text", "nontabular", "jsonl", "xls", "xlsm",
     "xlsx", "xml_table", "avro", "vcf", "pdf", "doc", "docx", "acroform",
-    "zip", "7z")
+    "zip", "7z",
+    // Spark-native extension: columnar drops flow through the same mapping
+    // pipeline (no reference equivalent — its gem stack has no columnar IO).
+    "parquet", "orc")
 
   val containerFormats: Set[String] = Set("zip", "7z")
 

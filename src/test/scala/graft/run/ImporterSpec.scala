@@ -215,6 +215,34 @@ class ImporterSpec extends SparkSpec {
     assert(rows.toSeq == Seq("Three in fact"))
   }
 
+  test("parquet and orc files route through the mapping pipeline (extension)") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val src = Seq(("SMITH", 42L), ("DOE", 7L)).toDF("surname", "n")
+    for (fmt <- Seq("parquet", "orc")) {
+      val path = new File(dir, s"people_dir_$fmt").getAbsolutePath
+      src.coalesce(1).write.format(fmt).save(path)
+      val dataFile = new File(path).listFiles()
+        .find(f => f.getName.endsWith(s".$fmt")).get.getAbsolutePath
+      val mappings = MappingLoader.loadTables(
+        s"""|- canonical_name: people
+            |  filename_pattern: !ruby/regexp /\\.$fmt\\z/i
+            |  klass: Person
+            |  columns:
+            |  - column: surname
+            |    mappings:
+            |    - field: surname
+            |  - column: n
+            |    mappings:
+            |    - field: n
+            |""".stripMargin)
+      val rows = Importer.mappedTables(spark, dataFile, mappings)("people")
+        .select(element_at(col("fields"), "surname"), element_at(col("fields"), "n"))
+        .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+      assert(rows.toSeq == Seq(("DOE", "7"), ("SMITH", "42")), s"fmt=$fmt")
+    }
+  }
+
   test("7z container expands via commons-compress") {
     val dir = tmpDir()
     val szPath = new File(dir, "arch.7z").getAbsolutePath
