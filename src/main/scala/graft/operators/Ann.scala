@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour search over an embedding column
+  * (`array<float|double>`), in three tiers:
+  *
+  *   - [[cosineTopK]] — brute force against a small broadcast query set;
+  *     the exactness baseline. Scales with candidate count only.
+  *   - [[annLsh]] — random-hyperplane sign buckets; candidates meet inside
+  *     their bucket (shuffle keyed by bucket, never all-pairs).
+  *   - [[annIvf]] — coarse-quantizer cells (≈√N centroids so cell-key
+  *     cardinality grows with the data); pair join is a salted shuffle-hash
+  *     join, never a whole-table broadcast.
+  *
+  * Vector arithmetic uses higher-order functions deliberately: an unrolled
+  * 64-term `element_at` sum measured 4-5× SLOWER (the generated method
+  * blows past JIT/whole-stage-codegen size limits). The oracle-checked
+  * `x_ann_*` queries pin all three tiers against DuckDB. */
+object Ann {
+
+  /** Elementwise dot product of two array columns (fold order matches
+    * DuckDB's `list_sum`, keeping results oracle-stable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of an array column. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Dot product against a constant vector. */
+  def dotLit(a: Column, v: Seq[Double]): Column =
+    aggregate(zip_with(a, typedLit(v), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic random-hyperplane sign matrix: sign[i][d] ∈ {-1,1} from
+    * md5("i:d") — reproducible across runs, engines and languages. */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { i =>
+      (0 until dim).map { d =>
+        md.reset()
+        val h = md.digest(s"$i:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) -1 else 1
+      }
+    }
+  }
+
+  /** The LSH bucket id for an embedding column under `planes`. */
+  def lshBucket(emb: Column, planes: Seq[Seq[Int]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotLit(emb, p.map(_.toDouble)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-k: broadcast the (small) query set, score every
+    * candidate, rank per query with a total order (cos desc, id asc). */
+  def cosineTopK(candidates: DataFrame, queries: DataFrame,
+                 idCol: String, embCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("_q_emb"),
+      norm(col(embCol)).as("_q_nrm"))
+    val scored = candidates.withColumn("_nrm", norm(col(embCol)))
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        (dot(col("_q_emb"), col(embCol)) / (col("_q_nrm") * col("_nrm"))).as("_cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol).as("neighbor"),
+        round(col("_cos"), 4).as("cos_sim"))
+  }
+
+  /** LSH ANN: best within-bucket neighbour per vector. The rank-1 is a
+    * partial-aggregating `max_by`, not a window — it map-side combines
+    * before the shuffle, the right shape when buckets hold millions. */
+  def annLsh(vectors: DataFrame, idCol: String, embCol: String,
+             planes: Seq[Seq[Int]]): DataFrame = {
+    val sig = vectors.withColumn("bucket", lshBucket(col(embCol), planes))
+      .withColumn("_nrm", norm(col(embCol)))
+    val pairs = sig.as("a").hint("shuffle_hash").join(
+        sig.as("b").hint("shuffle_hash"),
+        col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(idCol), col("a.bucket").as("bucket"),
+        col(s"b.$idCol").as("neighbor"),
+        round(dot(col(s"a.$embCol"), col(s"b.$embCol")) /
+              (col("a._nrm") * col("b._nrm")), 4).as("cos_sim"))
+    pairs.groupBy(idCol, "bucket")
+      .agg(max_by(struct(col("neighbor"), col("cos_sim")),
+                  struct(col("cos_sim"), -col("neighbor"))).as("best"))
+      .select(col(idCol), col("bucket"),
+        col("best.neighbor").as("neighbor"), col("best.cos_sim").as("cos_sim"))
+  }
+
+  /** IVF ANN: assign every vector to its nearest centroid cell (narrow
+    * argmin over driver-resident centroid literals), then search within the
+    * cell via a salted shuffle-hash join. `centroids` must be small enough
+    * for the driver (≈√N grows as the square root of data volume). */
+  def annIvf(vectors: DataFrame, idCol: String, embCol: String,
+             centroids: Seq[(Long, Seq[Double])], salts: Int = 4): DataFrame = {
+    val ds = transform(typedLit(centroids.map(_._2)), c =>
+      aggregate(zip_with(col(embCol), c,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x))
+    val cell = element_at(typedLit(centroids.map(_._1)),
+      array_position(ds, array_min(ds)).cast("int"))
+    val assigned = vectors.select(col(idCol), col(embCol),
+      cell.as("cell"), norm(col(embCol)).as("_nrm"))
+    val build = assigned.select(col(idCol).as("_b_id"),
+      col(embCol).as("_b_emb"), col("cell").as("_b_cell"),
+      col("_nrm").as("_b_nrm"))
+    val pairs = graft.runtime.Skew.saltedJoin(
+        assigned.hint("shuffle_hash"), build.hint("shuffle_hash"),
+        col("cell"), col("_b_cell"), salts = salts)
+      .filter(col(idCol) =!= col("_b_id"))
+      .select(col(idCol), col("cell"), col("_b_id").as("neighbor"),
+        round(dot(col(embCol), col("_b_emb")) /
+              (col("_nrm") * col("_b_nrm")), 4).as("cos_sim"))
+    pairs.groupBy(idCol, "cell")
+      .agg(max_by(struct(col("neighbor"), col("cos_sim")),
+                  struct(col("cos_sim"), -col("neighbor"))).as("best"))
+      .select(col(idCol), col("cell"),
+        col("best.neighbor").as("neighbor"), col("best.cos_sim").as("cos_sim"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-level deduplication operators for training-data pipelines, each
+  * in its distributed-safe shape. All are generic over (id column, text
+  * column); the oracle-checked `x_dedup_exact` / `x_minhash` /
+  * `x_minhash_pairs` / `x_simhash` / `x_jaccard` queries pin their
+  * semantics against DuckDB on the `documents` table.
+  *
+  * Scale notes: exact/minhash/simhash are narrow per-row transforms plus at
+  * most one keyed shuffle; candidate generation always goes through LSH
+  * band buckets (shuffle keyed by bucket), never an all-pairs join —
+  * `jaccardPairs` is the deliberate exception, for bounded candidate sets
+  * that earlier stages produced. */
+object TextDedup {
+
+  /** Cross-engine 32-bit hash: md5 hex prefix as integer — the only hash
+    * Spark and DuckDB compute identically, which keeps every operator here
+    * oracle-checkable. */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** First prime above 2^32 — keeps a*h+b (< 2^52) overflow-free in 64-bit
+    * arithmetic on both engines. */
+  val MinhashP = 4294967311L
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Exact dedup: one shuffle on the content hash; keeper = min id. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures over word `shingle`-shingles: ONE md5 per shingle,
+    * then `numHashes` functions derived arithmetically ((a*h+b) mod p, the
+    * standard minhash family). Narrow — no shuffle. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 6, shingle: Int = 3): DataFrame = {
+    val w = col("_w")
+    val shingles = transform(
+      sequence(lit(1), size(w) - (shingle - 1)),
+      i => concat_ws(" ", (0 until shingle).map(o => element_at(w, i + o)): _*))
+    val doc = docs
+      .withColumn("_w", words(col(textCol)))
+      .withColumn("_sh", when(size(w) >= shingle, shingles)
+        .otherwise(array().cast("array<string>")))
+      .withColumn("_hs", transform(col("_sh"), h32 _))
+    val sigs = (0 until numHashes).map { i =>
+      val (a, b) = (2 * i + 3, 1000003 * i + 12345)
+      array_min(transform(col("_hs"), h => (h * a + b) % MinhashP)).as(s"mh$i")
+    }
+    doc.select(col(idCol) +: sigs: _*)
+  }
+
+  /** LSH near-dup candidate pairs: signatures are banded (`bandSize`
+    * consecutive hashes per band); docs sharing a band bucket become a
+    * candidate pair. The only shuffle carries (id, bucket). */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 6, shingle: Int = 3,
+                        bandSize: Int = 2, numBands: Int = 2): DataFrame = {
+    require(numBands * bandSize <= numHashes, "bands exceed signature length")
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingle)
+    val buckets = (0 until numBands).map { b =>
+      val cols = (0 until bandSize).map(j => col(s"mh${b * bandSize + j}"))
+      concat_ws(":", lit(s"b$b") +: cols: _*)
+    }
+    val bands = sig.select(col(idCol), explode(array(buckets: _*)).as("bucket"))
+      .cache()
+    bands.as("a").join(bands.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
+      .distinct()
+  }
+
+  /** SimHash (`bits`-bit) from per-word 32-bit hashes: explode → per-bit
+    * conditional sums → assemble. One shuffle on the id. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 16): DataFrame = {
+    val ex = docs.select(col(idCol), explode(words(col(textCol))).as("_w"))
+      .withColumn("_h", h32(col("_w")))
+    val bitSums = (0 until bits).map { b =>
+      sum(shiftright(col("_h"), b).bitwiseAND(1) * 2 - 1).as(s"_s$b")
+    }
+    val agg = ex.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until bits).map { b =>
+      when(col(s"_s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col(idCol), sim.as(s"simhash$bits"))
+  }
+
+  /** Word-bigram Jaccard similarity over an all-pairs join — for BOUNDED
+    * candidate sets only (e.g. the output of [[lshCandidatePairs]] joined
+    * back to text, or a pre-filtered id range). Not a scale path on its
+    * own. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.1): DataFrame = {
+    val w = col("_w")
+    val grams = array_distinct(transform(
+      sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+    val d = docs.withColumn("_w", words(col(textCol)))
+      .select(col(idCol), when(size(w) >= 2, grams)
+        .otherwise(array().cast("array<string>")).as("_grams"))
+    d.as("a").join(d.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"),
+        round(
+          size(array_intersect(col("a._grams"), col("b._grams"))).cast("double") /
+          size(array_union(col("a._grams"), col("b._grams"))), 4).as("jaccard"))
+      .filter(col("jaccard") > threshold)
+  }
+}

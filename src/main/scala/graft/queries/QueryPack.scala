@@ -500,95 +500,41 @@ object QueryPack {
 
   private def words(c: Column): Column = split(c, " ")
 
-  /** Shared cross-engine 32-bit hash: md5 hex prefix as integer. The ONLY
-    * hash both Spark and DuckDB can compute identically. */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-
-  /** Exact dedup: content-hash group, keeper = min id. One shuffle. */
+  /** Exact dedup: content-hash group, keeper = min id. One shuffle.
+    * Delegates to the public operator ([[graft.operators.TextDedup]]). */
   def xDedupExact(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
-      .groupBy(md5(col("text")).as("content_hash"))
-      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+    graft.operators.TextDedup.exact(T(s, dir, "documents"), "doc_id", "text")
 
   /** MinHash signatures over word 3-shingles: ONE md5 per shingle, then 6
     * hash functions derived arithmetically ((a*h+b) mod p — the standard
     * minhash family). 6x less hashing than per-seed md5; identical
     * arithmetic is expressible in DuckDB for the oracle. Narrow (per-row);
     * the LSH band-bucket join happens on the signature. */
-  def xMinhash(s: SparkSession, dir: String): DataFrame = {
-    // Materialise the split ONCE per row: referencing `split(text)` inside a
-    // transform() lambda re-evaluates it per element (O(n^2) per doc).
-    val w = col("w")
-    val shingles = transform(
-      sequence(lit(1), size(w) - 2),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
-    val doc = T(s, dir, "documents")
-      .withColumn("w", words(col("text")))
-      .withColumn("sh", when(size(w) >= 3, shingles).otherwise(array().cast("array<string>")))
-      .withColumn("hs", transform(col("sh"), h32 _))
-    val sigs = (0 until 6).map { i =>
-      val (a, b) = (2 * i + 3, 1000003 * i + 12345)
-      array_min(transform(col("hs"), h => (h * a + b) % MinhashP)).as(s"mh$i")
-    }
-    doc.select(col("doc_id") +: sigs: _*)
-  }
-
-  /** First prime above 2^32 — keeps a*h+b (< 2^52) overflow-free in both
-    * engines' 64-bit arithmetic. */
-  private val MinhashP = 4294967311L
+  def xMinhash(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup.minhashSignatures(
+      T(s, dir, "documents"), "doc_id", "text", numHashes = 6, shingle = 3)
 
   /** LSH near-dup candidates: band on (mh0,mh1) and (mh2,mh3) — docs
     * sharing a band bucket are candidate pairs. Shuffle on band key only;
     * never all-pairs. */
-  def xMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // Single scan: explode each signature into its band buckets, cache the
-    // (small) banded table, self-join on bucket. Shuffle carries only
-    // (doc_id, bucket) — never all-pairs, never the shingle arrays.
-    val bands = xMinhash(s, dir).select(col("doc_id"), explode(array(
-        concat_ws(":", lit("b0"), col("mh0"), col("mh1")),
-        concat_ws(":", lit("b1"), col("mh2"), col("mh3")))).as("bucket"))
-      .cache()
-    bands.as("a").join(bands.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
+  def xMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup.lshCandidatePairs(
+        T(s, dir, "documents"), "doc_id", "text",
+        numHashes = 6, shingle = 3, bandSize = 2, numBands = 2)
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
 
   /** SimHash (16-bit) from per-word 32-bit hashes: explode → 16 conditional
     * sums per doc → assemble bits. One shuffle on doc_id. */
-  def xSimhash(s: SparkSession, dir: String): DataFrame = {
-    val ex = T(s, dir, "documents")
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .withColumn("h", h32(col("w")))
-    val bitSums = (0 until 16).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s$b")
-    }
-    val agg = ex.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 16).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash16"))
-  }
+  def xSimhash(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup.simhash(T(s, dir, "documents"), "doc_id", "text", bits = 16)
 
   /** N-gram Jaccard near-dup over a bounded candidate set (all-pairs on a
     * small id range — production path is LSH above). */
-  def xJaccard(s: SparkSession, dir: String): DataFrame = {
-    val w = col("w")
-    val grams = array_distinct(transform(
-      sequence(lit(1), size(w) - 1),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-    val d = T(s, dir, "documents").filter(col("doc_id") < 100)
-      .withColumn("w", words(col("text")))
-      .select(col("doc_id"), when(size(w) >= 2, grams)
-        .otherwise(array().cast("array<string>")).as("grams"))
-    d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(
-          size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-          size(array_union(col("a.grams"), col("b.grams"))), 4).as("jaccard"))
-      .filter(col("jaccard") > 0.1)
-  }
+  def xJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup.jaccardPairs(
+        T(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text",
+        threshold = 0.1)
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"), col("jaccard"))
 
   /** Shared vector ops over the 64-dim embedding column. Higher-order
     * functions, deliberately: an unrolled 64-term `element_at` sum was
@@ -596,81 +542,32 @@ object QueryPack {
     * whole-stage-codegen size limits and the stage falls back to
     * interpretation. The fold order matches DuckDB's `list_sum` exactly,
     * so oracle hashes are stable. */
-  private def dotCols(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-  private def normCol(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-  private def dotLit(a: Column, v: Seq[Double]): Column =
-    aggregate(zip_with(a, typedLit(v), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
+  private def dotCols(a: Column, b: Column): Column = graft.operators.Ann.dot(a, b)
+  private def normCol(a: Column): Column = graft.operators.Ann.norm(a)
 
   /** Brute-force cosine top-5 ANN: broadcast the query vectors, score all
     * candidates, rank per query. The sf-scalable baseline (IVF/LSH variant
     * rides on the same scoring expression). Norms are projected once per
     * side instead of recomputed per pair. */
   def xAnnCosine(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = T(s, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        normCol(col("embedding")).as("q_nrm"))
-    val scored = emb.withColumn("nrm", normCol(col("embedding")))
-      .crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        (dotCols(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
-        round(col("cos"), 4).as("cos_sim"))
+    graft.operators.Ann.cosineTopK(
+      emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
   }
 
   /** Deterministic random-hyperplane constants for LSH: sign[i][d] ∈ {-1,1}
     * from md5("i:d") — generated once on the driver, embedded as literals
     * in both the Spark plan and the DuckDB oracle. */
-  private[queries] val lshPlanes: Seq[Seq[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until 8).map { i =>
-      (0 until 64).map { d =>
-        md.reset()
-        val h = md.digest(s"$i:$d".getBytes("UTF-8"))
-        if ((h(0) & 1) == 0) -1 else 1
-      }
-    }
-  }
+  private[queries] val lshPlanes: Seq[Seq[Int]] =
+    graft.operators.Ann.hyperplanes(numPlanes = 8, dim = 64)
 
   /** LSH-bucketed ANN — the scale path: 8 random-hyperplane sign bits form
     * a bucket; candidates only meet inside their bucket (shuffle on the
     * bucket key, never all-pairs). Emits each vector's bucket and its
     * best within-bucket neighbour. The brute-force twin is `x_ann_cosine`.
     */
-  def xAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val bucket = lshPlanes.zipWithIndex.map { case (p, i) =>
-      when(dotLit(col("embedding"), p.map(_.toDouble)) >= 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val sig = T(s, dir, "embeddings").withColumn("bucket", bucket)
-      .withColumn("nrm", normCol(col("embedding")))
-    // force the bucket-key shuffle join (the at-scale shape): a broadcast
-    // of one side would run the whole pair scoring inside the probe side's
-    // scan partitions — a single row group means a single thread
-    val pairs = sig.as("a").hint("shuffle_hash").join(sig.as("b").hint("shuffle_hash"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
-        col("b.vec_id").as("neighbor"),
-        round(dotCols(col("a.embedding"), col("b.embedding")) /
-              (col("a.nrm") * col("b.nrm")), 4).as("cos_sim"))
-    // rank-1 per vector as a partial-aggregating max_by — unlike a
-    // row_number window this map-side combines before the shuffle, the
-    // right shape when buckets hold millions of candidates
-    pairs.groupBy("vec_id", "bucket")
-      .agg(max_by(struct(col("neighbor"), col("cos_sim")),
-                  struct(col("cos_sim"), -col("neighbor"))).as("best"))
-      .select(col("vec_id"), col("bucket"),
-        col("best.neighbor").as("neighbor"), col("best.cos_sim").as("cos_sim"))
-  }
+  def xAnnLsh(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ann.annLsh(T(s, dir, "embeddings"), "vec_id", "embedding", lshPlanes)
 
   /** IVF-style ANN: a deterministic coarse quantizer (the first ⌈√N⌉
     * vectors as fixed centroids — a k-means seeding both engines can
@@ -702,37 +599,10 @@ object QueryPack {
         case x => x.toString.toDouble
       }.toIndexedSeq))
       .sortBy(_._1).toSeq
-    // all K distances in one pass over a literal centroid matrix;
-    // argmin = first position of the min (= lowest cent_id on ties,
-    // the reference tie-break)
-    val ds = transform(typedLit(cents.map(_._2.toSeq)), c =>
-      aggregate(zip_with(col("embedding"), c,
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, x) => acc + x))
-    val cell = element_at(typedLit(cents.map(_._1)),
-      array_position(ds, array_min(ds)).cast("int"))
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      cell.as("cell"), normCol(col("embedding")).as("nrm"))
-    // Pair join: shuffle-hash on the cell key (hinted — statistics would
-    // otherwise pick a broadcast at test scale, the shape that cannot
-    // survive 100×), salted so one hot cell fans across several reducers.
-    // The salted join's (cell, salt) shuffle also spreads the scoring work
-    // across all cores even when the input is a single parquet row group.
-    val build = assigned.select(col("vec_id").as("b_vec_id"),
-      col("embedding").as("b_embedding"), col("cell").as("b_cell"),
-      col("nrm").as("b_nrm"))
-    val pairs = graft.runtime.Skew.saltedJoin(
-        assigned.hint("shuffle_hash"), build.hint("shuffle_hash"),
-        col("cell"), col("b_cell"), salts = 4)
-      .filter(col("vec_id") =!= col("b_vec_id"))
-      .select(col("vec_id"), col("cell"), col("b_vec_id").as("neighbor"),
-        round(dotCols(col("embedding"), col("b_embedding")) /
-              (col("nrm") * col("b_nrm")), 4).as("cos_sim"))
-    pairs.groupBy("vec_id", "cell")
-      .agg(max_by(struct(col("neighbor"), col("cos_sim")),
-                  struct(col("cos_sim"), -col("neighbor"))).as("best"))
-      .select(col("vec_id"), col("cell"),
-        col("best.neighbor").as("neighbor"), col("best.cos_sim").as("cos_sim"))
+    // Assignment (narrow argmin over the literal centroid matrix) and the
+    // salted shuffle-hash cell join are the public operator.
+    graft.operators.Ann.annIvf(emb, "vec_id", "embedding",
+      cents.map { case (id, v) => (id, v.toSeq) }, salts = 4)
   }
 
   private def dedupEmbeddingOracleSql: String = {
@@ -785,11 +655,8 @@ object QueryPack {
     * bucket machinery as x_ann_lsh; threshold keeps only true near-dups).
     */
   def xDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val bucket = lshPlanes.zipWithIndex.map { case (p, i) =>
-      when(dotLit(col("embedding"), p.map(_.toDouble)) >= 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
     val sig = T(s, dir, "embeddings")
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", graft.operators.Ann.lshBucket(col("embedding"), lshPlanes))
       .withColumn("norm", normCol(col("embedding")))
     val dot = dotCols(col("a.embedding"), col("b.embedding"))
     sig.as("a").hint("shuffle_hash").join(sig.as("b").hint("shuffle_hash"),

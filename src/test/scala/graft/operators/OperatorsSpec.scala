@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Generic operator APIs cross-checked against naive (non-scalable)
+  * equivalents on small data — the scale shapes must return exactly what
+  * the obvious inequality joins return. */
+class OperatorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("asofJoin strict: matches the naive inequality join") {
+    val trades = Seq((1L, 100L, "t1"), (1L, 200L, "t2"), (2L, 50L, "t3"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq((1L, 90L, 9.0), (1L, 100L, 10.0), (1L, 150L, 15.0),
+      (2L, 60L, 6.0))
+      .toDF("k", "qts", "px")
+    val got = Joins.asofJoin(trades, quotes, Seq("k"), "ts", "qts", Seq("px"),
+        strict = true)
+      .orderBy("k", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(r.fieldIndex("asof_px"))).map(_.asInstanceOf[Double])))
+    // strict: the quote AT ts=100 is not visible to the trade at ts=100
+    assert(got.toSeq == Seq(
+      (1L, 100L, Some(9.0)), (1L, 200L, Some(15.0)), (2L, 50L, None)))
+  }
+
+  test("asofJoin inclusive: same-instant right row is visible") {
+    val trades = Seq((1L, 100L, "t1")).toDF("k", "ts", "trade")
+    val quotes = Seq((1L, 90L, 9.0), (1L, 100L, 10.0)).toDF("k", "qts", "px")
+    val got = Joins.asofJoin(trades, quotes, Seq("k"), "ts", "qts", Seq("px"),
+      strict = false).collect()
+    assert(got.head.getAs[Double]("asof_px") == 10.0)
+  }
+
+  test("rangeJoin: matches the naive inequality join on random-ish data") {
+    val left = (1 to 40).map(i => (i.toLong % 3, i * 97L % 1000)).toDF("k", "ts")
+    val right = (1 to 60).map(i => (i.toLong % 3, i * 61L % 1000, i.toLong))
+      .toDF("k", "rts", "rid")
+    val (lo, hi) = (0L, 120L)
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") &&
+          col("r.rts") > col("l.ts") + lo && col("r.rts") <= col("l.ts") + hi)
+      .select(col("l.k"), col("l.ts"), col("r.rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val bucketed = Joins.rangeJoin(left, right, Seq("k"), "ts", "rts", lo, hi)
+      .select(left("k"), col("ts"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(bucketed.toSeq == naive.toSeq)
+    // and with a bucket width smaller than the window
+    val fine = Joins.rangeJoin(left, right, Seq("k"), "ts", "rts", lo, hi, bucketMs = 37L)
+      .select(left("k"), col("ts"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(fine.toSeq == naive.toSeq)
+  }
+
+  test("minhash signatures are permutation-stable and detect near-dups") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words appear in this unrelated document text"))
+      .toDF("id", "body")
+    val sig = TextDedup.minhashSignatures(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> (1 to 6).map(r.getLong)).toMap
+    assert(sig(1L) == sig(2L), "identical docs must share all minhashes")
+    assert(sig(1L) != sig(3L), "unrelated docs must differ somewhere")
+    val pairs = TextDedup.lshCandidatePairs(docs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: near-identical docs are close in hamming distance") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("id", "body")
+    val sh = TextDedup.simhash(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("ann: lsh bucket-mates and ivf cell-mates score real cosine") {
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.5f, 0.0f)
+                 else Array(0.0f, 1.0f, 0.0f, 0.5f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + 0.01f * ((i * 7 + d) % 5) }.toSeq)
+    }.toDF("id", "emb")
+    val planes = Ann.hyperplanes(numPlanes = 3, dim = 4)
+    val lsh = Ann.annLsh(vecs, "id", "emb", planes)
+    assert(lsh.count() > 0)
+    assert(lsh.filter(col("cos_sim") > 1.0001 || col("cos_sim") < -1.0001).count() == 0)
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.5, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.5)))
+    val ivf = Ann.annIvf(vecs, "id", "emb", cents)
+    assert(ivf.count() == 20) // every vector has a same-cell neighbour here
+    // cells separate the two clusters: a vector's best neighbour shares parity
+    val bad = ivf.filter(col("id") % 2 =!= col("neighbor") % 2).count()
+    assert(bad == 0, "cluster members must find same-cluster neighbours")
+  }
+}
