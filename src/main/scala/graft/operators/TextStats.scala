@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-document text-analysis expressions for training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting,
+  * repetition, PII redaction and reproducible train/eval splits.
+  *
+  * Everything here is a pure `Column` expression — fully codegen'd, narrow,
+  * and composable into any projection; there is no shuffle and no UDF. The
+  * oracle-checked `x_lang_id` / `x_quality` / `x_token_count` /
+  * `x_fingerprint` / `x_rep_ratio` / `x_redact` / `x_train_split` queries
+  * pin these expressions against DuckDB. */
+object TextStats {
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on")
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Stopword-hit ratio — the n-gram language-ID heuristic's core signal. */
+  def stopwordRatio(text: Column,
+                    stopwords: Seq[String] = DefaultStopwords): Column = {
+    val w = words(text)
+    round(size(filter(w, t => t.isInCollection(stopwords))).cast("double") /
+      size(w), 4)
+  }
+
+  /** Threshold language call from the stopword ratio. */
+  def langId(text: Column, lang: String = "en", threshold: Double = 0.05,
+             stopwords: Seq[String] = DefaultStopwords): Column = {
+    val w = words(text)
+    val hits = size(filter(w, t => t.isInCollection(stopwords)))
+    when(hits.cast("double") / size(w) > threshold, lang).otherwise("other")
+  }
+
+  /** Whitespace token count. */
+  def wsTokens(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  def bpeIshTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Length/punctuation quality score in [0,1] (longer is better up to
+    * `fullTokens`; punctuation-dense is worse). */
+  def quality(text: Column, fullTokens: Int = 50): Column = {
+    val nTok = size(words(text))
+    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0)))
+    round(least(nTok.cast("double") / lit(fullTokens.toDouble), lit(1.0)) *
+      (lit(1.0) - nPunct.cast("double") / length(text)), 4)
+  }
+
+  /** Normalised content fingerprint: md5 of the lowercased,
+    * whitespace-collapsed text. Equal ⇒ same content modulo spacing/case. */
+  def contentFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Order-independent bag-of-words fingerprint. */
+  def bagFingerprint(text: Column): Column =
+    md5(array_join(array_sort(split(text, " ")), " "))
+
+  /** Duplicated-word fraction (Gopher-style repetition rule). */
+  def repetitionRatio(text: Column): Column = {
+    val toks = split(trim(text), " +")
+    round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+      size(toks).cast("double"), 4)
+  }
+
+  /** Redact substrings matching each (pattern → replacement), in order.
+    * Defaults scrub email addresses and UK-style phone numbers. */
+  def redact(text: Column,
+             rules: Seq[(String, String)] = Seq(
+               "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+" -> "<EMAIL>",
+               "\\b0[0-9]{3}[ -]?[0-9]{3}[ -]?[0-9]{4}\\b" -> "<PHONE>")): Column =
+    rules.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Reproducible train/eval split: md5-mod on the key — no RNG, so
+    * re-runs and backfills land every row in the same split. */
+  def trainSplit(key: Column, trainPct: Int = 90): Column =
+    when(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+           .cast("bigint") % 100 < trainPct, lit("train"))
+      .otherwise(lit("eval"))
+}

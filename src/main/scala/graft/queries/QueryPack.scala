@@ -698,9 +698,8 @@ object QueryPack {
       .select(
       col("doc_id"), col("lang"),
       size(w).as("n_tokens"), hits.as("stopword_hits"),
-      round(hits.cast("double") / size(w), 4).as("stopword_ratio"),
-      when(hits.cast("double") / size(w) > 0.05, "en").otherwise("other")
-        .as("predicted"))
+      graft.operators.TextStats.stopwordRatio(col("text"), stopwords).as("stopword_ratio"),
+      graft.operators.TextStats.langId(col("text"), "en", 0.05, stopwords).as("predicted"))
   }
 
   /** Quality scoring: token/char/punct stats composed into a score. */
@@ -714,25 +713,23 @@ object QueryPack {
       .select(
       col("doc_id"), nTok.as("n_tokens"), nPunct.as("n_punct"),
       round(meanLen, 4).as("mean_word_len"),
-      round(least(nTok.cast("double") / lit(50.0), lit(1.0)) *
-            (lit(1.0) - nPunct.cast("double") / length(col("text"))), 4).as("quality"))
+      graft.operators.TextStats.quality(col("text"), fullTokens = 50).as("quality"))
   }
 
   /** Token counting: whitespace tokens + BPE-ish regex pieces. */
   def xTokenCount(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents").select(
       col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
-      size(regexp_extract_all(col("text"),
-        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
+      graft.operators.TextStats.wsTokens(col("text")).as("ws_tokens"),
+      graft.operators.TextStats.bpeIshTokens(col("text")).as("bpe_ish_tokens"))
 
   /** Document fingerprinting: normalised content hash + order-independent
     * bag-of-words hash. */
   def xFingerprint(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents").select(
       col("doc_id"),
-      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("content_fp"),
-      md5(array_join(array_sort(split(col("text"), " ")), " ")).as("bag_fp"))
+      graft.operators.TextStats.contentFingerprint(col("text")).as("content_fp"),
+      graft.operators.TextStats.bagFingerprint(col("text")).as("bag_fp"))
 
   /** Deterministic train/eval split — hash-mod partitioning on the document
     * key (the standard reproducible split for training pipelines; no RNG, so
@@ -740,9 +737,7 @@ object QueryPack {
   def xTrainSplit(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents").select(
       col("doc_id"),
-      when(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-             .cast("bigint") % 100 < 90, lit("train"))
-        .otherwise(lit("eval")).as("split"))
+      graft.operators.TextStats.trainSplit(col("doc_id"), trainPct = 90).as("split"))
 
   /** PII redaction — scrub emails and phone-shaped tokens before training.
     * PII is injected deterministically from the key so the scrub is
@@ -753,20 +748,17 @@ object QueryPack {
       lit("@example.com or 0161 496 "), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
     T(s, dir, "documents").select(
       col("doc_id"),
-      md5(regexp_replace(
-        regexp_replace(dirty, "[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>"),
-        "0161 496 [0-9]{4}", "<PHONE>")).as("clean_hash"))
+      md5(graft.operators.TextStats.redact(dirty, Seq(
+        "[A-Za-z0-9._]+@[A-Za-z0-9.]+" -> "<EMAIL>",
+        "0161 496 [0-9]{4}" -> "<PHONE>"))).as("clean_hash"))
   }
 
   /** Word-repetition ratio (Gopher-style quality rule): fraction of
     * duplicated words per document. Pure expressions, narrow. */
-  def xRepRatio(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(col("text")), " +")
+  def xRepRatio(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents").select(
       col("doc_id"),
-      round(lit(1.0) - size(array_distinct(toks)).cast("double") /
-        size(toks).cast("double"), 4).as("rep_ratio"))
-  }
+      graft.operators.TextStats.repetitionRatio(col("text")).as("rep_ratio"))
 
   // === Registry =============================================================
 

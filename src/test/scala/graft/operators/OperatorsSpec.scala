@@ -82,6 +82,28 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("textstats: default redaction scrubs emails and UK phone shapes") {
+    val df = Seq(
+      "mail me at jo.smith+x@nhs-trust.org.uk or call 0161 496 0000 today",
+      "no pii here").toDF("t")
+    val out = df.select(TextStats.redact(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> or call <PHONE> today")
+    assert(out(1) == "no pii here")
+  }
+
+  test("textstats: split is deterministic and roughly proportional") {
+    val df = (1 to 1000).map(_.toLong).toDF("id")
+    val n = df.select(TextStats.trainSplit(col("id")).as("s"))
+      .filter(col("s") === "train").count()
+    assert(n > 850 && n < 950, s"train fraction off: $n/1000")
+    // re-evaluation yields the identical assignment (no RNG)
+    val twice = df.select(col("id"), TextStats.trainSplit(col("id")).as("a"))
+      .withColumn("b", TextStats.trainSplit(col("id")))
+      .filter(col("a") =!= col("b")).count()
+    assert(twice == 0)
+  }
+
   test("ann: lsh bucket-mates and ivf cell-mates score real cosine") {
     val vecs = (0 until 20).map { i =>
       val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.5f, 0.0f)
