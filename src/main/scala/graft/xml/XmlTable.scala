@@ -219,6 +219,17 @@ object XmlTable {
     }
   }
 
+  /** One SAX parser per partition: `XML.loadString` builds a fresh parser
+    * per call, which dominates per-record cost on small records. SAXParser
+    * is reusable across parses within a thread. */
+  private def partitionLoader(): String => Elem = {
+    val factory = javax.xml.parsers.SAXParserFactory.newInstance()
+    factory.setNamespaceAware(false)
+    factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val loader = scala.xml.XML.withSAXParser(factory.newSAXParser())
+    xml => loader.loadString(xml)
+  }
+
   /** X5 — the reference's `yield_xml_record` batching
     * (`lib/ndr_import/xml/table.rb:41-53`): one output row per source XML
     * record, with that record's klass-records nested as an ordered array of
@@ -229,11 +240,13 @@ object XmlTable {
     val spark = df.sparkSession
     import spark.implicits._
     df.select("file", "index", "record_xml").as[(String, Long, String)]
-      .map { case (file, index, xml) =>
-        val rec = scala.xml.XML.loadString(xml)
-        val batch = transformRecord(mapping, rec, index)
-          .map { case (k, f, r, _) => (k, f, r) }
-        (file, index, batch)
+      .mapPartitions { it =>
+        val load = partitionLoader()
+        it.map { case (file, index, xml) =>
+          val batch = transformRecord(mapping, load(xml), index)
+            .map { case (k, f, r, _) => (k, f, r) }
+          (file, index, batch)
+        }
       }.toDF("file", "index", "records")
       .withColumn("records",
         col("records").cast(
@@ -241,15 +254,17 @@ object XmlTable {
   }
 
   /** (file, index, record_xml) → records DataFrame. Executor-side parse;
-    * narrow. */
+    * narrow; one reused SAX parser per partition. */
   def records(df: DataFrame, mapping: TableMapping): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select("file", "index", "record_xml").as[(String, Long, String)]
-      .flatMap { case (file, index, xml) =>
-        val rec = scala.xml.XML.loadString(xml)
-        transformRecord(mapping, rec, index).map { case (k, f, r, i) =>
-          (k, f, r, i, file)
+      .mapPartitions { it =>
+        val load = partitionLoader()
+        it.flatMap { case (file, index, xml) =>
+          transformRecord(mapping, load(xml), index).map { case (k, f, r, i) =>
+            (k, f, r, i, file)
+          }
         }
       }.toDF("klass", "fields", "rawtext", "index", "file")
   }
