@@ -69,8 +69,6 @@ object NonTabular {
     val sBase = if (spec.startInARecord) 1 else 0
 
     val wOrd = Window.partitionBy("file").orderBy("lineno")
-    val wAll = Window.partitionBy("file")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     // N1: rstrip, absolute line numbers already present.
     val base = linesDf.select(col("file"), col("lineno"), rtrim(col("line")).as("rline"))
@@ -136,32 +134,42 @@ object NonTabular {
       .withColumn("rec_id", col("start_cnt"))
       .withColumn("captured", captured)
       .withColumn("closes", closes)
-      .withColumn("max_rec", max(col("start_cnt")).over(wAll))
-      .withColumn("open_at_eof", endPat match {
-        case Some(_) => last(col("start_cnt") > col("end_cnt")).over(wAll)
-        case None    => last(col("start_cnt") > 0).over(wAll)
-      })
 
     // Group captured lines per (file, record); keep per-record flags.
-    val groups = perLine
+    // File-level facts (highest record id, whether the first start opens
+    // the file) are windows over the GROUPS, not the lines — one row per
+    // record instead of one per line, so no full-line buffering pass.
+    val groups0 = perLine
       .filter(col("rec_id") >= 1)
       .groupBy(col("file"), col("rec_id"))
       .agg(
         sort_array(collect_list(when(col("captured"),
           struct(col("lineno"), col("rline"))))).as("cap"),
         max(col("closes").cast("int")).as("any_close"),
-        first(col("max_rec")).as("max_rec"),
-        first(col("open_at_eof")).as("open_at_eof"))
+        // the open/closed state at this group's LAST line; for the file's
+        // final group that is the file's last line — the reference's
+        // end-of-file state (map-side combining agg, no window pass)
+        max_by(endPat match {
+          case Some(_) => col("start_cnt") > col("end_cnt")
+          case None    => col("start_cnt") > 0
+        }, col("lineno")).as("last_open"))
       .withColumn("lines", transform(col("cap"), s => s.getField("rline")))
       .withColumn("n_cap", size(col("lines")))
+    val wFile = Window.partitionBy("file")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val groups = groups0
+      .withColumn("max_rec", max(col("rec_id")).over(wFile))
+      .withColumn("has_seg1",
+        max(when(col("rec_id") === 1, 1).otherwise(0)).over(wFile))
 
     // Record validity (`table.rb:134-167` start_record/end_record/
     // process_end_of_record): closed records always emit (even empty);
-    // the trailing open record emits only if end_in_a_record AND non-empty.
+    // the trailing open record emits only if end_in_a_record AND non-empty
+    // — "open at EOF" is the final group's own last-line state.
     val valid = endPat match {
       case Some(_) =>
         col("any_close") === 1 ||
-          (col("rec_id") === col("max_rec") && col("open_at_eof") &&
+          (col("rec_id") === col("max_rec") && col("last_open") &&
             lit(spec.endInARecord) && col("n_cap") > 0)
       case None =>
         col("rec_id") < col("max_rec") ||
@@ -171,17 +179,12 @@ object NonTabular {
     // Synthetic record for `start_in_a_record` when no line precedes the
     // first start marker (the reference still tabulates that empty record).
     val withSynthetic = if (sBase == 1) {
-      val meta = perLine.groupBy(col("file"))
-        .agg(max(col("start_cnt")).as("max_rec"),
-             max(when(col("rec_id") === 1, 1).otherwise(0)).as("has_seg0"),
-             max(col("open_at_eof").cast("int")).as("open_eof"))
-      val synth = meta.filter(col("has_seg0") === 0 && col("max_rec") >= 1)
+      val synth = groups.filter(col("has_seg1") === 0 && col("rec_id") === col("max_rec"))
         .select(col("file"), lit(1L).as("rec_id"),
           array().cast("array<struct<lineno:long,rline:string>>").as("cap"),
-          lit(0).as("any_close"), col("max_rec"),
-          (col("open_eof") === 1).as("open_at_eof"))
-        .withColumn("lines", array().cast("array<string>"))
-        .withColumn("n_cap", lit(0))
+          lit(0).as("any_close"), lit(false).as("last_open"),
+          array().cast("array<string>").as("lines"), lit(0).as("n_cap"),
+          col("max_rec"), col("has_seg1"))
       groups.unionByName(synth)
     } else groups
 
