@@ -108,8 +108,12 @@ object Ann {
         lit(0.0), (acc, x) => acc + x))
     val cell = element_at(typedLit(centroids.map(_._1)),
       array_position(ds, array_min(ds)).cast("int"))
+    // Materialise the assignment once (the IVF "index build"): both join
+    // sides read it, and without this Spark recomputes the argmin scan per
+    // side. Spills to disk above memory — the deliberate cost of an index.
     val assigned = vectors.select(col(idCol), col(embCol),
       cell.as("cell"), norm(col(embCol)).as("_nrm"))
+      .localCheckpoint()
     val build = assigned.select(col(idCol).as("_b_id"),
       col(embCol).as("_b_emb"), col("cell").as("_b_cell"),
       col("_nrm").as("_b_nrm"))
