@@ -263,13 +263,118 @@ object QueryPack {
         element_at(col("cells"), 2).as("brand"))
   }
 
+  // ---- t12 fixture writers (driver-side; each format produced natively) --
+
+  /** Minimal BIFF8 Workbook stream: globals (BOF, BOUNDSHEET, EOF), zero
+    * padding (never scanned — the sheet substream is reached by offset),
+    * then the sheet substream with inline LABEL cells. */
+  private def biff8Workbook(sheetName: String, rows: Seq[Seq[String]]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def rec(id: Int, data: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(id.toShort).putShort(data.length.toShort).put(data).array()
+    }
+    def bof(dt: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0x0600.toShort).putShort(dt.toShort)
+      rec(0x809, b.array())
+    }
+    def label(row: Int, c: Int, v: String): Array[Byte] = {
+      val str = v.getBytes("ISO-8859-1")
+      val b = ByteBuffer.allocate(9 + str.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(row.toShort).putShort(c.toShort).putShort(0)
+        .putShort(str.length.toShort).put(0.toByte).put(str)
+      rec(0x204, b.array())
+    }
+    val sheet = bof(0x0010) ++
+      rows.zipWithIndex.flatMap { case (cells, r) =>
+        cells.zipWithIndex.flatMap { case (v, c) => label(r, c, v) }
+      } ++ rec(0x0A, Array.emptyByteArray)
+    def boundsheet(offset: Int): Array[Byte] = {
+      val nameB = sheetName.getBytes("ISO-8859-1")
+      val b = ByteBuffer.allocate(8 + nameB.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(offset).putShort(0).put(nameB.length.toByte).put(0.toByte).put(nameB)
+      rec(0x85, b.array())
+    }
+    val globalsLen = bof(0x0005).length + boundsheet(0).length + 4
+    // pad so the whole stream clears the CFB mini-stream cutoff (4096)
+    val pad = math.max(0, 4096 - (globalsLen + sheet.length))
+    val offset = globalsLen + pad
+    bof(0x0005) ++ boundsheet(offset) ++ rec(0x0A, Array.emptyByteArray) ++
+      new Array[Byte](pad) ++ sheet
+  }
+
+  /** Minimal CFB (OLE2) container holding one regular-FAT stream. */
+  private def cfbContainer(streamName: String, stream: Array[Byte]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val nSec = (stream.length + 511) / 512
+    require(nSec <= 126, "single-FAT-sector writer")
+    val total = ByteBuffer.allocate(512 * (2 + nSec + 1)).order(ByteOrder.LITTLE_ENDIAN)
+    // header
+    total.putLong(0xE11AB1A1E011CFD0L)
+    total.position(0x18)
+    total.putShort(0x003E.toShort).putShort(0x0003.toShort)  // minor/major
+      .putShort(0xFFFE.toShort)                               // byte order
+      .putShort(9.toShort).putShort(6.toShort)                // sector/mini shift
+    total.position(0x2C)
+    total.putInt(1)      // FAT sectors
+      .putInt(1)         // first directory sector
+      .putInt(0)         // transaction signature
+      .putInt(4096)      // mini cutoff
+      .putInt(-2)        // first miniFAT
+      .putInt(0)         // miniFAT count
+      .putInt(-2)        // first DIFAT
+      .putInt(0)         // DIFAT count
+    total.putInt(0x4C, 0)                                    // DIFAT[0] = FAT at sector 0
+    for (i <- 1 until 109) total.putInt(0x4C + i * 4, -1)
+    // FAT (sector 0): FAT itself, dir chain end, stream chain
+    total.position(512)
+    total.putInt(0xFFFFFFFD)                                 // sector 0: FATSECT
+    total.putInt(-2)                                         // sector 1: dir, end
+    for (i <- 0 until nSec) total.putInt(if (i == nSec - 1) -2 else 2 + i + 1)
+    for (_ <- (2 + nSec) until 128) total.putInt(-1)
+    // directory (sector 1): Root Entry + the stream
+    def dirEntry(at: Int, name: String, tpe: Int, child: Int, start: Int, size: Int): Unit = {
+      val utf = name.getBytes("UTF-16LE")
+      total.position(at); total.put(utf)
+      total.putShort(at + 0x40, ((name.length + 1) * 2).toShort)
+      total.put(at + 0x42, tpe.toByte); total.put(at + 0x43, 1.toByte)
+      total.putInt(at + 0x44, -1); total.putInt(at + 0x48, -1)
+      total.putInt(at + 0x4C, child)
+      total.putInt(at + 0x74, start); total.putInt(at + 0x78, size)
+    }
+    dirEntry(1024, "Root Entry", 5, 1, -2, 0)
+    dirEntry(1024 + 128, streamName, 2, -1, 2, stream.length)
+    // stream sectors from sector 2
+    total.position(1536); total.put(stream)
+    total.array()
+  }
+
+  /** Minimal docx: one paragraph per line. */
+  private def docxBytes(lines: Seq[String]): Array[Byte] = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    def esc(v: String) = v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val doc = """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+      lines.map(l => s"<w:p><w:r><w:t>${esc(l)}</w:t></w:r></w:p>").mkString +
+      "</w:body></w:document>"
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("word/document.xml"))
+    z.write(doc.getBytes("UTF-8")); z.closeEntry(); z.close()
+    bos.toByteArray
+  }
+
+  private val t12Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** T12 — the orchestration layer end-to-end (`universal_importer_helper.rb`):
-    * a zip containing a CSV (nation) and an xlsx (region) flows through
-    * container expansion (S16), filename-pattern mapping match (T1),
-    * per-format reads (S2/S3), header consume+validate (T3), mapping
-    * compilation and canonical-table union (T12). The fixture is generated
-    * driver-side from the sf parquet (30 rows total), so the DuckDB oracle
-    * is a plain UNION ALL over the same tables. */
+    * a zip containing a CSV (nation), an xlsx (region), a native BIFF8 .xls
+    * (supplier) and a .docx (customer) flows through container expansion
+    * (S16), filename-pattern mapping match (T1), the delimited/xlsx/OLE
+    * Biff8/Word readers (S2/S3/S13), header validation (T3), non-tabular
+    * capture (N3/N4 for the docx) and canonical-table union (T12). Fixtures
+    * are generated driver-side from the sf parquet (cached per JVM — the
+    * system under test is the import, not fixture writing), so the DuckDB
+    * oracle is a plain four-way UNION ALL. */
   def t12ImporterUnion(s: SparkSession, dir: String): DataFrame = {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val nation = T(s, dir, "nation").select(col("n_nationkey").cast("long"), col("n_name"))
@@ -307,12 +412,28 @@ object QueryPack {
       z.close(); bos.toByteArray
     }
 
-    val tmp = java.nio.file.Files.createTempDirectory("graft_t12")
-    val zipPath = tmp.resolve("places.zip")
-    val z = new ZipOutputStream(java.nio.file.Files.newOutputStream(zipPath))
-    z.putNextEntry(new ZipEntry("nation.csv")); z.write(csv); z.closeEntry()
-    z.putNextEntry(new ZipEntry("region.xlsx")); z.write(xlsxBytes); z.closeEntry()
-    z.close()
+    val supplier = T(s, dir, "supplier").select(col("s_suppkey").cast("long"), col("s_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // bounded like s12: the docx fixture stays small at every sf
+    val customer = T(s, dir, "customer").filter(col("c_custkey") < 2000)
+      .select(col("c_custkey").cast("long"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+
+    val xlsBytes = cfbContainer("Workbook", biff8Workbook("Suppliers",
+      Seq("key", "name") +: supplier.map { case (k, n) => Seq(k.toString, n) }))
+    val docLines = customer.map { case (k, n) => s"K=$k N=$n" }
+
+    val zipPath = t12Cache.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_t12")
+      val p = tmp.resolve("places.zip")
+      val z = new ZipOutputStream(java.nio.file.Files.newOutputStream(p))
+      z.putNextEntry(new ZipEntry("nation.csv")); z.write(csv); z.closeEntry()
+      z.putNextEntry(new ZipEntry("region.xlsx")); z.write(xlsxBytes); z.closeEntry()
+      z.putNextEntry(new ZipEntry("supplier.xls")); z.write(xlsBytes); z.closeEntry()
+      z.putNextEntry(new ZipEntry("customer.docx")); z.write(docxBytes(docLines)); z.closeEntry()
+      z.close()
+      p.toString
+    })
 
     def tableYaml(pattern: String) =
       s"""|- canonical_name: places
@@ -327,10 +448,34 @@ object QueryPack {
           |    mappings:
           |    - field: name
           |""".stripMargin
-    val mappings = MappingLoader.loadTables(tableYaml("csv") + tableYaml("xlsx"))
+    val docxYaml =
+      """|- canonical_name: places
+         |  filename_pattern: !ruby/regexp /\.docx\z/i
+         |  format: docx
+         |  start_line_pattern: !ruby/regexp /\AK=/
+         |  capture_start_line: true
+         |  end_in_a_record: true
+         |  klass: Place
+         |  columns:
+         |  - column: key
+         |    non_tabular_cell:
+         |      lines: 0
+         |      capture: !ruby/regexp /\AK=(\d+) /
+         |    mappings:
+         |    - field: key
+         |  - column: name
+         |    non_tabular_cell:
+         |      lines: 0
+         |      capture: !ruby/regexp / N=(.+)\z/
+         |    mappings:
+         |    - field: name
+         |""".stripMargin
+    val mappings = MappingLoader.loadTables(
+      tableYaml("csv") + tableYaml("xlsx") + tableYaml("xls") + docxYaml)
 
-    graft.run.Importer.mappedTables(s, zipPath.toString, mappings,
-        graft.run.Registry.ContainerOptions(unzipPath = tmp.toString))("places")
+    graft.run.Importer.mappedTables(s, zipPath, mappings,
+        graft.run.Registry.ContainerOptions(
+          unzipPath = java.nio.file.Paths.get(zipPath).getParent.toString))("places")
       .select(element_at(col("fields"), "key").as("key"),
               element_at(col("fields"), "name").as("name"))
   }
@@ -895,7 +1040,12 @@ object QueryPack {
     "t12_importer_union" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS key, n_name AS name FROM nation
         |UNION ALL
-        |SELECT CAST(r_regionkey AS VARCHAR) AS key, r_name AS name FROM region""".stripMargin,
+        |SELECT CAST(r_regionkey AS VARCHAR) AS key, r_name AS name FROM region
+        |UNION ALL
+        |SELECT CAST(s_suppkey AS VARCHAR) AS key, s_name AS name FROM supplier
+        |UNION ALL
+        |SELECT CAST(c_custkey AS VARCHAR) AS key, c_name AS name FROM customer
+        |WHERE c_custkey < 2000""".stripMargin,
     "s12_pdf_text" ->
       """SELECT p_partkey AS partkey, p_brand AS brand FROM part
         |WHERE p_partkey < 2000""".stripMargin,
