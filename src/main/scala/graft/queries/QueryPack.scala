@@ -480,6 +480,66 @@ object QueryPack {
               element_at(col("fields"), "name").as("name"))
   }
 
+  /** S9 — the Avro container reader end-to-end: nation is written to a real
+    * Avro file driver-side (avro core ships with Spark) and read back by
+    * the engine's own container decoder, synthetic header row and
+    * value-stringification included. */
+  def s9Avro(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericDatumWriter, GenericRecordBuilder, GenericRecord}
+    val nation = T(s, dir, "nation").select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val schema: Schema = SchemaBuilder.record("Nation").fields()
+      .requiredLong("key").requiredString("name").endRecord()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s9")
+    val path = tmp.resolve("nation.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path.toFile)
+    nation.foreach { case (k, n) =>
+      w.append(new GenericRecordBuilder(schema).set("key", k).set("name", n).build())
+    }
+    w.close()
+    graft.sources.Avro.rows(s, Seq(path.toString))
+      .filter(col("lineno") > 0) // drop the synthetic header row
+      .select(element_at(col("cells"), 1).as("key"),
+              element_at(col("cells"), 2).as("name"))
+  }
+
+  /** S11 — the VCF reader end-to-end: parts render to a VCF text file
+    * (## meta lines skipped, # stripped from the header, tab cells). */
+  def s11Vcf(s: SparkSession, dir: String): DataFrame = {
+    val parts = T(s, dir, "part").filter(col("p_partkey") < 2000)
+      .select(col("p_partkey").cast("long"), col("p_brand"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val text = "##fileformat=VCFv4.2\n##source=graft\n#CHROM\tPOS\tID\n" +
+      parts.map { case (k, b) => s"1\t$k\t$b" }.mkString("", "\n", "\n")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s11")
+    val path = tmp.resolve("parts.vcf")
+    java.nio.file.Files.write(path, text.getBytes("UTF-8"))
+    graft.sources.Tabular.vcf(s, Seq(path.toString))
+      .filter(col("lineno") > 0) // drop the #CHROM header row
+      .select(element_at(col("cells"), 2).as("pos"),
+              element_at(col("cells"), 3).as("id"))
+  }
+
+  /** S15 — the AcroForm scraper end-to-end: a generated PDF carries one
+    * text field per nation; the single fields-hash row is exploded back to
+    * (field, value) pairs. */
+  def s15Acroform(s: SparkSession, dir: String): DataFrame = {
+    val nation = T(s, dir, "nation").select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def esc(v: String) = v.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val pdf = "%PDF-1.4\n" + nation.zipWithIndex.map { case ((k, n), i) =>
+      s"${i + 1} 0 obj << /FT /Tx /Subtype /Widget /T (k$k) /V (${esc(n)}) >> endobj\n"
+    }.mkString + "%%EOF\n"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s15")
+    val path = tmp.resolve("form.pdf")
+    java.nio.file.Files.write(path, pdf.getBytes("ISO-8859-1"))
+    graft.sources.Pdf.acroForm(s, Seq(path.toString))
+      .select(explode(col("fields_hash")).as(Seq("field", "value")))
+  }
+
   /** N1–N5 — the non-tabular segmentation pipeline end-to-end, distributed:
     * each order is rendered as a three-line text block (still a narrow
     * per-row transform — no driver-side collect), the block stream is
@@ -925,6 +985,9 @@ object QueryPack {
     "n3_segments" -> (n3Segments _),
     "x3_xml_repeat" -> (x3XmlRepeat _),
     "s12_pdf_text" -> (s12PdfText _),
+    "s9_avro" -> (s9Avro _),
+    "s11_vcf" -> (s11Vcf _),
+    "s15_acroform" -> (s15Acroform _),
     "m8_dates" -> (m8Dates _),
     "m10_map_dict" -> (m10MapDict _),
     "m11_match" -> (m11Match _),
@@ -1049,6 +1112,13 @@ object QueryPack {
     "s12_pdf_text" ->
       """SELECT p_partkey AS partkey, p_brand AS brand FROM part
         |WHERE p_partkey < 2000""".stripMargin,
+    "s9_avro" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS key, n_name AS name FROM nation""".stripMargin,
+    "s11_vcf" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS pos, p_brand AS id FROM part
+        |WHERE p_partkey < 2000""".stripMargin,
+    "s15_acroform" ->
+      """SELECT 'k' || n_nationkey AS field, n_name AS value FROM nation""".stripMargin,
     "x_train_split" ->
       """SELECT doc_id,
         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
