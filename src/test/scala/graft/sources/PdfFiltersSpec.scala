@@ -183,6 +183,92 @@ class PdfFiltersSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DCTDecode"), e.getMessage)
   }
 
+  // ------------------------------------------ seeded round-trip properties
+
+  private def randomArrays(seed: Long, n: Int, maxLen: Int): Seq[Array[Byte]] = {
+    val rnd = new scala.util.Random(seed)
+    // mix of uniform noise and run-heavy data (exercises RLE/LZW dictionaries)
+    (0 until n).map { i =>
+      val len = rnd.nextInt(maxLen + 1)
+      val a = new Array[Byte](len)
+      if (i % 2 == 0) rnd.nextBytes(a)
+      else {
+        var j = 0
+        while (j < len) {
+          val run = math.min(1 + rnd.nextInt(200), len - j)
+          val b = rnd.nextInt(256).toByte
+          java.util.Arrays.fill(a, j, j + run, b)
+          j += run
+        }
+      }
+      a
+    }
+  }
+
+  test("property: asciiHex/ascii85/runLength/lzw round-trip random data") {
+    def hexEncode(d: Array[Byte]): Array[Byte] =
+      s2b(d.map(b => f"${b & 0xFF}%02X").mkString + ">")
+    def rleEncode(d: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < d.length) {
+        var run = 1
+        while (i + run < d.length && d(i + run) == d(i) && run < 128) run += 1
+        if (run >= 2) { out.write(257 - run); out.write(d(i)); i += run }
+        else {
+          var lit = 1
+          while (i + lit < d.length && lit < 128 &&
+            (i + lit + 1 >= d.length || d(i + lit) != d(i + lit + 1))) lit += 1
+          out.write(lit - 1); out.write(d, i, lit); i += lit
+        }
+      }
+      out.write(128); out.toByteArray
+    }
+    for (data <- randomArrays(seed = 42, n = 40, maxLen = 2000)) {
+      assert(PdfFilters.asciiHex(hexEncode(data)).toSeq == data.toSeq)
+      assert(PdfFilters.ascii85(s2b(encode85(data) + "~>")).toSeq == data.toSeq)
+      assert(PdfFilters.runLength(rleEncode(data)).toSeq == data.toSeq)
+      assert(PdfFilters.lzw(lzwEncode(data), earlyChange = 1).toSeq == data.toSeq)
+    }
+  }
+
+  test("property: png predictors round-trip random rows") {
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 20) {
+      val cols = 1 + rnd.nextInt(16)
+      val rows = 1 + rnd.nextInt(12)
+      val raw = new Array[Byte](rows * cols)
+      rnd.nextBytes(raw)
+      val enc = new java.io.ByteArrayOutputStream()
+      for (r <- 0 until rows) {
+        val t = rnd.nextInt(5) // 0=none 1=sub 2=up 3=average 4=paeth
+        enc.write(t)
+        for (c <- 0 until cols) {
+          val cur = raw(r * cols + c) & 0xFF
+          val left = if (c > 0) raw(r * cols + c - 1) & 0xFF else 0
+          val up = if (r > 0) raw((r - 1) * cols + c) & 0xFF else 0
+          val ul = if (r > 0 && c > 0) raw((r - 1) * cols + c - 1) & 0xFF else 0
+          val pred = t match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          enc.write((cur - pred) & 0xFF)
+        }
+      }
+      val parms = PdfFilters.Parms(predictor = 15, columns = cols)
+      assert(PdfFilters.unpredict(enc.toByteArray, parms).toSeq == raw.toSeq,
+        s"cols=$cols rows=$rows")
+    }
+  }
+
   /** Reference ASCII85 encoder for the chain test. */
   private def encode85(data: Array[Byte]): String = {
     val sb = new StringBuilder
