@@ -15,14 +15,15 @@ import org.apache.spark.sql.functions._
   * shuffles.
   *
   * IMAGE decode is REAL: PNG/JPEG/GIF/BMP via `javax.imageio` (ships in
-  * the JDK) — actual pixel dimensions and Rec. 601 mean luma. The
-  * AUDIO/VIDEO codecs remain deterministic STUBS, clearly marked (no
-  * media libraries ship in this container): each stub derives its output
-  * from an md5 of the bytes, so pipelines are testable end-to-end and
-  * stable across runs; a real deployment swaps `sampleFramesStub` for an
-  * ffmpeg binding without touching any of the Spark plumbing around it.
-  * Embeddings are likewise content-hash stubs (a real pipeline calls a
-  * model here).
+  * the JDK) — actual pixel dimensions and Rec. 601 mean luma. AUDIO decode
+  * is REAL for PCM WAV/AIFF/AU via `javax.sound.sampled` (also JDK) —
+  * actual sample rate, frame count and RMS amplitude. Only VIDEO remains a
+  * deterministic STUB, clearly marked (no video codec ships in the JDK):
+  * it derives output from an md5 of the bytes, so pipelines are testable
+  * end-to-end and stable across runs; a real deployment swaps
+  * `sampleFramesStub` for an ffmpeg binding without touching any of the
+  * Spark plumbing around it. Embeddings are likewise content-hash stubs
+  * (a real pipeline calls a model here).
   */
 object Multimodal {
 
@@ -67,6 +68,64 @@ object Multimodal {
     val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     val n = math.max(1, meta.width * meta.height)
     Array.tabulate(math.min(n, 4096))(i => h(i % 16))
+  }
+
+  final case class AudioFeatures(docId: Long, sampleRateHz: Int, channels: Int,
+                                 nFrames: Long, durationSec: Double, rms: Double)
+
+  /** REAL audio decode via javax.sound.sampled (ships in the JDK):
+    * sample rate, channels, frame count and RMS amplitude from the actual
+    * PCM samples (16-bit signed, either endianness). Returns None for
+    * bytes the JDK can't decode (no WAV/AIFF/AU header, or a compressed
+    * codec) — those fall back to the deterministic stub. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      if (fmt.getSampleSizeInBits != 16) { in.close(); None }
+      else {
+        val data = in.readAllBytes()
+        in.close()
+        var sumSq = 0.0
+        var n = 0
+        var i = 0
+        while (i + 1 < data.length) {
+          val s =
+            if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+            else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+          val v = s / 32768.0
+          sumSq += v * v
+          n += 1
+          i += 2
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, frames,
+          if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Audio feature extraction: one decode context per partition. Decodable
+    * PCM audio gets REAL rate/frames/RMS; other bytes fall back to the
+    * content-hash stub (rate from metadata, pseudo-RMS). */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "audio").map { r =>
+        decodeAudio(r.bytes) match {
+          case Some((rate, ch, frames, rms)) =>
+            AudioFeatures(r.docId, rate, ch, frames,
+              if (rate == 0) 0.0 else frames.toDouble / rate, rms)
+          case None =>
+            val h = java.security.MessageDigest.getInstance("MD5").digest(r.bytes)
+            AudioFeatures(r.docId, r.meta.sampleRateHz, 1, r.bytes.length.toLong,
+              if (r.meta.sampleRateHz == 0) 0.0
+              else r.bytes.length.toDouble / r.meta.sampleRateHz,
+              (h(0) & 0xFF) / 255.0)
+        }
+      }
+    }
   }
 
   /** STUB — sample k frames from a "video": returns k pseudo-frames. */

@@ -76,6 +76,36 @@ class MultimodalSpec extends SparkSpec {
     assert(embs.distinct.length == 3)
   }
 
+  test("real WAV decode: sample rate, frames and RMS from actual PCM") {
+    import javax.sound.sampled._
+    import spark.implicits._
+    // 0.5 s of a full-scale-/2 sine at 440 Hz, 8 kHz mono PCM16 →
+    // RMS = 0.5/sqrt(2) ≈ 0.3536
+    val rate = 8000
+    val n = rate / 2
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(i * 2) = (v & 0xFF).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val ds = Seq(MediaRow(7, "audio", wav, MediaMeta("wav", 0, 0, 0, 0))).toDS()
+    val f = audioFeatures(ds).collect().head
+    assert(f.sampleRateHz == rate && f.channels == 1 && f.nFrames == n)
+    assert(math.abs(f.durationSec - 0.5) < 1e-9)
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 1e-3, s"rms=${f.rms}")
+    // undecodable bytes fall back to the deterministic stub
+    val stub = audioFeatures(Seq(media(8, "audio", "noise")).toDS()).collect().head
+    assert(stub.docId == 8 && stub.rms >= 0.0 && stub.rms <= 1.0)
+  }
+
   test("binary columns survive a parquet round-trip") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mm").toString + "/media"
