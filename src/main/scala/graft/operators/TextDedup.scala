@@ -91,6 +91,63 @@ object TextDedup {
     agg.select(col(idCol), sim.as(s"simhash$bits"))
   }
 
+  /** Connected components over a candidate-pair edge list — turns near-dup
+    * PAIRS into CLUSTERS (every doc labelled with its component's minimum
+    * id, the canonical representative). Min-label propagation: each
+    * iteration joins current labels across edges and keeps the minimum;
+    * converged when no label changes. Iterations are shuffles on the id —
+    * component diameter bounds the iteration count (near-dup clusters are
+    * shallow in practice), and each round is checkpointed so the plan
+    * doesn't grow with the loop.
+    *
+    * Input: pairs with columns (`idA`, `idB`). Output: (`id`, `component`).
+    * Isolated ids never present in `pairs` are absent — union the full id
+    * set with `coalesce(component, id)` downstream if needed. */
+  def connectedComponents(pairs: DataFrame, idA: String, idB: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts the min of its own and its neighbours' labels
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nbr_component"))
+      val next = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.component") =!= col("o.component")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Canonical-doc selection: given docs and near-dup pairs, label every
+    * doc with its cluster representative (cluster = connected component of
+    * the pair graph; representative = min id) and mark survivors. */
+  def dedupByClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                      idA: String, idB: String): DataFrame = {
+    val comp = connectedComponents(pairs, idA, idB)
+      .withColumnRenamed("id", "_cc_id")
+    docs.join(comp, docs(idCol) === col("_cc_id"), "left")
+      .withColumn("component", coalesce(col("component"), docs(idCol)))
+      .withColumn("is_canonical", docs(idCol) === col("component"))
+      .drop("_cc_id")
+  }
+
   /** Word-bigram Jaccard similarity over an all-pairs join — for BOUNDED
     * candidate sets only (e.g. the output of [[lshCandidatePairs]] joined
     * back to text, or a pre-filtered id range). Not a scale path on its

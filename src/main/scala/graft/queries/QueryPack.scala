@@ -936,6 +936,14 @@ object QueryPack {
       graft.operators.TextStats.contentFingerprint(col("text")).as("content_fp"),
       graft.operators.TextStats.bagFingerprint(col("text")).as("bag_fp"))
 
+  /** Near-dup clustering: LSH candidate pairs → connected components —
+    * every involved doc labelled with its cluster's min id (the canonical
+    * representative). The DuckDB twin is a recursive transitive closure. */
+  def xDedupCluster(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup.connectedComponents(
+        xMinhashPairs(s, dir), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component"))
+
   /** Deterministic train/eval split — hash-mod partitioning on the document
     * key (the standard reproducible split for training pipelines; no RNG, so
     * re-runs and backfills land every doc in the same split). Narrow. */
@@ -1008,12 +1016,39 @@ object QueryPack {
     "x_quality" -> (xQuality _),
     "x_token_count" -> (xTokenCount _),
     "x_fingerprint" -> (xFingerprint _),
+    "x_dedup_cluster" -> (xDedupCluster _),
     "x_train_split" -> (xTrainSplit _),
     "x_redact" -> (xRedact _),
     "x_rep_ratio" -> (xRepRatio _),
     "x_asof_join" -> (xAsofJoin _),
     "x_range_join" -> (xRangeJoin _),
     "x_salted_agg" -> (xSaltedAgg _))
+
+  private val minhashPairsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
+      |    ELSE [] END AS sh
+      |  FROM documents),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    list_transform(sh, x -> ('0x'||substr(md5(x),1,8))::BIGINT) AS hs
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_min(list_transform(hs, h -> (h * 3 + 12345) % 4294967311)) AS mh0,
+      |    list_min(list_transform(hs, h -> (h * 5 + 1012348) % 4294967311)) AS mh1,
+      |    list_min(list_transform(hs, h -> (h * 7 + 2012351) % 4294967311)) AS mh2,
+      |    list_min(list_transform(hs, h -> (h * 9 + 3012354) % 4294967311)) AS mh3
+      |  FROM hashed),
+      |bands AS (
+      |  SELECT doc_id, concat_ws(':', 'b0', mh0, mh1) AS bucket FROM sig
+      |  UNION ALL
+      |  SELECT doc_id, concat_ws(':', 'b1', mh2, mh3) AS bucket FROM sig)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
 
   /** DuckDB equivalents. Shared md5-prefix hash:
     * `('0x'||substr(md5(x),1,8))::BIGINT` == Spark `conv(substr(md5(x),1,8),16,10)`. */
@@ -1196,31 +1231,17 @@ object QueryPack {
         |  list_min(list_transform(hs, h -> (h * 11 + 4012357) % 4294967311)) AS mh4,
         |  list_min(list_transform(hs, h -> (h * 13 + 5012360) % 4294967311)) AS mh5
         |FROM hashed""".stripMargin,
-    "x_minhash_pairs" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-        |      list_transform(range(1, len(string_split(text, ' ')) - 1),
-        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
-        |    ELSE [] END AS sh
-        |  FROM documents),
-        |hashed AS (
-        |  SELECT doc_id,
-        |    list_transform(sh, x -> ('0x'||substr(md5(x),1,8))::BIGINT) AS hs
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id,
-        |    list_min(list_transform(hs, h -> (h * 3 + 12345) % 4294967311)) AS mh0,
-        |    list_min(list_transform(hs, h -> (h * 5 + 1012348) % 4294967311)) AS mh1,
-        |    list_min(list_transform(hs, h -> (h * 7 + 2012351) % 4294967311)) AS mh2,
-        |    list_min(list_transform(hs, h -> (h * 9 + 3012354) % 4294967311)) AS mh3
-        |  FROM hashed),
-        |bands AS (
-        |  SELECT doc_id, concat_ws(':', 'b0', mh0, mh1) AS bucket FROM sig
-        |  UNION ALL
-        |  SELECT doc_id, concat_ws(':', 'b1', mh2, mh3) AS bucket FROM sig)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+    "x_minhash_pairs" -> minhashPairsSql,
+    "x_dedup_cluster" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |cc(id, comp) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, cc.comp FROM edges e JOIN cc ON cc.id = e.dst)
+         |SELECT id AS doc_id, min(comp) AS component FROM cc GROUP BY id""".stripMargin,
     "x_simhash" -> (
       """WITH ex AS (
         |  SELECT doc_id, ('0x'||substr(md5(w),1,8))::BIGINT AS h

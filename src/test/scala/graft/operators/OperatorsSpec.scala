@@ -82,6 +82,42 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("connected components match naive union-find on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    // naive union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x)).toMap
+    // min-id canonicalisation: map each root to the min member of its class
+    val canon = want.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    val expected = want.map { case (x, r) => x -> canon(r) }
+
+    val pairs = edges.toDF("a", "b")
+    val got = TextDedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("dedupByClusters labels canonical docs across a dup chain") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("id", "t")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b") // chain: {1,2,3}
+    val out = TextDedup.dedupByClusters(docs, "id", pairs, "a", "b")
+      .select("id", "component", "is_canonical")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true)))
+  }
+
   test("textstats: default redaction scrubs emails and UK phone shapes") {
     val df = Seq(
       "mail me at jo.smith+x@nhs-trust.org.uk or call 0161 496 0000 today",
