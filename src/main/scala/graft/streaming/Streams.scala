@@ -100,10 +100,12 @@ object Streams {
       .dropDuplicatesWithinWatermark("content_hash")
 
   /** File-stream ingestion of delimited data through the mapping pipeline:
-    * the streaming twin of the batch Importer's csv path. Line numbers are
-    * per-batch-file via a stateless parse (no global ordering — headers
-    * handled by dropping the first `header_lines` of each file via the
-    * text reader's `includeFileName`). */
+    * the streaming twin of the batch Importer's csv path. Headers are
+    * consumed by the csv reader; a per-file line ORDINAL does not exist on
+    * an unbounded stream (and `monotonically_increasing_id` is rejected on
+    * streaming plans), so `lineno`/`index` carry a content-derived
+    * surrogate id — unique per distinct row, stable across retries. Use
+    * `row_identifier: uuid` mappings rather than `index` on streams. */
   def delimitedStream(spark: SparkSession, dir: String, mapping: TableMapping): DataFrame = {
     val sep = mapping.delimiter.getOrElse(",")
     val schema = org.apache.spark.sql.types.StructType(
@@ -117,7 +119,8 @@ object Streams {
     val cells = array(mapping.columns.indices.map(i => col(s"c$i")): _*)
     val withMeta = lines.select(
       input_file_name().as("file"),
-      monotonically_increasing_id().as("lineno"),
+      xxhash64(input_file_name(), to_json(struct(
+        mapping.columns.indices.map(i => col(s"c$i")): _*))).as("lineno"),
       cells.as("cells"))
     MappingCompiler(mapping).records(withMeta)
   }

@@ -54,6 +54,43 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("delimitedStream matches the batch delimited path on the same files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftstream")
+    java.nio.file.Files.write(dir.resolve("a.csv"),
+      "surname,forename\nSMITH,JOHN\nDOE,JANE\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.csv"),
+      "surname,forename\nBLOGGS,FRED\n".getBytes("UTF-8"))
+    val mapping = graft.model.MappingLoader.loadTable(
+      """|header_lines: 1
+         |klass: Person
+         |columns:
+         |- column: surname
+         |  mappings:
+         |  - field: surname
+         |- column: forename
+         |  mappings:
+         |  - field: forename
+         |""".stripMargin)
+    val q = delimitedStream(spark, dir.toString, mapping)
+      .writeStream.format("memory").queryName("par").outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = spark.sql("select fields['surname'] s, fields['forename'] f from par")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    // batch twin over the same two files
+    val batch = graft.run.Importer.mappedTables(spark,
+        dir.resolve("a.csv").toString,
+        Seq(mapping.copy(filenamePattern = Some("\\.csv\\z"), canonicalName = Some("p"))))("p")
+      .unionByName(graft.run.Importer.mappedTables(spark,
+        dir.resolve("b.csv").toString,
+        Seq(mapping.copy(filenamePattern = Some("\\.csv\\z"), canonicalName = Some("p"))))("p"))
+      .select(element_at(col("fields"), "surname"), element_at(col("fields"), "forename"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.length == 3)
+    q.stop()
+  }
+
   test("streaming exact dedup drops watermark-window duplicates across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
