@@ -106,7 +106,18 @@ object Importer {
         }
       case "xml" | "xml_table" =>
         single { m =>
-          val recs = XmlTableTransform.records(XmlSource.records(spark, Seq(file), m), m)
+          // Size-routed like the text sources: oversized XML files go
+          // through the StAX cursor (memory bounded by one record, never
+          // the file); normal files keep the slurp path's full semantics
+          // (encoding probe + control-char escape retry).
+          val big = try {
+            new java.io.File(file.stripPrefix("file:")).length() >
+              LineSource.DefaultInMemoryMaxBytes
+          } catch { case _: Exception => false }
+          val source =
+            if (big) XmlSource.recordsStreaming(spark, Seq(file), m)
+            else XmlSource.records(spark, Seq(file), m)
+          val recs = XmlTableTransform.records(source, m)
           // S8 — file metadata evaluated once per file (driver-side parse of
           // the file head), attached as literal columns.
           if (m.fileMetadata.isEmpty) recs
