@@ -37,27 +37,31 @@ object Joins {
     // inclusive sorts it before (visible). Ties among right rows at one
     // instant are broken arbitrarily.
     val (leftSide, rightSide) = if (strict) (0, 1) else (1, 0)
-    val l = left
-    val unioned = l.select(
+    // All value columns travel as ONE struct: the struct is non-null for
+    // every right row even when individual fields are null, so the
+    // ignoreNulls carry-forward adopts the latest right ROW atomically —
+    // never a mix of fields from different rows, never skipping a row
+    // whose value happens to be null.
+    val rightVals = struct(valueCols.map(col): _*)
+    val unioned = left.select(
       (leftCols.map(col) ++
-        Seq(col(leftTs).as("_ts"), lit(leftSide).as("_side")) ++
-        valueCols.map(c => lit(null).as(s"asof_$c"))): _*)
+        Seq(col(leftTs).as("_ts"), lit(leftSide).as("_side"),
+          lit(null).cast(right.select(rightVals).schema.head.dataType).as("_vals"))): _*)
       .unionByName(right.select(
         (leftCols.map(c => if (keyCols.contains(c)) col(c) else lit(null).as(c)) ++
-          Seq(col(rightTs).as("_ts"), lit(rightSide).as("_side")) ++
-          valueCols.map(c => col(c).as(s"asof_$c"))): _*))
+          Seq(col(rightTs).as("_ts"), lit(rightSide).as("_side"),
+            rightVals.as("_vals"))): _*))
     val frame = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        when(col("_side") === leftSide,
-          last(when(col("_side") === rightSide, col(s"asof_$c")), ignoreNulls = true)
-            .over(frame))
-          .otherwise(col(s"asof_$c")))
-    }
+    val carried = unioned.withColumn("_vals",
+      when(col("_side") === leftSide,
+        last(when(col("_side") === rightSide, col("_vals")), ignoreNulls = true)
+          .over(frame))
+        .otherwise(col("_vals")))
     carried.filter(col("_side") === leftSide)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("_vals").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Range join: all (left, right) pairs of the same key with

@@ -61,7 +61,12 @@ object TextDedup {
                         numHashes: Int = 6, shingle: Int = 3,
                         bandSize: Int = 2, numBands: Int = 2): DataFrame = {
     require(numBands * bandSize <= numHashes, "bands exceed signature length")
+    // Docs with fewer than `shingle` words have NO signature (null
+    // minhashes). Without this filter they would all share one degenerate
+    // bucket — a quadratic all-pairs blowup on short docs, the exact shape
+    // this operator exists to avoid. They can't minhash-match anyway.
     val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingle)
+      .filter(col("mh0").isNotNull)
     val buckets = (0 until numBands).map { b =>
       val cols = (0 until bandSize).map(j => col(s"mh${b * bandSize + j}"))
       concat_ws(":", lit(s"b$b") +: cols: _*)
@@ -104,7 +109,7 @@ object TextDedup {
     * Isolated ids never present in `pairs` are absent — union the full id
     * set with `coalesce(component, id)` downstream if needed. */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
@@ -132,6 +137,11 @@ object TextDedup {
       converged = changed == 0
       iter += 1
     }
+    // silent wrong answers are worse than failing: an unconverged result
+    // would split one real cluster into several with no signal
+    if (!converged) sys.error(
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(component diameter exceeds maxIter) — raise maxIter")
     labels
   }
 

@@ -364,7 +364,13 @@ object QueryPack {
     bos.toByteArray
   }
 
-  private val t12Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Fixture paths keyed by (query, sf dir) — built once per JVM: the
+    * system under test is the IMPORT, not driver-side fixture writing, so
+    * bench medians must not absorb fixture generation. */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def cachedFixture(query: String, dir: String)(build: => String): String =
+    fixtureCache.computeIfAbsent((query, dir), { _ => build })
 
   /** T12 — the orchestration layer end-to-end (`universal_importer_helper.rb`):
     * a zip containing a CSV (nation), an xlsx (region), a native BIFF8 .xls
@@ -377,6 +383,7 @@ object QueryPack {
     * oracle is a plain four-way UNION ALL. */
   def t12ImporterUnion(s: SparkSession, dir: String): DataFrame = {
     import java.util.zip.{ZipEntry, ZipOutputStream}
+    val zipPath = cachedFixture("t12", dir) {
     val nation = T(s, dir, "nation").select(col("n_nationkey").cast("long"), col("n_name"))
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     val region = T(s, dir, "region").select(col("r_regionkey").cast("long"), col("r_name"))
@@ -412,7 +419,10 @@ object QueryPack {
       z.close(); bos.toByteArray
     }
 
-    val supplier = T(s, dir, "supplier").select(col("s_suppkey").cast("long"), col("s_name"))
+    // bounded: the single-FAT-sector xls writer holds ~63 KB; 1000 rows
+    // (~50 KB) fit at every sf
+    val supplier = T(s, dir, "supplier").filter(col("s_suppkey") < 1000)
+      .select(col("s_suppkey").cast("long"), col("s_name"))
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     // bounded like s12: the docx fixture stays small at every sf
     val customer = T(s, dir, "customer").filter(col("c_custkey") < 2000)
@@ -423,17 +433,16 @@ object QueryPack {
       Seq("key", "name") +: supplier.map { case (k, n) => Seq(k.toString, n) }))
     val docLines = customer.map { case (k, n) => s"K=$k N=$n" }
 
-    val zipPath = t12Cache.computeIfAbsent(dir, { _ =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_t12")
-      val p = tmp.resolve("places.zip")
-      val z = new ZipOutputStream(java.nio.file.Files.newOutputStream(p))
-      z.putNextEntry(new ZipEntry("nation.csv")); z.write(csv); z.closeEntry()
-      z.putNextEntry(new ZipEntry("region.xlsx")); z.write(xlsxBytes); z.closeEntry()
-      z.putNextEntry(new ZipEntry("supplier.xls")); z.write(xlsBytes); z.closeEntry()
-      z.putNextEntry(new ZipEntry("customer.docx")); z.write(docxBytes(docLines)); z.closeEntry()
-      z.close()
-      p.toString
-    })
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t12")
+    val p = tmp.resolve("places.zip")
+    val z = new ZipOutputStream(java.nio.file.Files.newOutputStream(p))
+    z.putNextEntry(new ZipEntry("nation.csv")); z.write(csv); z.closeEntry()
+    z.putNextEntry(new ZipEntry("region.xlsx")); z.write(xlsxBytes); z.closeEntry()
+    z.putNextEntry(new ZipEntry("supplier.xls")); z.write(xlsBytes); z.closeEntry()
+    z.putNextEntry(new ZipEntry("customer.docx")); z.write(docxBytes(docLines)); z.closeEntry()
+    z.close()
+    p.toString
+    }
 
     def tableYaml(pattern: String) =
       s"""|- canonical_name: places
@@ -488,19 +497,22 @@ object QueryPack {
     import org.apache.avro.{Schema, SchemaBuilder}
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericDatumWriter, GenericRecordBuilder, GenericRecord}
-    val nation = T(s, dir, "nation").select(col("n_nationkey").cast("long"), col("n_name"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    val schema: Schema = SchemaBuilder.record("Nation").fields()
-      .requiredLong("key").requiredString("name").endRecord()
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s9")
-    val path = tmp.resolve("nation.avro")
-    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-    w.create(schema, path.toFile)
-    nation.foreach { case (k, n) =>
-      w.append(new GenericRecordBuilder(schema).set("key", k).set("name", n).build())
+    val path = cachedFixture("s9", dir) {
+      val nation = T(s, dir, "nation").select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val schema: Schema = SchemaBuilder.record("Nation").fields()
+        .requiredLong("key").requiredString("name").endRecord()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s9")
+      val p = tmp.resolve("nation.avro")
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, p.toFile)
+      nation.foreach { case (k, n) =>
+        w.append(new GenericRecordBuilder(schema).set("key", k).set("name", n).build())
+      }
+      w.close()
+      p.toString
     }
-    w.close()
-    graft.sources.Avro.rows(s, Seq(path.toString))
+    graft.sources.Avro.rows(s, Seq(path))
       .filter(col("lineno") > 0) // drop the synthetic header row
       .select(element_at(col("cells"), 1).as("key"),
               element_at(col("cells"), 2).as("name"))
@@ -509,15 +521,18 @@ object QueryPack {
   /** S11 — the VCF reader end-to-end: parts render to a VCF text file
     * (## meta lines skipped, # stripped from the header, tab cells). */
   def s11Vcf(s: SparkSession, dir: String): DataFrame = {
-    val parts = T(s, dir, "part").filter(col("p_partkey") < 2000)
-      .select(col("p_partkey").cast("long"), col("p_brand"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    val text = "##fileformat=VCFv4.2\n##source=graft\n#CHROM\tPOS\tID\n" +
-      parts.map { case (k, b) => s"1\t$k\t$b" }.mkString("", "\n", "\n")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s11")
-    val path = tmp.resolve("parts.vcf")
-    java.nio.file.Files.write(path, text.getBytes("UTF-8"))
-    graft.sources.Tabular.vcf(s, Seq(path.toString))
+    val path = cachedFixture("s11", dir) {
+      val parts = T(s, dir, "part").filter(col("p_partkey") < 2000)
+        .select(col("p_partkey").cast("long"), col("p_brand"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val text = "##fileformat=VCFv4.2\n##source=graft\n#CHROM\tPOS\tID\n" +
+        parts.map { case (k, b) => s"1\t$k\t$b" }.mkString("", "\n", "\n")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s11")
+      val p = tmp.resolve("parts.vcf")
+      java.nio.file.Files.write(p, text.getBytes("UTF-8"))
+      p.toString
+    }
+    graft.sources.Tabular.vcf(s, Seq(path))
       .filter(col("lineno") > 0) // drop the #CHROM header row
       .select(element_at(col("cells"), 2).as("pos"),
               element_at(col("cells"), 3).as("id"))
@@ -527,16 +542,19 @@ object QueryPack {
     * text field per nation; the single fields-hash row is exploded back to
     * (field, value) pairs. */
   def s15Acroform(s: SparkSession, dir: String): DataFrame = {
-    val nation = T(s, dir, "nation").select(col("n_nationkey").cast("long"), col("n_name"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    def esc(v: String) = v.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-    val pdf = "%PDF-1.4\n" + nation.zipWithIndex.map { case ((k, n), i) =>
-      s"${i + 1} 0 obj << /FT /Tx /Subtype /Widget /T (k$k) /V (${esc(n)}) >> endobj\n"
-    }.mkString + "%%EOF\n"
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s15")
-    val path = tmp.resolve("form.pdf")
-    java.nio.file.Files.write(path, pdf.getBytes("ISO-8859-1"))
-    graft.sources.Pdf.acroForm(s, Seq(path.toString))
+    val path = cachedFixture("s15", dir) {
+      val nation = T(s, dir, "nation").select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      def esc(v: String) = v.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      val pdf = "%PDF-1.4\n" + nation.zipWithIndex.map { case ((k, n), i) =>
+        s"${i + 1} 0 obj << /FT /Tx /Subtype /Widget /T (k$k) /V (${esc(n)}) >> endobj\n"
+      }.mkString + "%%EOF\n"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s15")
+      val p = tmp.resolve("form.pdf")
+      java.nio.file.Files.write(p, pdf.getBytes("ISO-8859-1"))
+      p.toString
+    }
+    graft.sources.Pdf.acroForm(s, Seq(path))
       .select(explode(col("fields_hash")).as(Seq("field", "value")))
   }
 
@@ -628,26 +646,28 @@ object QueryPack {
     * executor, and the extracted lines are compared to a plain projection.
     * Bounded to p_partkey < 2000 so the fixture stays small at every sf. */
   def s12PdfText(s: SparkSession, dir: String): DataFrame = {
-    val parts = T(s, dir, "part").filter(col("p_partkey") < 2000)
-      .select(col("p_partkey").cast("long"), col("p_brand"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    def escape(v: String) =
-      v.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-    val pdf = new StringBuilder("%PDF-1.4\n")
-    parts.grouped(50).zipWithIndex.foreach { case (page, pi) =>
-      val body = new StringBuilder("BT 0 780 Td ")
-      page.foreach { case (k, brand) =>
-        body ++= s"(P $k ${escape(brand)}) Tj 0 -12 Td "
+    val pdfPath = cachedFixture("s12", dir) {
+      val parts = T(s, dir, "part").filter(col("p_partkey") < 2000)
+        .select(col("p_partkey").cast("long"), col("p_brand"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      def escape(v: String) =
+        v.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      val pdf = new StringBuilder("%PDF-1.4\n")
+      parts.grouped(50).zipWithIndex.foreach { case (page, pi) =>
+        val body = new StringBuilder("BT 0 780 Td ")
+        page.foreach { case (k, brand) =>
+          body ++= s"(P $k ${escape(brand)}) Tj 0 -12 Td "
+        }
+        body ++= "ET"
+        pdf ++= s"${pi + 1} 0 obj << /Length ${body.length} >> stream\n$body\nendstream\nendobj\n"
       }
-      body ++= "ET"
-      pdf ++= s"${pi + 1} 0 obj << /Length ${body.length} >> stream\n$body\nendstream\nendobj\n"
+      pdf ++= "%%EOF\n"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s12")
+      val p = tmp.resolve("parts.pdf")
+      java.nio.file.Files.write(p, pdf.toString.getBytes("ISO-8859-1"))
+      p.toString
     }
-    pdf ++= "%%EOF\n"
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s12")
-    val pdfPath = tmp.resolve("parts.pdf")
-    java.nio.file.Files.write(pdfPath, pdf.toString.getBytes("ISO-8859-1"))
-
-    graft.sources.Pdf.lines(s, Seq(pdfPath.toString))
+    graft.sources.Pdf.lines(s, Seq(pdfPath))
       .select(regexp_extract(col("line"), "^P (\\d+) (.*)$", 1).cast("bigint").as("partkey"),
               regexp_extract(col("line"), "^P (\\d+) (.*)$", 2).as("brand"))
   }
@@ -1045,8 +1065,10 @@ object QueryPack {
       |  FROM hashed),
       |bands AS (
       |  SELECT doc_id, concat_ws(':', 'b0', mh0, mh1) AS bucket FROM sig
+      |  WHERE mh0 IS NOT NULL
       |  UNION ALL
-      |  SELECT doc_id, concat_ws(':', 'b1', mh2, mh3) AS bucket FROM sig)
+      |  SELECT doc_id, concat_ws(':', 'b1', mh2, mh3) AS bucket FROM sig
+      |  WHERE mh0 IS NOT NULL)
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
 
@@ -1141,6 +1163,7 @@ object QueryPack {
         |SELECT CAST(r_regionkey AS VARCHAR) AS key, r_name AS name FROM region
         |UNION ALL
         |SELECT CAST(s_suppkey AS VARCHAR) AS key, s_name AS name FROM supplier
+        |WHERE s_suppkey < 1000
         |UNION ALL
         |SELECT CAST(c_custkey AS VARCHAR) AS key, c_name AS name FROM customer
         |WHERE c_custkey < 2000""".stripMargin,

@@ -84,16 +84,29 @@ object Importer {
         // Spark-native extension: columnar files feed the mapping pipeline
         // directly — cells are drawn by mapping column name (like JSONL
         // object rows), values rendered as strings. Scan stays columnar
-        // (pruned to the mapped columns) and fully splittable.
+        // (pruned to the mapped columns) and fully splittable. Like the
+        // Avro scaffold, a synthetic header row satisfies reference-style
+        // `header_lines: 1` mappings — columnar data has no header row of
+        // its own, and without this the first DATA row would be consumed
+        // and validated as the header.
         single { m =>
           val df = if (format == "parquet") spark.read.parquet(file)
                    else spark.read.orc(file)
           val names = m.columns.flatMap(_.column)
           val cells = array(names.map(n => col(n).cast("string")): _*)
-          tabularRecords(spark, m, df.select(
+          val data = df.select(
             lit(file).as("file"),
-            monotonically_increasing_id().as("lineno"),
-            cells.as("cells")))
+            (monotonically_increasing_id() + m.headerLines).as("lineno"),
+            cells.as("cells"))
+          val rows =
+            if (m.headerLines == 0) data
+            else {
+              import spark.implicits._
+              val header = (0 until m.headerLines).map(i =>
+                (file, i.toLong, names)).toDF("file", "lineno", "cells")
+              header.unionByName(data)
+            }
+          tabularRecords(spark, m, rows)
         }
       case "xls" | "xlsm" | "xlsx" =>
         val sheets = Excel.tables(spark, Seq(file), fileMapping.filePassword).cache()
@@ -118,14 +131,18 @@ object Importer {
             if (big) XmlSource.recordsStreaming(spark, Seq(file), m)
             else XmlSource.records(spark, Seq(file), m)
           val recs = XmlTableTransform.records(source, m)
-          // S8 — file metadata evaluated once per file (driver-side parse of
-          // the file head), attached as literal columns.
+          // S8 — file metadata evaluated once per file. The document parse
+          // runs on an EXECUTOR (binaryFile row → metadata map); only the
+          // tiny {name → value} map reaches the driver — a multi-GB file
+          // never materialises driver-side.
           if (m.fileMetadata.isEmpty) recs
           else {
-            val text = LineSource.decodeSmart(
-              java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-                file.stripPrefix("file:"))))
-            val values = XmlSource.metadataValues(text, m.fileMetadata)
+            import spark.implicits._
+            val meta = m.fileMetadata
+            val values = spark.read.format("binaryFile").load(file)
+              .select(col("content")).as[Array[Byte]]
+              .map(b => XmlSource.metadataValues(LineSource.decodeSmart(b), meta).toSeq)
+              .head().toMap
             values.foldLeft(recs) { case (df, (k, v)) =>
               df.withColumn(s"meta_$k", lit(v))
             }

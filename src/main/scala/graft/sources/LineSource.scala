@@ -3,6 +3,8 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Per-file ordered line access — the engine's equivalent of the
   * reference's text streaming (`lib/ndr_import/file/text.rb:15-47`) and its
   * encoding probe (`file/text.rb:35-47`: try UTF-16 first via BOM, then
@@ -116,12 +118,17 @@ object LineSource {
                              inMemoryMaxBytes: Long,
                              csvQuoteAware: Boolean): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    val (big, small) = paths.partition { p =>
-      try {
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(conf).getFileStatus(hp).getLen > inMemoryMaxBytes
-      } catch { case _: Exception => false }
-    }
+    // stat in parallel: serial per-path HEAD calls would block the driver
+    // for minutes over object stores with 100k-file inputs
+    val isBig: Map[String, Boolean] =
+      paths.toList.asJava.parallelStream().map[(String, Boolean)] { p =>
+        p -> (try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).getFileStatus(hp).getLen > inMemoryMaxBytes
+        } catch { case _: Exception => false })
+      }.collect(java.util.stream.Collectors.toList[(String, Boolean)])
+        .asScala.toMap
+    val (big, small) = paths.partition(isBig)
     val inMem =
       if (small.isEmpty) None
       else if (csvQuoteAware) Some(

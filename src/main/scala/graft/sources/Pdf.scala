@@ -674,8 +674,11 @@ object Pdf {
       // can't hold text operators — skip them rather than raising here.
       doc.objs.values.toSeq.filter(_.stream.isDefined)
         .flatMap { o =>
+          // best-effort scan: skip streams that can't decode (image-only
+          // filters OR corrupt data) — only the page-tree path raises,
+          // with a page number to point at
           try Some(latin(decodedStream(o)))
-          catch { case _: PdfFilters.UnsupportedFilterError => None }
+          catch { case _: Exception => None }
         }
         .filter(t => t.contains("Tj") || t.contains("TJ") || t.contains("BT"))
         .flatMap(t => layout(pageSegments(t, Map.empty)))

@@ -189,9 +189,10 @@ object XmlSource {
   /** True-streaming variant for HUGE files (the 100 TB posture):
     * `binaryFiles` hands each executor a [[org.apache.spark.input.PortableDataStream]]
     * and the StAX cursor runs directly on it — memory is bounded by one
-    * record, never the file. UTF-8/UTF-16 detection is delegated to the
-    * XML parser's own BOM/prolog sniffing; the control-char retry needs
-    * the batch path. */
+    * record, never the file. Encoding follows the SAME probe as the text
+    * sources (S18: UTF-16 BOM → strict UTF-8 → Windows-1252), streamed in
+    * O(1) memory; only the control-char escape retry needs the batch
+    * path. */
   def recordsStreaming(spark: SparkSession, paths: Seq[String],
                        mapping: TableMapping): DataFrame = {
     val xpath = mapping.xmlRecordXpath.getOrElse(
@@ -200,11 +201,19 @@ object XmlSource {
     import spark.implicits._
     val files = spark.sparkContext.binaryFiles(paths.mkString(","))
     spark.createDataset(files.flatMap { case (file, pds) =>
+      val cs = LineSource.probeCharset(file)
       val in = pds.open()
-      val reader = new java.io.InputStreamReader(
-        new java.io.BufferedInputStream(in, 256 * 1024),
-        // the decode probe order of LineSource, on the stream head
-        java.nio.charset.StandardCharsets.UTF_8)
+      val buffered = new java.io.BufferedInputStream(in, 256 * 1024)
+      // skip the BOM the probe found (the parser must not see it as text)
+      if (cs == java.nio.charset.StandardCharsets.UTF_16BE ||
+          cs == java.nio.charset.StandardCharsets.UTF_16LE) {
+        buffered.read(); buffered.read()
+      } else {
+        buffered.mark(4)
+        if (!(buffered.read() == 0xEF && buffered.read() == 0xBB &&
+              buffered.read() == 0xBF)) buffered.reset()
+      }
+      val reader = new java.io.InputStreamReader(buffered, cs)
       splitRecordsStrict(reader, xpath, pattern).zipWithIndex.map {
         case (xml, i) => (file, i.toLong, xml)
       }

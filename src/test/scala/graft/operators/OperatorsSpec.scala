@@ -26,6 +26,19 @@ class OperatorsSpec extends SparkSpec {
       (1L, 100L, Some(9.0)), (1L, 200L, Some(15.0)), (2L, 50L, None)))
   }
 
+  test("asofJoin carries the latest right ROW atomically (null fields included)") {
+    val trades = Seq((1L, 3L, "t")).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, 1L, Option(10.0), Option(5L)),
+      (1L, 2L, Option.empty[Double], Option(7L))) // latest row: px null, sz 7
+      .toDF("k", "qts", "px", "sz")
+    val got = Joins.asofJoin(trades, quotes, Seq("k"), "ts", "qts",
+      Seq("px", "sz"), strict = true).collect().head
+    assert(got.isNullAt(got.fieldIndex("asof_px")),
+      "px must be the latest row's null, not a stale non-null")
+    assert(got.getLong(got.fieldIndex("asof_sz")) == 7L)
+  }
+
   test("asofJoin inclusive: same-instant right row is visible") {
     val trades = Seq((1L, 100L, "t1")).toDF("k", "ts", "trade")
     val quotes = Seq((1L, 90L, 9.0), (1L, 100L, 10.0)).toDF("k", "qts", "px")

@@ -224,9 +224,12 @@ class ImporterSpec extends SparkSpec {
       src.coalesce(1).write.format(fmt).save(path)
       val dataFile = new File(path).listFiles()
         .find(f => f.getName.endsWith(s".$fmt")).get.getAbsolutePath
+      // header_lines: 1 (the reference-mapping norm) must be satisfied by
+      // the synthetic header row — columnar data has no header of its own
       val mappings = MappingLoader.loadTables(
         s"""|- canonical_name: people
             |  filename_pattern: !ruby/regexp /\\.$fmt\\z/i
+            |  header_lines: 1
             |  klass: Person
             |  columns:
             |  - column: surname

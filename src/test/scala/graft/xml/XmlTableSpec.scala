@@ -255,6 +255,27 @@ class XmlTableSpec extends AnyFunSuite {
     assert(batch.toSeq == streamed.toSeq)
   }
 
+  test("streaming records decode UTF-16 (BOM) and Windows-1252 like the batch probe") {
+    val spark = graft.runtime.GraftSession.local
+    val dir = java.nio.file.Files.createTempDirectory("xmlenc")
+    val mapping = graft.model.TableMapping(xmlRecordXpath = Some("record"))
+    val xml = "<root><record><v>café über</v></record></root>"
+    // UTF-16LE with BOM (no XML prolog — the reader charset must come from
+    // the byte probe, not the parser default)
+    val utf16 = ("﻿" + xml).getBytes("UTF-16LE")
+    java.nio.file.Files.write(dir.resolve("u16.xml"), utf16)
+    // Windows-1252 (é = 0xE9, invalid as UTF-8)
+    java.nio.file.Files.write(dir.resolve("w1252.xml"), xml.getBytes("windows-1252"))
+    for (f <- Seq("u16.xml", "w1252.xml")) {
+      val batch = graft.sources.XmlSource.records(spark, Seq(s"$dir/$f"), mapping)
+        .select("record_xml").collect().map(_.getString(0))
+      val streamed = graft.sources.XmlSource.recordsStreaming(spark, Seq(s"$dir/$f"), mapping)
+        .select("record_xml").collect().map(_.getString(0))
+      assert(batch.toSeq == streamed.toSeq, f)
+      assert(streamed.head.contains("café"), s"$f: ${streamed.head}")
+    }
+  }
+
   test("X5 groupedRecords batches one row per source record (table.rb:41-53)") {
     val spark = graft.runtime.GraftSession.local
     import spark.implicits._
