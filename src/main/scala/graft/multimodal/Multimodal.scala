@@ -83,11 +83,16 @@ object Multimodal {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = in.getFormat
-      val frames = in.getFrameLength
       if (fmt.getSampleSizeInBits != 16) { in.close(); None }
       else {
         val data = in.readAllBytes()
         in.close()
+        // headers may carry the unknown-length sentinel (-1); the decoded
+        // byte count always gives the true frame count
+        val frames =
+          if (in.getFrameLength >= 0) in.getFrameLength
+          else if (fmt.getFrameSize > 0) data.length.toLong / fmt.getFrameSize
+          else 0L
         var sumSq = 0.0
         var n = 0
         var i = 0

@@ -150,12 +150,14 @@ object TextDedup {
     * the pair graph; representative = min id) and mark survivors. */
   def dedupByClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                       idA: String, idB: String): DataFrame = {
+    // working columns are namespaced: `docs` is caller-supplied and may
+    // already carry a `component` column from a previous pass
     val comp = connectedComponents(pairs, idA, idB)
-      .withColumnRenamed("id", "_cc_id")
+      .select(col("id").as("_cc_id"), col("component").as("_cc_component"))
     docs.join(comp, docs(idCol) === col("_cc_id"), "left")
-      .withColumn("component", coalesce(col("component"), docs(idCol)))
+      .withColumn("component", coalesce(col("_cc_component"), docs(idCol)))
       .withColumn("is_canonical", docs(idCol) === col("component"))
-      .drop("_cc_id")
+      .drop("_cc_id", "_cc_component")
   }
 
   /** Word-bigram Jaccard similarity over an all-pairs join — for BOUNDED

@@ -124,8 +124,9 @@ object Importer {
           // the file); normal files keep the slurp path's full semantics
           // (encoding probe + control-char escape retry).
           val big = try {
-            new java.io.File(file.stripPrefix("file:")).length() >
-              LineSource.DefaultInMemoryMaxBytes
+            val hp = new org.apache.hadoop.fs.Path(file)
+            hp.getFileSystem(spark.sessionState.newHadoopConf())
+              .getFileStatus(hp).getLen > LineSource.DefaultInMemoryMaxBytes
           } catch { case _: Exception => false }
           val source =
             if (big) XmlSource.recordsStreaming(spark, Seq(file), m)
@@ -133,8 +134,10 @@ object Importer {
           val recs = XmlTableTransform.records(source, m)
           // S8 — file metadata evaluated once per file. The document parse
           // runs on an EXECUTOR (binaryFile row → metadata map); only the
-          // tiny {name → value} map reaches the driver — a multi-GB file
-          // never materialises driver-side.
+          // tiny {name → value} map reaches the driver. The metadata
+          // xpaths need the full DOM (reference semantics), so THIS branch
+          // is bounded by binaryFile's 2 GiB record limit — records
+          // themselves still stream unbounded above.
           if (m.fileMetadata.isEmpty) recs
           else {
             import spark.implicits._

@@ -3,8 +3,6 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import scala.jdk.CollectionConverters._
-
 /** Per-file ordered line access — the engine's equivalent of the
   * reference's text streaming (`lib/ndr_import/file/text.rb:15-47`) and its
   * encoding probe (`file/text.rb:35-47`: try UTF-16 first via BOM, then
@@ -118,16 +116,26 @@ object LineSource {
                              inMemoryMaxBytes: Long,
                              csvQuoteAware: Boolean): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    // stat in parallel: serial per-path HEAD calls would block the driver
-    // for minutes over object stores with 100k-file inputs
-    val isBig: Map[String, Boolean] =
-      paths.toList.asJava.parallelStream().map[(String, Boolean)] { p =>
-        p -> (try {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(conf).getFileStatus(hp).getLen > inMemoryMaxBytes
-        } catch { case _: Exception => false })
-      }.collect(java.util.stream.Collectors.toList[(String, Boolean)])
-        .asScala.toMap
+    // stat in parallel on a DEDICATED bounded pool: serial per-path HEAD
+    // calls would block the driver for minutes over object stores with
+    // 100k-file inputs, and blocking I/O on the JVM-wide commonPool would
+    // starve its other users
+    val isBig: Map[String, Boolean] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(32, math.max(1, paths.size)))
+      try {
+        val futures = paths.map { p =>
+          p -> pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean =
+              try {
+                val hp = new org.apache.hadoop.fs.Path(p)
+                hp.getFileSystem(conf).getFileStatus(hp).getLen > inMemoryMaxBytes
+              } catch { case _: Exception => false }
+          })
+        }
+        futures.map { case (p, f) => p -> f.get() }.toMap
+      } finally pool.shutdown()
+    }
     val (big, small) = paths.partition(isBig)
     val inMem =
       if (small.isEmpty) None

@@ -672,16 +672,28 @@ object Pdf {
       // page-tree-less documents (minimal writers): every stream carrying
       // text operators, in object order. Streams with image-only filters
       // can't hold text operators — skip them rather than raising here.
-      doc.objs.values.toSeq.filter(_.stream.isDefined)
+      // best-effort scan: skip streams that can't decode (image-only
+      // filters or corrupt data) and extract from the rest — but if every
+      // stream failed and nothing was extracted, surface the first real
+      // decode error rather than silently returning an empty document
+      var firstError: Option[Exception] = None
+      val out = doc.objs.values.toSeq.filter(_.stream.isDefined)
         .flatMap { o =>
-          // best-effort scan: skip streams that can't decode (image-only
-          // filters OR corrupt data) — only the page-tree path raises,
-          // with a page number to point at
           try Some(latin(decodedStream(o)))
-          catch { case _: Exception => None }
+          catch {
+            case _: PdfFilters.UnsupportedFilterError => None
+            case e: Exception =>
+              if (firstError.isEmpty) firstError = Some(e)
+              None
+          }
         }
         .filter(t => t.contains("Tj") || t.contains("TJ") || t.contains("BT"))
         .flatMap(t => layout(pageSegments(t, Map.empty)))
+      if (out.isEmpty) firstError.foreach { e =>
+        throw new RuntimeException(
+          s"Invalid format: no stream decoded [${e.getClass.getSimpleName}: ${e.getMessage}]", e)
+      }
+      out
     }
   }
 

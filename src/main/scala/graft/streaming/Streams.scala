@@ -107,6 +107,12 @@ object Streams {
     * surrogate id — unique per distinct row, stable across retries. Use
     * `row_identifier: uuid` mappings rather than `index` on streams. */
   def delimitedStream(spark: SparkSession, dir: String, mapping: TableMapping): DataFrame = {
+    // the csv reader can consume exactly one header line per file; deeper
+    // headers (and per-file header VALIDATION, which needs the whole
+    // header block) are batch-path features — fail loudly, not silently
+    require(mapping.headerLines <= 1,
+      s"header_lines=${mapping.headerLines}: streams support at most one " +
+        "header line (use the batch Importer for multi-line headers)")
     val sep = mapping.delimiter.getOrElse(",")
     val schema = org.apache.spark.sql.types.StructType(
       mapping.columns.indices.map(i =>
