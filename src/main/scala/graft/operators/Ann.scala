@@ -99,9 +99,15 @@ object Ann {
   /** IVF ANN: assign every vector to its nearest centroid cell (narrow
     * argmin over driver-resident centroid literals), then search within the
     * cell via a salted shuffle-hash join. `centroids` must be small enough
-    * for the driver (≈√N grows as the square root of data volume). */
+    * for the driver (≈√N grows as the square root of data volume).
+    * `checkpointDir` selects how the index build is materialised — see
+    * [[graft.runtime.Checkpoints]]: executor-local by default, reliable
+    * when a directory is given (so losing an executor after the build
+    * re-reads the index instead of killing the query). */
   def annIvf(vectors: DataFrame, idCol: String, embCol: String,
-             centroids: Seq[(Long, Seq[Double])], salts: Int = 4): DataFrame = {
+             centroids: Seq[(Long, Seq[Double])], salts: Int = 4,
+             checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = graft.runtime.Checkpoints.policy(vectors.sparkSession, checkpointDir)
     val ds = transform(typedLit(centroids.map(_._2)), c =>
       aggregate(zip_with(col(embCol), c,
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
@@ -111,9 +117,8 @@ object Ann {
     // Materialise the assignment once (the IVF "index build"): both join
     // sides read it, and without this Spark recomputes the argmin scan per
     // side. Spills to disk above memory — the deliberate cost of an index.
-    val assigned = vectors.select(col(idCol), col(embCol),
-      cell.as("cell"), norm(col(embCol)).as("_nrm"))
-      .localCheckpoint()
+    val assigned = ckpt(vectors.select(col(idCol), col(embCol),
+      cell.as("cell"), norm(col(embCol)).as("_nrm")))
     val build = assigned.select(col(idCol).as("_b_id"),
       col(embCol).as("_b_emb"), col("cell").as("_b_cell"),
       col("_nrm").as("_b_nrm"))

@@ -71,8 +71,12 @@ object TextDedup {
       val cols = (0 until bandSize).map(j => col(s"mh${b * bandSize + j}"))
       concat_ws(":", lit(s"b$b") +: cols: _*)
     }
+    // Both join sides read the banded table; localCheckpoint materialises it
+    // once and truncates lineage (a cache() here would register a new cache
+    // entry per invocation and never unpersist — an unmanaged MEMORY_AND_DISK
+    // footprint that lingers until eviction pressure at scale).
     val bands = sig.select(col(idCol), explode(array(buckets: _*)).as("bucket"))
-      .cache()
+      .localCheckpoint()
     bands.as("a").join(bands.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -98,61 +102,98 @@ object TextDedup {
 
   /** Connected components over a candidate-pair edge list — turns near-dup
     * PAIRS into CLUSTERS (every doc labelled with its component's minimum
-    * id, the canonical representative). Min-label propagation: each
-    * iteration joins current labels across edges and keeps the minimum;
-    * converged when no label changes. Iterations are shuffles on the id —
-    * component diameter bounds the iteration count (near-dup clusters are
-    * shallow in practice), and each round is checkpointed so the plan
-    * doesn't grow with the loop.
+    * id, the canonical representative).
+    *
+    * Min-label propagation with pointer jumping: each round every node
+    * adopts the minimum of its own and its neighbours' labels (HashMin),
+    * then follows its label's label (`component := label(component)`, path
+    * doubling). The jump halves pointer chains, so even a pure path graph
+    * converges in O(log diameter) rounds rather than O(diameter) — deep
+    * chains become results, not `maxIter` errors. Labels only ever
+    * decrease, never below the component minimum, and the minimum node's
+    * label is pinned at itself, so the fixpoint is exactly min-id
+    * labelling.
+    *
+    * Each round is one checkpointed job: the convergence signal (any label
+    * strictly decreased) rides a `LongAccumulator` updated inside the
+    * checkpoint's materialisation pass instead of a separate join+count
+    * action. `checkpointDir` selects the lineage-truncation policy — see
+    * [[graft.runtime.Checkpoints]]: pass a reliable directory on a real
+    * cluster so an executor loss mid-loop recovers instead of killing the
+    * job.
     *
     * Input: pairs with columns (`idA`, `idB`). Output: (`id`, `component`).
     * Isolated ids never present in `pairs` are absent — union the full id
     * set with `coalesce(component, id)` downstream if needed. */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
-                          maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+                          maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val ckpt = graft.runtime.Checkpoints.policy(spark, checkpointDir)
+    val edges = ckpt(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+        .distinct())
+    var labels = ckpt(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // each node adopts the min of its own and its neighbours' labels
+      // HashMin: each node adopts the min of its own and its neighbours'
+      // labels, keeping the previous label for the convergence flag
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nbr_component"))
-      val next = labels.join(viaEdges, Seq("id"), "left")
-        .select(col("id"),
+      val stepped = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"), col("component").as("_old"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
-        .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.component") =!= col("o.component")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      // pointer jump: component := label(component). Every label value is
+      // itself a node id present in `stepped` (labels are mins over node
+      // ids of the same component), so the lookup is total; the left join
+      // + coalesce is belt-and-braces.
+      val jump = stepped
+        .select(col("id").as("_j_id"), col("component").as("_j_component"))
+      val flagged = stepped.join(jump, col("component") === col("_j_id"), "left")
+        .select(col("id"),
+          coalesce(col("_j_component"), col("component")).as("component"),
+          (coalesce(col("_j_component"), col("component")) < col("_old"))
+            .as("_changed"))
+      // Fold the convergence check into the checkpoint's materialisation
+      // job: the accumulator fires while the round's labels are written,
+      // so each round costs ONE action, not a checkpoint plus a
+      // join+count. (Task retries can only over-count; the decision is
+      // zero-vs-nonzero, which retries cannot flip.)
+      val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
+      val counted = flagged.rdd.mapPartitions { it =>
+        it.map { r => if (r.getBoolean(2)) changedAcc.add(1L); r }
+      }
+      labels = ckpt(
+        spark.createDataFrame(counted, flagged.schema).select("id", "component"))
+      converged = changedAcc.value == 0L
       iter += 1
     }
     // silent wrong answers are worse than failing: an unconverged result
     // would split one real cluster into several with no signal
     if (!converged) sys.error(
       s"connectedComponents did not converge in $maxIter iterations " +
-        "(component diameter exceeds maxIter) — raise maxIter")
+        "(log2 of component diameter exceeds maxIter) — raise maxIter")
     labels
   }
 
   /** Canonical-doc selection: given docs and near-dup pairs, label every
     * doc with its cluster representative (cluster = connected component of
-    * the pair graph; representative = min id) and mark survivors. */
+    * the pair graph; representative = min id) and mark survivors.
+    * `checkpointDir` is forwarded to [[connectedComponents]]. */
   def dedupByClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-                      idA: String, idB: String): DataFrame = {
+                      idA: String, idB: String,
+                      checkpointDir: Option[String] = None): DataFrame = {
     // working columns are namespaced: `docs` is caller-supplied and may
     // already carry a `component` column from a previous pass
-    val comp = connectedComponents(pairs, idA, idB)
+    val comp = connectedComponents(pairs, idA, idB, checkpointDir = checkpointDir)
       .select(col("id").as("_cc_id"), col("component").as("_cc_component"))
     docs.join(comp, docs(idCol) === col("_cc_id"), "left")
       .withColumn("component", coalesce(col("_cc_component"), docs(idCol)))

@@ -121,6 +121,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("connected components: a deep chain converges in O(log n) rounds") {
+    // path graph 0-1-2-...-63: diameter 63. Pure min-label propagation
+    // needs ~63 rounds; with pointer jumping log2(64)+c suffice — maxIter=10
+    // would raise under the old algorithm, so this pins the speedup.
+    val n = 64
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val got = TextDedup.connectedComponents(chain, "a", "b", maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L), "every node must label to the min id 0")
+  }
+
+  test("connected components: reliable checkpoint path writes to the dir") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toFile
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      val got = TextDedup.connectedComponents(pairs, "a", "b",
+          checkpointDir = Some(dir.getAbsolutePath))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      assert(files(dir).nonEmpty, "reliable checkpoint must persist blocks to the dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
   test("dedupByClusters labels canonical docs across a dup chain") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("id", "t")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b") // chain: {1,2,3}
@@ -166,6 +194,13 @@ class OperatorsSpec extends SparkSpec {
     val cents = Seq((0L, Seq(1.0, 0.0, 0.5, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.5)))
     val ivf = Ann.annIvf(vecs, "id", "emb", cents)
     assert(ivf.count() == 20) // every vector has a same-cell neighbour here
+    // the reliable-checkpoint index build returns the identical result
+    val dir = java.nio.file.Files.createTempDirectory("ivf-ckpt").toFile
+    try {
+      val reliable = Ann.annIvf(vecs, "id", "emb", cents,
+        checkpointDir = Some(dir.getAbsolutePath))
+      assert(reliable.collect().toSet == ivf.collect().toSet)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
     // cells separate the two clusters: a vector's best neighbour shares parity
     val bad = ivf.filter(col("id") % 2 =!= col("neighbor") % 2).count()
     assert(bad == 0, "cluster members must find same-cluster neighbours")
