@@ -82,23 +82,17 @@ object Excel {
     }
   }
 
-  /** Parse an xlsx/xlsm byte array into its sheets (cast, padded). */
-  def parseXlsx(bytes: Array[Byte]): Seq[Sheet] = {
-    val parts = zipEntries(bytes)
-    def xml(name: String) = parts.get(name).map(b => XML.load(new ByteArrayInputStream(b)))
+  /** shared-strings part → indexed table (rich-text runs concatenated). */
+  private def sharedStringsOf(bytes: Option[Array[Byte]]): IndexedSeq[String] =
+    bytes.map { b =>
+      val ss = XML.load(new ByteArrayInputStream(b))
+      (ss \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
+    }.getOrElse(IndexedSeq.empty)
 
-    val workbook = xml("xl/workbook.xml").getOrElse(sys.error("Not an xlsx: no xl/workbook.xml"))
-    val rels = xml("xl/_rels/workbook.xml.rels")
-      .map(r => (r \ "Relationship").map(n =>
-        (n \@ "Id") -> (n \@ "Target").stripPrefix("/xl/").stripPrefix("xl/")).toMap)
-      .getOrElse(Map.empty)
-
-    val shared: IndexedSeq[String] = xml("xl/sharedStrings.xml")
-      .map(ss => (ss \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq)
-      .getOrElse(IndexedSeq.empty)
-
-    // style index → is-date-format
-    val styleIsDate: IndexedSeq[Boolean] = xml("xl/styles.xml").map { st =>
+  /** styles part → style index → is-date-format. */
+  private def stylesOf(bytes: Option[Array[Byte]]): IndexedSeq[Boolean] =
+    bytes.map { b =>
+      val st = XML.load(new ByteArrayInputStream(b))
       val custom = (st \ "numFmts" \ "numFmt").map(n =>
         (n \@ "numFmtId").toInt -> isDateFormatCode(n \@ "formatCode")).toMap
       (st \ "cellXfs" \ "xf").map { xf =>
@@ -107,43 +101,68 @@ object Excel {
       }.toIndexedSeq
     }.getOrElse(IndexedSeq.empty)
 
+  /** workbook(+rels) parts → ordered (sheet name, zip part name). */
+  private def sheetTargetsOf(workbookBytes: Array[Byte],
+                             relsBytes: Option[Array[Byte]]): Seq[(String, String)] = {
+    val workbook = XML.load(new ByteArrayInputStream(workbookBytes))
+    val rels = relsBytes.map { b =>
+      (XML.load(new ByteArrayInputStream(b)) \ "Relationship").map(n =>
+        (n \@ "Id") -> (n \@ "Target").stripPrefix("/xl/").stripPrefix("xl/")).toMap
+    }.getOrElse(Map.empty[String, String])
     (workbook \ "sheets" \ "sheet").map { s =>
       val name = s \@ "name"
       val rid = s.attribute("http://schemas.openxmlformats.org/officeDocument/2006/relationships", "id")
         .map(_.text).getOrElse("")
-      val target = rels.getOrElse(rid, s"worksheets/sheet1.xml")
-      val sheetBytes = parts.getOrElse(s"xl/$target", sys.error(s"Missing sheet part xl/$target"))
-      Sheet(name, sheetRows(sheetBytes, shared, styleIsDate))
+      name -> s"xl/${rels.getOrElse(rid, "worksheets/sheet1.xml")}"
+    }
+  }
+
+  /** Parse an xlsx/xlsm byte array into its sheets (cast, padded). */
+  def parseXlsx(bytes: Array[Byte]): Seq[Sheet] = {
+    val parts = zipEntries(bytes)
+    val workbook = parts.getOrElse("xl/workbook.xml", sys.error("Not an xlsx: no xl/workbook.xml"))
+    val shared = sharedStringsOf(parts.get("xl/sharedStrings.xml"))
+    val styleIsDate = stylesOf(parts.get("xl/styles.xml"))
+    sheetTargetsOf(workbook, parts.get("xl/_rels/workbook.xml.rels")).map {
+      case (name, part) =>
+        val sheetBytes = parts.getOrElse(part, sys.error(s"Missing sheet part $part"))
+        Sheet(name, sheetRows(sheetBytes, shared, styleIsDate))
     }
   }
 
   private def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c.toUpper - 'A' + 1))
 
-  /** StAX (streaming) worksheet parse — memory bounded by populated cells,
-    * not the sheet XML DOM; the scale path for very large sheets. */
-  private def sheetRows(sheetBytes: Array[Byte], shared: IndexedSeq[String],
-                        styleIsDate: IndexedSeq[Boolean]): Seq[Seq[String]] = {
+  /** StAX cursor over ONE worksheet part, yielding populated cells
+    * `(row, col, castValue)` in document order — memory is O(1) per cell,
+    * never the sheet DOM. Both the in-memory and the streamed reader sit on
+    * this single state machine. Does NOT close `in` (zip streams own their
+    * entries). */
+  private final class CellCursor(in: java.io.InputStream, shared: IndexedSeq[String],
+                                 styleIsDate: IndexedSeq[Boolean])
+      extends Iterator[(Int, Int, String)] {
     import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
-    val f = XMLInputFactory.newInstance()
-    f.setProperty(XMLInputFactory.IS_COALESCING, true)
-    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-    val r = f.createXMLStreamReader(new ByteArrayInputStream(sheetBytes))
+    private val r = {
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.IS_COALESCING, true)
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+      f.createXMLStreamReader(in)
+    }
+    private var implicitRow = 0
+    private var implicitCol = 0
+    private var cellType = ""
+    private var cellStyle = -1
+    private var inV = false
+    private var inIs = false
+    private var text = new StringBuilder
+    private var cellRow = 0
+    private var cellCol = 0
+    private var pending: (Int, Int, String) = _
+    private var done = false
 
-    val cells = mutable.HashMap.empty[(Int, Int), String]
-    var implicitRow = 0
-    var implicitCol = 0
-    var cellType = ""
-    var cellStyle = -1
-    var inV = false
-    var inIs = false
-    var text = new StringBuilder
-    var cellRow = 0
-    var cellCol = 0
-
-    def emit(): Unit = {
+    private def castCell(): Option[String] = {
       val v = text.toString
-      val value: Option[String] = cellType match {
+      cellType match {
         case "s"         => Some(shared(v.trim.toInt).trim)
         case "inlineStr" => Some(v.trim)
         case "str"       => Some(v.trim)
@@ -155,44 +174,62 @@ object Excel {
           val d = v.trim.toDouble
           Some(if (isDate) castDate(d) else castNumber(d))
       }
-      value.foreach(cells((cellRow, cellCol)) = _)
     }
 
-    while (r.hasNext) {
-      r.next() match {
-        case XMLStreamConstants.START_ELEMENT =>
-          r.getLocalName match {
-            case "row" =>
-              val ref = Option(r.getAttributeValue(null, "r")).filter(_.nonEmpty)
-              implicitRow = ref.map(_.toInt).getOrElse(implicitRow + 1)
-              implicitCol = 0
-            case "c" =>
-              val ref = Option(r.getAttributeValue(null, "r")).getOrElse("")
-              implicitCol = if (ref.nonEmpty) colIndex(ref) else implicitCol + 1
-              cellRow = implicitRow; cellCol = implicitCol
-              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
-              cellStyle = Option(r.getAttributeValue(null, "s")).filter(_.nonEmpty)
-                .map(_.toInt).getOrElse(-1)
-              text = new StringBuilder
-            case "v" => inV = true
-            case "is" => inIs = true
-            case "t" if inIs => inV = true
-            case _ => ()
-          }
-        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
-          if (inV) text ++= r.getText
-        case XMLStreamConstants.END_ELEMENT =>
-          r.getLocalName match {
-            case "v" => inV = false
-            case "t" if inIs => inV = false
-            case "is" => inIs = false
-            case "c" => emit()
-            case _ => ()
-          }
-        case _ => ()
+    private def advance(): Unit = {
+      while (pending == null && !done) {
+        if (!r.hasNext) { done = true; r.close() }
+        else r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" =>
+                val ref = Option(r.getAttributeValue(null, "r")).filter(_.nonEmpty)
+                implicitRow = ref.map(_.toInt).getOrElse(implicitRow + 1)
+                implicitCol = 0
+              case "c" =>
+                val ref = Option(r.getAttributeValue(null, "r")).getOrElse("")
+                implicitCol = if (ref.nonEmpty) colIndex(ref) else implicitCol + 1
+                cellRow = implicitRow; cellCol = implicitCol
+                cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+                cellStyle = Option(r.getAttributeValue(null, "s")).filter(_.nonEmpty)
+                  .map(_.toInt).getOrElse(-1)
+                text = new StringBuilder
+              case "v" => inV = true
+              case "is" => inIs = true
+              case "t" if inIs => inV = true
+              case _ => ()
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inV) text ++= r.getText
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v" => inV = false
+              case "t" if inIs => inV = false
+              case "is" => inIs = false
+              case "c" => castCell().foreach(v => pending = (cellRow, cellCol, v))
+              case _ => ()
+            }
+          case _ => ()
+        }
       }
     }
-    r.close()
+
+    def hasNext: Boolean = { advance(); pending != null }
+    def next(): (Int, Int, String) = {
+      advance()
+      val c = pending; pending = null
+      if (c == null) throw new NoSuchElementException("CellCursor exhausted")
+      c
+    }
+  }
+
+  /** In-memory worksheet parse: collect the cursor's cells, pad to the
+    * populated span (`excel.rb:66-77` first_column..last_column). */
+  private def sheetRows(sheetBytes: Array[Byte], shared: IndexedSeq[String],
+                        styleIsDate: IndexedSeq[Boolean]): Seq[Seq[String]] = {
+    val cells = mutable.HashMap.empty[(Int, Int), String]
+    new CellCursor(new ByteArrayInputStream(sheetBytes), shared, styleIsDate)
+      .foreach { case (rr, cc, v) => cells((rr, cc)) = v }
     if (cells.isEmpty) return Nil
     val rowMin = cells.keys.map(_._1).min; val rowMax = cells.keys.map(_._1).max
     val colMin = cells.keys.map(_._2).min; val colMax = cells.keys.map(_._2).max
@@ -215,18 +252,165 @@ object Excel {
   }
 
   /** One row per (file, tablename=sheet, lineno, cells) — the engine's
-    * uniform tabular contract, one task per file (binaryFile). */
+    * uniform tabular contract, one task per file. Size-routed like the
+    * text/CSV/XML sources: workbooks up to `inMemoryMaxBytes` ride
+    * `binaryFile` (whole-workbook parse, full retry semantics); larger
+    * xlsx files take the streaming reader ([[streamedTables]]) so a
+    * multi-GiB workbook never hits binaryFile's 2 GiB record limit or
+    * materialises on one task's heap. The reference's own xlsx streaming
+    * is an unshipped FIXME (`lib/ndr_import/file/excel.rb:58-63`). */
   def tables(spark: SparkSession, paths: Seq[String],
-             password: Option[String] = None): DataFrame = {
+             password: Option[String] = None,
+             inMemoryMaxBytes: Long = LineSource.DefaultInMemoryMaxBytes): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(paths: _*)
-      .select(col("path"), col("content")).as[(String, Array[Byte])]
-      .flatMap { case (file, bytes) =>
-        parseWorkbook(file, bytes, password).flatMap { sheet =>
-          sheet.rows.zipWithIndex.map { case (cells, i) =>
-            (file, sheet.name, i.toLong, cells)
+    val bigSet = LineSource.oversized(spark, paths, inMemoryMaxBytes)
+    val (big, small) = paths.partition(bigSet)
+    val inMem =
+      if (small.isEmpty) None
+      else Some(
+        spark.read.format("binaryFile").load(small: _*)
+          .select(col("path"), col("content")).as[(String, Array[Byte])]
+          .flatMap { case (file, bytes) =>
+            parseWorkbook(file, bytes, password).flatMap { sheet =>
+              sheet.rows.zipWithIndex.map { case (cells, i) =>
+                (file, sheet.name, i.toLong, cells)
+              }
+            }
+          }.toDF("file", "tablename", "lineno", "cells"))
+    val streamed =
+      if (big.isEmpty) None else Some(streamedTables(spark, big))
+    (inMem.toSeq ++ streamed.toSeq).reduce(_ unionByName _)
+  }
+
+  // ------------------------------------------------------------- streaming
+
+  /** Worksheet parts must be walkable without inflating the whole zip into
+    * memory; the metadata parts (workbook, rels, styles, sharedStrings) are
+    * collected in one scan and held — the shared-strings table is the one
+    * inherent in-memory cost of the format (exactly what POI's streaming
+    * reader holds too). */
+  private val MetaParts = Set("xl/workbook.xml", "xl/_rels/workbook.xml.rels",
+    "xl/styles.xml", "xl/sharedStrings.xml")
+
+  /** Streaming xlsx reader for oversized workbooks — the shipped version of
+    * the reference's FIXME (`lib/ndr_import/file/excel.rb:58-63`). Three
+    * sequential zip scans per file (metadata → per-sheet spans → lazy row
+    * emission), memory bounded by the metadata parts plus ONE row, never
+    * the workbook bytes. One task per file: sheets are sequential within a
+    * workbook (their row numbering is), parallelism comes from many files —
+    * the same doctrine as the text sources. Encrypted OOXML and BIFF8
+    * workbooks need random access (crypto envelope / CFB FAT) and raise a
+    * clear bound error instead of OOMing a task. */
+  def streamedTables(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val parallelism = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(paths).repartition(parallelism)
+      .mapPartitions(_.flatMap(p => streamedFileRows(p)))
+      .toDF("file", "tablename", "lineno", "cells")
+  }
+
+  private def scanZip[A](p: String)(f: (String, ZipInputStream) => Option[A]): Seq[A] = {
+    val zin = new ZipInputStream(new java.io.BufferedInputStream(LineSource.openStream(p)))
+    val out = mutable.ArrayBuffer.empty[A]
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) f(e.getName, zin).foreach(out += _)
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.toSeq
+  }
+
+  /** Lazy (file, sheet, lineno, cells) rows for one oversized workbook. */
+  private def streamedFileRows(p: String): Iterator[(String, String, Long, Seq[String])] = {
+    val q = LineSource.qualifiedPath(p)
+    val head = { val in = LineSource.openStream(p); try in.readNBytes(8) finally in.close() }
+    if (!isZip(head)) {
+      val kind =
+        if (Cfb.isCfb(head)) "an OLE container (legacy BIFF8 .xls or an encrypted OOXML envelope)"
+        else "not a zip archive"
+      sys.error(s"Unable to stream oversized workbook '$p': it is $kind, " +
+        "which needs random access and a full in-memory parse; raise the " +
+        "in-memory bound or convert to plain xlsx")
+    }
+    // scan 1: metadata parts
+    val meta = scanZip(p) { (name, zin) =>
+      if (MetaParts(name)) Some(name -> zin.readAllBytes()) else None
+    }.toMap
+    val workbook = meta.getOrElse("xl/workbook.xml", sys.error(s"Not an xlsx: no xl/workbook.xml in '$p'"))
+    val shared = sharedStringsOf(meta.get("xl/sharedStrings.xml"))
+    val styleIsDate = stylesOf(meta.get("xl/styles.xml"))
+    val partToName = sheetTargetsOf(workbook, meta.get("xl/_rels/workbook.xml.rels"))
+      .map(_.swap).toMap
+    // scan 2: per-sheet populated spans (cheap StAX pass, values discarded)
+    val spans: Map[String, (Int, Int, Int, Int)] = scanZip(p) { (name, zin) =>
+      if (!partToName.contains(name)) None
+      else {
+        var span: (Int, Int, Int, Int) = null
+        new CellCursor(zin, shared, styleIsDate).foreach { case (rr, cc, _) =>
+          span =
+            if (span == null) (rr, rr, cc, cc)
+            else (math.min(span._1, rr), math.max(span._2, rr),
+                  math.min(span._3, cc), math.max(span._4, cc))
+        }
+        Option(span).map(name -> _)
+      }
+    }.toMap
+    // scan 3: lazy row emission, one open stream walked entry by entry
+    new Iterator[(String, String, Long, Seq[String])] {
+      private val zin = new ZipInputStream(new java.io.BufferedInputStream(LineSource.openStream(p)))
+      private var closed = false
+      private var cur: Iterator[(String, String, Long, Seq[String])] = Iterator.empty
+
+      private def advance(): Unit = {
+        while (!cur.hasNext && !closed) {
+          val e = zin.getNextEntry
+          if (e == null) { closed = true; zin.close() }
+          else if (partToName.contains(e.getName) && spans.contains(e.getName)) {
+            val sheetName = partToName(e.getName)
+            val (rowMin, rowMax, colMin, colMax) = spans(e.getName)
+            cur = paddedRows(new CellCursor(zin, shared, styleIsDate),
+                rowMin, rowMax, colMin, colMax)
+              .map { case (rr, cells) => (q, sheetName, (rr - rowMin).toLong, cells) }
           }
         }
-      }.toDF("file", "tablename", "lineno", "cells")
+      }
+      def hasNext: Boolean = { advance(); cur.hasNext }
+      def next(): (String, String, Long, Seq[String]) = { advance(); cur.next() }
+    }
   }
+
+  /** Group a document-ordered cell stream into padded rows over the sheet's
+    * populated span — the streaming twin of [[sheetRows]]'s HashMap+pad.
+    * Rows between populated ones (and cells with no value) surface as
+    * nulls, identical to the in-memory path. Worksheet rows must be in
+    * ascending order (the ECMA-376 serialisation is; a writer that
+    * back-references rows would need the in-memory path). */
+  private def paddedRows(cells: Iterator[(Int, Int, String)],
+                         rowMin: Int, rowMax: Int,
+                         colMin: Int, colMax: Int): Iterator[(Int, Seq[String])] =
+    new Iterator[(Int, Seq[String])] {
+      private var nextRow = rowMin
+      private var pendingCell: (Int, Int, String) = _
+      private def peek(): (Int, Int, String) = {
+        if (pendingCell == null && cells.hasNext) pendingCell = cells.next()
+        pendingCell
+      }
+      def hasNext: Boolean = nextRow <= rowMax
+      def next(): (Int, Seq[String]) = {
+        if (!hasNext) throw new NoSuchElementException
+        val row = new Array[String](colMax - colMin + 1)
+        while (peek() != null && peek()._1 == nextRow) {
+          val (_, cc, v) = pendingCell; pendingCell = null
+          row(cc - colMin) = v
+        }
+        if (peek() != null && peek()._1 < nextRow)
+          sys.error(s"Worksheet rows out of order (row ${peek()._1} after $nextRow) " +
+            "— streaming reader needs ascending rows")
+        val out = (nextRow, row.toSeq)
+        nextRow += 1
+        out
+      }
+    }
 }

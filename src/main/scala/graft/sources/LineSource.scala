@@ -115,27 +115,7 @@ object LineSource {
   private def dispatchBySize(spark: SparkSession, paths: Seq[String],
                              inMemoryMaxBytes: Long,
                              csvQuoteAware: Boolean): DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
-    // stat in parallel on a DEDICATED bounded pool: serial per-path HEAD
-    // calls would block the driver for minutes over object stores with
-    // 100k-file inputs, and blocking I/O on the JVM-wide commonPool would
-    // starve its other users
-    val isBig: Map[String, Boolean] = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(32, math.max(1, paths.size)))
-      try {
-        val futures = paths.map { p =>
-          p -> pool.submit(new java.util.concurrent.Callable[Boolean] {
-            def call(): Boolean =
-              try {
-                val hp = new org.apache.hadoop.fs.Path(p)
-                hp.getFileSystem(conf).getFileStatus(hp).getLen > inMemoryMaxBytes
-              } catch { case _: Exception => false }
-          })
-        }
-        futures.map { case (p, f) => p -> f.get() }.toMap
-      } finally pool.shutdown()
-    }
+    val isBig = oversized(spark, paths, inMemoryMaxBytes)
     val (big, small) = paths.partition(isBig)
     val inMem =
       if (small.isEmpty) None
@@ -161,15 +141,52 @@ object LineSource {
     spark.createDataset(paths).repartition(parallelism)
       .mapPartitions { it =>
         it.flatMap { p =>
+          val q = qualifiedPath(p)
           val cs = probeCharset(p)
           val br = openReader(p, cs)
           val recs = if (csvQuoteAware) csvRecordIterator(br) else lineIterator(br)
-          recs.zipWithIndex.map { case (l, i) => (p, i.toLong, l) }
+          recs.zipWithIndex.map { case (l, i) => (q, i.toLong, l) }
         }
       }.toDF("file", "lineno", "line")
   }
 
-  private def openStream(p: String): java.io.InputStream = {
+  /** Which of `paths` exceed `inMemoryMaxBytes`? Stats in parallel on a
+    * DEDICATED bounded pool: serial per-path HEAD calls would block the
+    * driver for minutes over object stores with 100k-file inputs, and
+    * blocking I/O on the JVM-wide commonPool would starve its other users.
+    * Unknown sizes (exotic filesystems) report small — keeping today's
+    * in-memory behaviour. Shared by every size-routed source (text, CSV,
+    * XML, Excel). */
+  private[graft] def oversized(spark: SparkSession, paths: Seq[String],
+                               inMemoryMaxBytes: Long): Set[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, math.max(1, paths.size)))
+    try {
+      val futures = paths.map { p =>
+        p -> pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            try {
+              val hp = new org.apache.hadoop.fs.Path(p)
+              hp.getFileSystem(conf).getFileStatus(hp).getLen > inMemoryMaxBytes
+            } catch { case _: Exception => false }
+        })
+      }
+      futures.filter(_._2.get()).map(_._1).toSet
+    } finally pool.shutdown()
+  }
+
+  /** The Hadoop-qualified form of a path ("file:/tmp/x", "hdfs://nn/x") —
+    * what `binaryFile`'s `path` column reports. Streamed sources emit THIS
+    * as their `file` value so the two routes stay byte-identical: a caller
+    * mixing small and oversized files must see one spelling per file. */
+  private[sources] def qualifiedPath(p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    try hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).makeQualified(hp).toString
+    catch { case _: Exception => p }
+  }
+
+  private[sources] def openStream(p: String): java.io.InputStream = {
     // a fresh Configuration resolves file:// and default-scheme paths; a
     // deployment with kerberised HDFS/S3 credentials would propagate the
     // session's Hadoop conf to executors instead

@@ -8,9 +8,9 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 /** Excel (xlsx) parsing against a generated workbook — shapes mirror the
   * reference fixtures per FIXTURES.md §3 (sample_xlsx: sheets with '1A/1B'
   * cells; Roo cast rules from `file/excel.rb:31-50`). */
-class ExcelSpec extends AnyFunSuite {
+object ExcelFixtures {
 
-  private def buildXlsx(parts: Map[String, String]): Array[Byte] = {
+  def buildXlsx(parts: Map[String, String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val z = new ZipOutputStream(bos)
     parts.foreach { case (name, content) =>
@@ -22,7 +22,7 @@ class ExcelSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
-  private val testXlsx = buildXlsx(Map(
+  val testXlsx: Array[Byte] = buildXlsx(Map(
     "xl/workbook.xml" ->
       """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
         | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
@@ -70,6 +70,11 @@ class ExcelSpec extends AnyFunSuite {
         |<sheetData>
         |<row r="1"><c r="B1" t="str"><v>only</v></c></row>
         |</sheetData></worksheet>""".stripMargin))
+}
+
+class ExcelSpec extends AnyFunSuite {
+
+  import ExcelFixtures.testXlsx
 
   test("xlsx: sheets, shared strings, cast rules, padding") {
     val sheets = Excel.parseXlsx(testXlsx)

@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** The streamed xlsx path (oversized-workbook routing) must return exactly
+  * what the in-memory path returns — same sheets, linenos, casts, padding
+  * (including all-null gap rows) — and refuse random-access-only formats
+  * with a clear bound error rather than OOMing. */
+class ExcelStreamSpec extends SparkSpec {
+
+  private def writeTemp(bytes: Array[Byte], suffix: String): String = {
+    val f = java.io.File.createTempFile("excel-stream", suffix)
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, bytes)
+    f.getAbsolutePath
+  }
+
+  private def collectRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      // include `file`: both routes must report the identical qualified path
+      (r.getString(r.fieldIndex("file")),
+        r.getString(r.fieldIndex("tablename")), r.getLong(r.fieldIndex("lineno")),
+        Option(r.getSeq[String](r.fieldIndex("cells"))).map(_.toSeq).orNull)
+    }.toSet
+
+  test("streamed tables == in-memory tables on the shared fixture") {
+    val p = writeTemp(ExcelFixtures.testXlsx, ".xlsx")
+    val inMem = collectRows(Excel.tables(spark, Seq(p)))
+    // force the streaming route with a 1-byte bound
+    val streamed = collectRows(Excel.tables(spark, Seq(p), inMemoryMaxBytes = 1L))
+    assert(streamed == inMem)
+    assert(inMem.nonEmpty)
+  }
+
+  test("streamed path pads row gaps with all-null rows like the in-memory path") {
+    val xlsx = ExcelFixtures.buildXlsx(Map(
+      "xl/workbook.xml" ->
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<sheetData>
+          |<row r="2"><c r="B2" t="str"><v>top</v></c></row>
+          |<row r="5"><c r="C5" t="str"><v>bottom</v></c></row>
+          |</sheetData></worksheet>""".stripMargin))
+    val p = writeTemp(xlsx, ".xlsx")
+    val inMem = collectRows(Excel.tables(spark, Seq(p)))
+    val streamed = collectRows(Excel.tables(spark, Seq(p), inMemoryMaxBytes = 1L))
+    assert(streamed == inMem)
+    // span B..C over rows 2..5: two populated rows, two all-null gap rows
+    assert(inMem.map { case (_, t, l, c) => (t, l, c) } == Set(
+      ("S", 0L, Seq("top", null)), ("S", 1L, Seq(null, null)),
+      ("S", 2L, Seq(null, null)), ("S", 3L, Seq(null, "bottom"))))
+  }
+
+  test("oversized OLE/CFB workbook raises the documented bound error") {
+    val cfbMagic = Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
+      0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte) ++ Array.fill(512)(0.toByte)
+    val p = writeTemp(cfbMagic, ".xls")
+    val e = intercept[org.apache.spark.SparkException] {
+      Excel.tables(spark, Seq(p), inMemoryMaxBytes = 1L).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("Unable to stream oversized workbook"))
+    assert(msg.contains("random access"))
+  }
+}
