@@ -94,9 +94,27 @@ object Importer {
                    else spark.read.orc(file)
           val names = m.columns.flatMap(_.column)
           val cells = array(names.map(n => col(n).cast("string")): _*)
-          val data = df.select(
+          // Contiguous per-import ordinal, computed distributed:
+          // monotonically_increasing_id carries the scan partition in its
+          // upper bits and the row position within the partition in its
+          // lower 33, so one TINY aggregate (a row per scan partition,
+          // collected to the driver) yields cumulative offsets and
+          // lineno = offset(partition) + position — matching every other
+          // source's "index is the input row number" contract, with no
+          // single-partition shuffle. Partition planning is deterministic,
+          // so the count scan and the data scan see identical splits; for
+          // a multi-part directory the order follows Spark's split
+          // planning (offset order within a file).
+          val base = df.withColumn("_mid", monotonically_increasing_id())
+          val pid = shiftright(col("_mid"), 33)
+          val pos = col("_mid").bitwiseAND((1L << 33) - 1)
+          val counts = base.groupBy(pid.as("_pid")).agg(count(lit(1)).as("_n"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+          val offsets: Map[Long, Long] =
+            counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
+          val data = base.select(
             lit(file).as("file"),
-            (monotonically_increasing_id() + m.headerLines).as("lineno"),
+            (element_at(typedLit(offsets), pid) + pos + m.headerLines).as("lineno"),
             cells.as("cells"))
           val rows =
             if (m.headerLines == 0) data

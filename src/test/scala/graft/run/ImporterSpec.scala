@@ -246,6 +246,63 @@ class ImporterSpec extends SparkSpec {
     }
   }
 
+  test("parquet import linenos are contiguous per-file ordinals across a multi-partition scan") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val n = 200
+    // one file, many row groups (tiny block size), written in id order
+    val path = new File(dir, "ordinals_dir").getAbsolutePath
+    (0 until n).map(i => (s"P$i", i.toLong)).toDF("surname", "n")
+      .coalesce(1).write.option("parquet.block.size", 1024).parquet(path)
+    val dataFile = new File(path).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // force the single file to split into several scan partitions
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      assert(spark.read.parquet(dataFile).rdd.getNumPartitions > 1,
+        "fixture must scan as multiple partitions or the test is vacuous")
+      val mappings = MappingLoader.loadTables(
+        """|- canonical_name: people
+           |  filename_pattern: !ruby/regexp /\.parquet\z/i
+           |  header_lines: 1
+           |  klass: Person
+           |  columns:
+           |  - column: surname
+           |    mappings:
+           |    - field: surname
+           |  - column: n
+           |    mappings:
+           |    - field: n
+           |""".stripMargin)
+      val rows = Importer.mappedTables(spark, dataFile, mappings)("people")
+        .select(col("index"), element_at(col("fields"), "n").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // contiguous: data rows are exactly 1..n (0 is the synthetic header)
+      assert(rows.map(_._1).sorted.toSeq == (1L to n.toLong).toSeq)
+      // and ordered: the ordinal follows the file's row order
+      assert(rows.forall { case (idx, v) => idx == v + 1 },
+        "index must be the input row number, not a gapped id")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("password-protected 7z expands with the right password, fails with the wrong one") {
+    // the reference's own AES-256 fixture (test/file/seven_zip_test.rb:29-56,
+    // password 'FortuneCookie', two CSVs) — commons-compress cannot WRITE
+    // encrypted 7z, so the read path is pinned against this archive
+    val fixture = "/root/reference/test/resources/normal.7z"
+    assume(new File(fixture).exists())
+    val dir = tmpDir()
+    val ok = Registry.files(fixture, Registry.ContainerOptions(
+      unzipPath = dir.getAbsolutePath, password = Some("FortuneCookie")))
+    assert(ok.map(f => new File(f).getName).sorted ==
+      Seq("normal_pipe.csv", "normal_thorn.csv"))
+    intercept[Exception] {
+      Registry.files(fixture, Registry.ContainerOptions(
+        unzipPath = dir.getAbsolutePath, password = Some("WrongPassword")))
+    }
+  }
+
   test("7z container expands via commons-compress") {
     val dir = tmpDir()
     val szPath = new File(dir, "arch.7z").getAbsolutePath
