@@ -489,6 +489,63 @@ object QueryPack {
               element_at(col("fields"), "name").as("name"))
   }
 
+  /** S17 + T12 — the 7-Zip container leg (`file/seven_zip.rb:20-61`,
+    * `test/file/seven_zip_test.rb`): a .7z holding nation.csv plus a NESTED
+    * zip of region.csv flows through recursive container expansion
+    * (7z → zip → csv, `registry.rb:24-28`), the delimited reader, header
+    * validation and canonical-table union. Write-side 7z encryption isn't
+    * available on the JVM stack (commons-compress reads AES-256 archives
+    * but cannot write them), so the password path is pinned by
+    * ImporterSpec against the reference's own `normal.7z` fixture. */
+  def t12b7zUnion(s: SparkSession, dir: String): DataFrame = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val szPath = cachedFixture("t12b", dir) {
+      val nation = T(s, dir, "nation").select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val region = T(s, dir, "region").select(col("r_regionkey").cast("long"), col("r_name"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      def csvBytes(rows: Seq[(Long, String)]) =
+        ("key,name" +: rows.map { case (k, n) => s"$k,$n" })
+          .mkString("", "\n", "\n").getBytes("UTF-8")
+      val innerZip = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new ZipOutputStream(bos)
+        z.putNextEntry(new ZipEntry("region.csv"))
+        z.write(csvBytes(region)); z.closeEntry(); z.close()
+        bos.toByteArray
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_t12b")
+      val p = tmp.resolve("bundle.7z")
+      val sz = new org.apache.commons.compress.archivers.sevenz.SevenZOutputFile(p.toFile)
+      def add(name: String, bytes: Array[Byte]): Unit = {
+        val e = sz.createArchiveEntry(new java.io.File("/dev/null"), name)
+        sz.putArchiveEntry(e); sz.write(bytes); sz.closeArchiveEntry()
+      }
+      add("nation.csv", csvBytes(nation))
+      add("inner.zip", innerZip)
+      sz.close()
+      p.toString
+    }
+    val mappings = MappingLoader.loadTables(
+      """|- canonical_name: places
+         |  filename_pattern: !ruby/regexp /\.csv\z/i
+         |  header_lines: 1
+         |  klass: Place
+         |  columns:
+         |  - column: key
+         |    mappings:
+         |    - field: key
+         |  - column: name
+         |    mappings:
+         |    - field: name
+         |""".stripMargin)
+    graft.run.Importer.mappedTables(s, szPath, mappings,
+        graft.run.Registry.ContainerOptions(
+          unzipPath = java.nio.file.Paths.get(szPath).getParent.toString))("places")
+      .select(element_at(col("fields"), "key").as("key"),
+              element_at(col("fields"), "name").as("name"))
+  }
+
   /** S9 — the Avro container reader end-to-end: nation is written to a real
     * Avro file driver-side (avro core ships with Spark) and read back by
     * the engine's own container decoder, synthetic header row and
@@ -1010,6 +1067,7 @@ object QueryPack {
     "t7_klass_fanout" -> (t7KlassFanout _),
     "t9_fixed_width" -> (t9FixedWidth _),
     "t12_importer_union" -> (t12ImporterUnion _),
+    "t12b_7z_union" -> (t12b7zUnion _),
     "n3_segments" -> (n3Segments _),
     "x3_xml_repeat" -> (x3XmlRepeat _),
     "s12_pdf_text" -> (s12PdfText _),
@@ -1167,6 +1225,10 @@ object QueryPack {
         |UNION ALL
         |SELECT CAST(c_custkey AS VARCHAR) AS key, c_name AS name FROM customer
         |WHERE c_custkey < 2000""".stripMargin,
+    "t12b_7z_union" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS key, n_name AS name FROM nation
+        |UNION ALL
+        |SELECT CAST(r_regionkey AS VARCHAR) AS key, r_name AS name FROM region""".stripMargin,
     "s12_pdf_text" ->
       """SELECT p_partkey AS partkey, p_brand AS brand FROM part
         |WHERE p_partkey < 2000""".stripMargin,
