@@ -17,13 +17,14 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: PNG/JPEG/GIF/BMP via `javax.imageio` (ships in
   * the JDK) — actual pixel dimensions and Rec. 601 mean luma. AUDIO decode
   * is REAL for PCM WAV/AIFF/AU via `javax.sound.sampled` (also JDK) —
-  * actual sample rate, frame count and RMS amplitude. Only VIDEO remains a
-  * deterministic STUB, clearly marked (no video codec ships in the JDK):
-  * it derives output from an md5 of the bytes, so pipelines are testable
-  * end-to-end and stable across runs; a real deployment swaps
-  * `sampleFramesStub` for an ffmpeg binding without touching any of the
-  * Spark plumbing around it. Embeddings are likewise content-hash stubs
-  * (a real pipeline calls a model here).
+  * actual sample rate, frame count and RMS amplitude. VIDEO decode is REAL
+  * for MJPEG-in-AVI (`mjpegAviFrames`: RIFF chunk walk + per-frame JPEG
+  * via imageio — the one video format the bare JVM can handle); every
+  * other codec falls back to a deterministic content-hash STUB, the
+  * permanent extension point where a deployment drops an ffmpeg binding
+  * into the per-partition codec context without touching the Spark
+  * plumbing. Embeddings are likewise content-hash stubs (a real pipeline
+  * calls a model here).
   */
 object Multimodal {
 
@@ -139,6 +140,44 @@ object Multimodal {
       decodeImageStub(bytes :+ i.toByte, meta)
     }
 
+  /** REAL video frame extraction for the one format the bare JVM can
+    * handle end-to-end: MJPEG inside an AVI container. An AVI is a RIFF
+    * tree; video frames live in `..dc`/`..db` chunks under the `movi`
+    * LIST, and for MJPEG each such chunk is a complete JPEG (decodable
+    * with the same `javax.imageio` stack the image path uses). Returns
+    * the raw JPEG frames in stream order, or Nil when the bytes aren't a
+    * RIFF/AVI or carry no JPEG frames — callers fall back to the stub,
+    * which doubles as the documented extension seam for every other
+    * codec (an ffmpeg binding drops in per partition without touching
+    * the Spark plumbing). */
+  def mjpegAviFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def fourcc(at: Int) = new String(bytes, at, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def u32(at: Int): Long =
+      java.nio.ByteBuffer.wrap(bytes, at, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xFFFFFFFFL
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fourcc(p)
+        val size = u32(p + 4)
+        val dataStart = p + 8
+        val dataEnd = dataStart + size
+        if (dataEnd > end || size < 0) return // truncated/corrupt chunk: stop
+        if (id == "RIFF" || id == "LIST") {
+          if (size >= 4) walk(dataStart + 4, dataEnd.toInt)
+        } else if ((id.endsWith("dc") || id.endsWith("db")) && size >= 2 &&
+                   bytes(dataStart) == 0xFF.toByte && bytes(dataStart + 1) == 0xD8.toByte) {
+          out += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd.toInt)
+        }
+        p = (dataEnd + (size & 1)).toInt // chunks are word-aligned
+      }
+    }
+    walk(12, math.min(bytes.length.toLong, 8 + u32(4)).toInt)
+    out.toSeq
+  }
+
   /** Deterministic pseudo-embedding from content (unit-normalised). */
   def embedStub(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -202,12 +241,20 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows → one output row per sampled frame. */
+  /** Frame sampling for video rows → one output row per sampled frame.
+    * MJPEG-in-AVI is decoded for REAL (k evenly-spaced JPEG frames from
+    * the container); every other codec falls back to the deterministic
+    * stub — the documented extension point for an ffmpeg binding. */
   def sampleFrames(media: Dataset[MediaRow], k: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video")
       .flatMap { r =>
-        sampleFramesStub(r.bytes, r.meta, k).zipWithIndex.map { case (f, i) =>
+        val real = mjpegAviFrames(r.bytes)
+        val frames =
+          if (real.isEmpty) sampleFramesStub(r.bytes, r.meta, k)
+          else if (real.length <= k) real
+          else (0 until k).map(i => real((i.toLong * real.length / k).toInt))
+        frames.zipWithIndex.map { case (f, i) =>
           (r.docId, i, f.length, embedStub(f))
         }
       }.toDF("doc_id", "frame", "n_bytes", "embedding")

@@ -76,6 +76,61 @@ class MultimodalSpec extends SparkSpec {
     assert(embs.distinct.length == 3)
   }
 
+  /** A minimal MJPEG AVI: RIFF("AVI ") → LIST("movi") → one 00dc chunk
+    * per JPEG frame (word-aligned), exactly the layout the RIFF walk
+    * reads. Frames are REAL JPEGs encoded via ImageIO. */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val movi = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("movi".getBytes("ISO-8859-1"))
+      frames.foreach { f =>
+        b.write("00dc".getBytes("ISO-8859-1")); b.write(le32(f.length)); b.write(f)
+        if (f.length % 2 == 1) b.write(0) // word alignment
+      }
+      b.toByteArray
+    }
+    val inner = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("AVI ".getBytes("ISO-8859-1"))
+      b.write("LIST".getBytes("ISO-8859-1")); b.write(le32(movi.length)); b.write(movi)
+      b.toByteArray
+    }
+    bos.write("RIFF".getBytes("ISO-8859-1")); bos.write(le32(inner.length)); bos.write(inner)
+    bos.toByteArray
+  }
+
+  test("real MJPEG-AVI decode: actual JPEG frames out, evenly sampled") {
+    import spark.implicits._
+    // 5 distinguishable frames (increasing brightness)
+    val jpegs = (0 until 5).map { i =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = 40 * i
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", b)
+      b.toByteArray
+    }
+    val avi = mjpegAvi(jpegs)
+    assert(mjpegAviFrames(avi).map(_.toSeq) == jpegs.map(_.toSeq),
+      "all frames recovered byte-exact, in order")
+
+    val ds = Seq(MediaRow(9, "video", avi, MediaMeta("avi", 8, 8, 5, 0))).toDS()
+    val sampled = sampleFrames(ds, 2).collect().sortBy(_.getInt(1))
+    assert(sampled.length == 2)
+    // sampled rows carry the REAL jpeg byte sizes (frames 0 and 2 of 5)
+    assert(sampled.map(_.getInt(2)).toSeq == Seq(jpegs(0).length, jpegs(2).length))
+    // and each sampled frame still decodes as an image
+    assert(Multimodal.decodeImage(jpegs(0)).get._1 == 8)
+    // non-AVI bytes fall back to the stub (same schema, k rows)
+    val stub = sampleFrames(Seq(media(10, "video", "not-avi", frames = 4)).toDS(), 3)
+    assert(stub.collect().length == 3)
+  }
+
   test("real WAV decode: sample rate, frames and RMS from actual PCM") {
     import javax.sound.sampled._
     import spark.implicits._
