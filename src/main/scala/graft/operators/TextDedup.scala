@@ -65,8 +65,13 @@ object TextDedup {
     // minhashes). Without this filter they would all share one degenerate
     // bucket — a quadratic all-pairs blowup on short docs, the exact shape
     // this operator exists to avoid. They can't minhash-match anyway.
-    val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingle)
-      .filter(col("mh0").isNotNull)
+    // The filter tests the WORD COUNT (the only way a signature is null),
+    // not the computed signature: a `mh0.isNotNull` here gets pushed below
+    // the projection with its defining expression substituted in, so the
+    // whole shingle+md5 pipeline would run once for the filter and again
+    // for the projection — measured 4× slower on the documents table.
+    val eligible = docs.filter(size(split(col(textCol), " ")) >= shingle)
+    val sig = minhashSignatures(eligible, idCol, textCol, numHashes, shingle)
     val buckets = (0 until numBands).map { b =>
       val cols = (0 until bandSize).map(j => col(s"mh${b * bandSize + j}"))
       concat_ws(":", lit(s"b$b") +: cols: _*)
