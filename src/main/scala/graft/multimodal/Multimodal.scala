@@ -157,7 +157,11 @@ object Multimodal {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xFFFFFFFFL
     if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    def walk(start: Int, end: Int): Unit = {
+    // real AVIs nest 2-3 LIST levels; the cap turns a crafted/corrupt file
+    // with thousands of nested LIST headers into a truncated parse instead
+    // of a task-killing StackOverflowError
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16) return
       var p = start
       while (p + 8 <= end) {
         val id = fourcc(p)
@@ -166,7 +170,7 @@ object Multimodal {
         val dataEnd = dataStart + size
         if (dataEnd > end || size < 0) return // truncated/corrupt chunk: stop
         if (id == "RIFF" || id == "LIST") {
-          if (size >= 4) walk(dataStart + 4, dataEnd.toInt)
+          if (size >= 4) walk(dataStart + 4, dataEnd.toInt, depth + 1)
         } else if ((id.endsWith("dc") || id.endsWith("db")) && size >= 2 &&
                    bytes(dataStart) == 0xFF.toByte && bytes(dataStart + 1) == 0xD8.toByte) {
           out += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd.toInt)
@@ -174,7 +178,7 @@ object Multimodal {
         p = (dataEnd + (size & 1)).toInt // chunks are word-aligned
       }
     }
-    walk(12, math.min(bytes.length.toLong, 8 + u32(4)).toInt)
+    walk(12, math.min(bytes.length.toLong, 8 + u32(4)).toInt, 0)
     out.toSeq
   }
 

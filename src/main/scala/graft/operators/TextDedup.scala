@@ -56,10 +56,17 @@ object TextDedup {
 
   /** LSH near-dup candidate pairs: signatures are banded (`bandSize`
     * consecutive hashes per band); docs sharing a band bucket become a
-    * candidate pair. The only shuffle carries (id, bucket). */
+    * candidate pair. The only shuffle carries (id, bucket).
+    *
+    * The banded table feeds both sides of the self-join, so it is
+    * materialised once (building the pairs frame therefore runs one eager
+    * job). `checkpointDir` picks the policy ([[graft.runtime.Checkpoints]]):
+    * executor-local by default; pass a reliable directory on a real
+    * cluster so downstream queries survive executor loss. */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 6, shingle: Int = 3,
-                        bandSize: Int = 2, numBands: Int = 2): DataFrame = {
+                        bandSize: Int = 2, numBands: Int = 2,
+                        checkpointDir: Option[String] = None): DataFrame = {
     require(numBands * bandSize <= numHashes, "bands exceed signature length")
     // Docs with fewer than `shingle` words have NO signature (null
     // minhashes). Without this filter they would all share one degenerate
@@ -76,12 +83,13 @@ object TextDedup {
       val cols = (0 until bandSize).map(j => col(s"mh${b * bandSize + j}"))
       concat_ws(":", lit(s"b$b") +: cols: _*)
     }
-    // Both join sides read the banded table; localCheckpoint materialises it
-    // once and truncates lineage (a cache() here would register a new cache
-    // entry per invocation and never unpersist — an unmanaged MEMORY_AND_DISK
-    // footprint that lingers until eviction pressure at scale).
-    val bands = sig.select(col(idCol), explode(array(buckets: _*)).as("bucket"))
-      .localCheckpoint()
+    // Both join sides read the banded table; materialising it once
+    // truncates lineage and halves the signature work (a cache() here
+    // would register a new cache entry per invocation and never unpersist
+    // — an unmanaged MEMORY_AND_DISK footprint that lingers until
+    // eviction pressure at scale; lazy recompute measured 2× slower).
+    val ckpt = graft.runtime.Checkpoints.policy(docs.sparkSession, checkpointDir)
+    val bands = ckpt(sig.select(col(idCol), explode(array(buckets: _*)).as("bucket")))
     bands.as("a").join(bands.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

@@ -93,29 +93,33 @@ object Importer {
           val df = if (format == "parquet") spark.read.parquet(file)
                    else spark.read.orc(file)
           val names = m.columns.flatMap(_.column)
-          val cells = array(names.map(n => col(n).cast("string")): _*)
-          // Contiguous per-import ordinal, computed distributed:
-          // monotonically_increasing_id carries the scan partition in its
-          // upper bits and the row position within the partition in its
-          // lower 33, so one TINY aggregate (a row per scan partition,
-          // collected to the driver) yields cumulative offsets and
-          // lineno = offset(partition) + position — matching every other
-          // source's "index is the input row number" contract, with no
-          // single-partition shuffle. Partition planning is deterministic,
-          // so the count scan and the data scan see identical splits; for
-          // a multi-part directory the order follows Spark's split
-          // planning (offset order within a file).
-          val base = df.withColumn("_mid", monotonically_increasing_id())
-          val pid = shiftright(col("_mid"), 33)
-          val pos = col("_mid").bitwiseAND((1L << 33) - 1)
-          val counts = base.groupBy(pid.as("_pid")).agg(count(lit(1)).as("_n"))
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-          val offsets: Map[Long, Long] =
-            counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
-          val data = base.select(
-            lit(file).as("file"),
-            (element_at(typedLit(offsets), pid) + pos + m.headerLines).as("lineno"),
-            cells.as("cells"))
+          // Contiguous per-import ordinal, computed distributed via
+          // RDD.zipWithIndex over ONE realised RDD: its partition sizes
+          // and its data rows come from the same fixed partition set, so
+          // the ordinal can never drift — a two-scan scheme (count
+          // aggregate + data scan as separate DataFrame executions) would
+          // silently mis-number rows if split planning changed between
+          // them (maxPartitionBytes reconfigured, defaultParallelism
+          // moved under dynamic allocation). lineno = ordinal +
+          // header_lines matches every other source's "index is the input
+          // row number" contract with no single-partition shuffle; the
+          // scan is pre-projected to the mapped columns so parquet
+          // pruning still applies. For a multi-part directory the order
+          // follows Spark's split planning (offset order within a file).
+          val projected = df.select(names.map(n => col(n).cast("string")): _*)
+          val indexed = projected.rdd.zipWithIndex.map { case (row, i) =>
+            org.apache.spark.sql.Row(file, i + m.headerLines,
+              (0 until row.length).map(row.getString))
+          }
+          val data = spark.createDataFrame(indexed,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("file",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("lineno",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("cells",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType)))))
           val rows =
             if (m.headerLines == 0) data
             else {

@@ -4,29 +4,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Lineage-truncation policy for iterative operators.
   *
-  * Iterative plans (connected components, IVF index builds) must cut their
-  * lineage every round or the plan tree grows with the loop. Two policies:
+  * Iterative plans (connected components, IVF index builds, LSH band
+  * tables) must cut their lineage every round or the plan tree grows with
+  * the loop. Two policies:
   *
-  *   - `None` → `localCheckpoint()`: blocks live in executor-local storage.
-  *     Fast (no replication, no filesystem round-trip) — the right default
-  *     on a single machine — but on a real cluster an executor loss
-  *     mid-loop loses blocks that can no longer be recomputed, killing the
-  *     job.
-  *   - `Some(dir)` → reliable `checkpoint()` into `dir` (HDFS / object
-  *     store): survives executor loss, the right choice for long loops at
-  *     cluster scale. The caller owns the directory's lifecycle; each
-  *     operator invocation writes under a fresh UUID subdirectory (Spark's
-  *     `setCheckpointDir` contract).
+  *   - `None` → `localCheckpoint()`: blocks live in executor-local
+  *     storage. Fast (no filesystem round-trip) — the right default on a
+  *     single machine — but on a real cluster an executor loss mid-loop
+  *     loses blocks that can no longer be recomputed, killing the job.
+  *   - `Some(dir)` → a parquet spill under `dir` (HDFS / object store):
+  *     the frame is written once and read back, so it survives executor
+  *     loss AND costs exactly one job — unlike `Dataset.checkpoint()`,
+  *     which recomputes the plan a second time when writing the checkpoint
+  *     files unless the RDD was persisted first, and which mutates the
+  *     session-global `SparkContext.setCheckpointDir` (a second operator
+  *     with a different directory would silently redirect the first one's
+  *     rounds). Each call writes a fresh UUID subdirectory; the caller
+  *     owns `dir`'s lifecycle and deletes it when the derived results are
+  *     no longer needed.
   */
 object Checkpoints {
 
-  /** Returns the checkpoint function for `dir`, setting the session's
-    * checkpoint directory once when a reliable dir is requested. */
+  /** Returns the checkpoint function for `dir`. */
   def policy(spark: SparkSession, dir: Option[String]): DataFrame => DataFrame =
     dir match {
       case Some(d) =>
-        spark.sparkContext.setCheckpointDir(d)
-        df => df.checkpoint()
+        df => {
+          val path = s"${d.stripSuffix("/")}/ckpt-${java.util.UUID.randomUUID()}"
+          df.write.parquet(path)
+          spark.read.parquet(path)
+        }
       case None =>
         df => df.localCheckpoint()
     }

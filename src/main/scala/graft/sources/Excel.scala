@@ -304,8 +304,10 @@ object Excel {
   def streamedTables(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
     val parallelism = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
-    spark.createDataset(paths).repartition(parallelism)
-      .mapPartitions(_.flatMap(p => streamedFileRows(p)))
+    // qualified driver-side with the SESSION conf, like binaryFile's path
+    val qualified = paths.map(p => p -> LineSource.qualifiedPath(spark, p))
+    spark.createDataset(qualified).repartition(parallelism)
+      .mapPartitions(_.flatMap { case (p, q) => streamedFileRows(p, q) })
       .toDF("file", "tablename", "lineno", "cells")
   }
 
@@ -322,9 +324,9 @@ object Excel {
     out.toSeq
   }
 
-  /** Lazy (file, sheet, lineno, cells) rows for one oversized workbook. */
-  private def streamedFileRows(p: String): Iterator[(String, String, Long, Seq[String])] = {
-    val q = LineSource.qualifiedPath(p)
+  /** Lazy (file, sheet, lineno, cells) rows for one oversized workbook;
+    * `q` is the session-qualified spelling emitted as the `file` value. */
+  private def streamedFileRows(p: String, q: String): Iterator[(String, String, Long, Seq[String])] = {
     val head = { val in = LineSource.openStream(p); try in.readNBytes(8) finally in.close() }
     if (!isZip(head)) {
       val kind =
@@ -341,11 +343,15 @@ object Excel {
     val workbook = meta.getOrElse("xl/workbook.xml", sys.error(s"Not an xlsx: no xl/workbook.xml in '$p'"))
     val shared = sharedStringsOf(meta.get("xl/sharedStrings.xml"))
     val styleIsDate = stylesOf(meta.get("xl/styles.xml"))
-    val partToName = sheetTargetsOf(workbook, meta.get("xl/_rels/workbook.xml.rels"))
-      .map(_.swap).toMap
+    // a part can back SEVERAL sheets (broken/missing rels all falling back
+    // to the same target) — the in-memory path emits each such sheet with
+    // the part's rows, so the streamed path must too
+    val partToNames: Map[String, Seq[String]] =
+      sheetTargetsOf(workbook, meta.get("xl/_rels/workbook.xml.rels"))
+        .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
     // scan 2: per-sheet populated spans (cheap StAX pass, values discarded)
     val spans: Map[String, (Int, Int, Int, Int)] = scanZip(p) { (name, zin) =>
-      if (!partToName.contains(name)) None
+      if (!partToNames.contains(name)) None
       else {
         var span: (Int, Int, Int, Int) = null
         new CellCursor(zin, shared, styleIsDate).foreach { case (rr, cc, _) =>
@@ -357,22 +363,30 @@ object Excel {
         Option(span).map(name -> _)
       }
     }.toMap
-    // scan 3: lazy row emission, one open stream walked entry by entry
+    // scan 3: lazy row emission, one open stream walked entry by entry;
+    // a task-completion listener closes the stream even when the consumer
+    // abandons the iterator early (limit/head short-circuits)
     new Iterator[(String, String, Long, Seq[String])] {
       private val zin = new ZipInputStream(new java.io.BufferedInputStream(LineSource.openStream(p)))
       private var closed = false
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          if (!closed) { closed = true; try zin.close() catch { case _: Exception => () } }
+        })
       private var cur: Iterator[(String, String, Long, Seq[String])] = Iterator.empty
 
       private def advance(): Unit = {
         while (!cur.hasNext && !closed) {
           val e = zin.getNextEntry
           if (e == null) { closed = true; zin.close() }
-          else if (partToName.contains(e.getName) && spans.contains(e.getName)) {
-            val sheetName = partToName(e.getName)
+          else if (partToNames.contains(e.getName) && spans.contains(e.getName)) {
+            val sheetNames = partToNames(e.getName)
             val (rowMin, rowMax, colMin, colMax) = spans(e.getName)
             cur = paddedRows(new CellCursor(zin, shared, styleIsDate),
                 rowMin, rowMax, colMin, colMax)
-              .map { case (rr, cells) => (q, sheetName, (rr - rowMin).toLong, cells) }
+              .flatMap { case (rr, cells) =>
+                sheetNames.map(n => (q, n, (rr - rowMin).toLong, cells))
+              }
           }
         }
       }

@@ -138,12 +138,20 @@ object LineSource {
                     csvQuoteAware: Boolean): DataFrame = {
     import spark.implicits._
     val parallelism = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
-    spark.createDataset(paths).repartition(parallelism)
+    val qualified = paths.map(p => p -> qualifiedPath(spark, p))
+    spark.createDataset(qualified).repartition(parallelism)
       .mapPartitions { it =>
-        it.flatMap { p =>
-          val q = qualifiedPath(p)
+        // one reader open at a time per partition; close it even when the
+        // consumer abandons the iterator early (limit/head)
+        var open: java.io.Reader = null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (open != null) try open.close() catch { case _: Exception => () }
+          })
+        it.flatMap { case (p, q) =>
           val cs = probeCharset(p)
           val br = openReader(p, cs)
+          open = br
           val recs = if (csvQuoteAware) csvRecordIterator(br) else lineIterator(br)
           recs.zipWithIndex.map { case (l, i) => (q, i.toLong, l) }
         }
@@ -179,10 +187,13 @@ object LineSource {
   /** The Hadoop-qualified form of a path ("file:/tmp/x", "hdfs://nn/x") —
     * what `binaryFile`'s `path` column reports. Streamed sources emit THIS
     * as their `file` value so the two routes stay byte-identical: a caller
-    * mixing small and oversized files must see one spelling per file. */
-  private[sources] def qualifiedPath(p: String): String = {
+    * mixing small and oversized files must see one spelling per file.
+    * Resolved DRIVER-SIDE with the session's Hadoop conf (session-level
+    * `fs.defaultFS`/scheme settings included) — an executor-side fresh
+    * `Configuration()` could qualify differently from binaryFile. */
+  private[graft] def qualifiedPath(spark: SparkSession, p: String): String = {
     val hp = new org.apache.hadoop.fs.Path(p)
-    try hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).makeQualified(hp).toString
+    try hp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(hp).toString
     catch { case _: Exception => p }
   }
 

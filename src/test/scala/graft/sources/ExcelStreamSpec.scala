@@ -58,6 +58,26 @@ class ExcelStreamSpec extends SparkSpec {
       ("S", 2L, Seq(null, null)), ("S", 3L, Seq(null, "bottom"))))
   }
 
+  test("sheets sharing a part target (broken rels) stream like the in-memory path") {
+    // no rels part: both sheets fall back to worksheets/sheet1.xml — the
+    // in-memory path emits BOTH named sheets with that part's rows
+    val xlsx = ExcelFixtures.buildXlsx(Map(
+      "xl/workbook.xml" ->
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="A" sheetId="1" r:id="rId9"/>
+          |<sheet name="B" sheetId="2" r:id="rId8"/></sheets></workbook>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<sheetData><row r="1"><c r="A1" t="str"><v>x</v></c></row></sheetData>
+          |</worksheet>""".stripMargin))
+    val p = writeTemp(xlsx, ".xlsx")
+    val inMem = collectRows(Excel.tables(spark, Seq(p)))
+    val streamed = collectRows(Excel.tables(spark, Seq(p), inMemoryMaxBytes = 1L))
+    assert(streamed == inMem)
+    assert(inMem.map(_._2) == Set("A", "B"), "both sheet names must surface")
+  }
+
   test("oversized OLE/CFB workbook raises the documented bound error") {
     val cfbMagic = Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
       0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte) ++ Array.fill(512)(0.toByte)
