@@ -214,6 +214,32 @@ object TextDedup {
       .drop("_cc_id", "_cc_component")
   }
 
+  /** Test-set decontamination: count, per training doc, the distinct word
+    * `n`-grams it shares with a benchmark/eval set — the standard guard
+    * against evaluation leakage in a training corpus. Scale shape: the
+    * benchmark's distinct gram set is small (benchmarks are thousands of
+    * docs) and is BROADCAST; the training side is a narrow per-doc explode
+    * of its distinct grams, one join, one aggregation — no shuffle of the
+    * corpus itself beyond the final per-doc count. Docs sharing nothing
+    * are absent (anti-join the output to keep the clean set). */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 3): DataFrame = {
+    def grams(c: Column): Column = {
+      val w = split(c, " ")
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
+    }
+    // word-count filters, never a computed-column filter (see the LSH note)
+    val docGrams = docs.filter(size(split(col(textCol), " ")) >= n)
+      .select(col(idCol), explode(grams(col(textCol))).as("_gram"))
+    val benchGrams = benchmark.filter(size(split(col(benchTextCol), " ")) >= n)
+      .select(explode(grams(col(benchTextCol))).as("_bgram")).distinct()
+    docGrams.join(broadcast(benchGrams), col("_gram") === col("_bgram"))
+      // both sides are per-key distinct, so plain count = distinct overlap
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Word-bigram Jaccard similarity over an all-pairs join — for BOUNDED
     * candidate sets only (e.g. the output of [[lshCandidatePairs]] joined
     * back to text, or a pre-filtered id range). Not a scale path on its

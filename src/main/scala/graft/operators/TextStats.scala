@@ -81,4 +81,22 @@ object TextStats {
     when(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
            .cast("bigint") % 100 < trainPct, lit("train"))
       .otherwise(lit("eval"))
+
+  /** Deterministic stratified sampling: keep a row iff
+    * md5(stratum ":" key) mod 10000 falls under its stratum's rate —
+    * per-stratum rates rebalance a skewed corpus (downsample the dominant
+    * language, keep the tail) with no RNG, so re-runs, backfills and
+    * joins against a previous sample all agree row-for-row. A narrow
+    * filter: no shuffle, no per-stratum pass, pushdown-friendly. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, strataCol: String,
+                       keyCol: String, fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    val bps = coalesce(
+      element_at(typedLit(fractions.view.mapValues(f => (f * 10000).toLong).toMap),
+        col(strataCol)),
+      lit((defaultFraction * 10000).toLong))
+    df.filter(
+      conv(substring(md5(concat(col(strataCol), lit(":"), col(keyCol).cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 10000 < bps)
+  }
 }

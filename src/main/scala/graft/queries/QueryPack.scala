@@ -1029,6 +1029,27 @@ object QueryPack {
       col("doc_id"),
       graft.operators.TextStats.trainSplit(col("doc_id"), trainPct = 90).as("split"))
 
+  /** Test-set decontamination — every 50th document plays the benchmark
+    * set; training docs are scored by how many distinct word 3-grams they
+    * share with it. Benchmark grams broadcast; the corpus side is a
+    * narrow explode + one count aggregation. */
+  def xDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.TextDedup.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 50 === 0), "text")
+      .select(col("doc_id"), col("n_shared"))
+  }
+
+  /** Deterministic stratified sampling — downsample dominant-language docs
+    * (en at 30%), keep the tail languages whole. Hash-mod per stratum: no
+    * RNG, identical sample on every run/backfill. Narrow filter. */
+  def xStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.stratifiedSample(
+        T(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.3, "zh" -> 0.8), defaultFraction = 1.0)
+      .select(col("doc_id"), col("lang"))
+
   /** PII redaction — scrub emails and phone-shaped tokens before training.
     * PII is injected deterministically from the key so the scrub is
     * observable on synthetic text; patterns stay in the RE2/Java-regex
@@ -1096,6 +1117,8 @@ object QueryPack {
     "x_fingerprint" -> (xFingerprint _),
     "x_dedup_cluster" -> (xDedupCluster _),
     "x_train_split" -> (xTrainSplit _),
+    "x_decontaminate" -> (xDecontaminate _),
+    "x_stratified" -> (xStratified _),
     "x_redact" -> (xRedact _),
     "x_rep_ratio" -> (xRepRatio _),
     "x_asof_join" -> (xAsofJoin _),
@@ -1244,6 +1267,22 @@ object QueryPack {
         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
         |       THEN 'train' ELSE 'eval' END AS split
         |FROM documents""".stripMargin,
+    "x_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |           || ' ' || string_split(text, ' ')[i+2]))) AS gram
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, COUNT(*) AS n_shared
+        |FROM g JOIN bench USING (gram)
+        |WHERE g.doc_id % 50 <> 0
+        |GROUP BY 1""".stripMargin,
+    "x_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+        |  < CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 8000 ELSE 10000 END""".stripMargin,
     "x_redact" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(

@@ -159,6 +159,38 @@ class OperatorsSpec extends SparkSpec {
       (4L, 4L, true)))
   }
 
+  test("decontaminate counts distinct shared n-grams against the benchmark") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // shares 'alpha beta gamma' + 'beta gamma delta'
+      (2L, "unrelated words entirely here now"),
+      (3L, "beta gamma delta epsilon zeta"),
+      (4L, "hi"))                               // too short for a 3-gram
+      .toDF("id", "t")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("bid", "bt")
+    val got = TextDedup.decontaminate(docs, "id", "t", bench, "bt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares 'alpha beta gamma' and 'beta gamma delta'; doc 3 shares
+    // 'beta gamma delta'; docs 2 and 4 are clean (absent)
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("stratified sample: per-stratum rates, deterministic across runs") {
+    val df = (1 to 2000).map(i => (i.toLong, if (i % 4 == 0) "minor" else "major"))
+      .toDF("id", "stratum")
+    val sampled = TextStats.stratifiedSample(df, "stratum", "id",
+      Map("major" -> 0.2), defaultFraction = 1.0)
+    val counts = sampled.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("minor") == 500, "default fraction 1.0 keeps the whole stratum")
+    assert(counts("major") > 220 && counts("major") < 380,
+      s"~20% of 1500 expected, got ${counts("major")}")
+    // no RNG: identical sample on re-evaluation
+    val again = TextStats.stratifiedSample(df, "stratum", "id",
+      Map("major" -> 0.2), defaultFraction = 1.0)
+    assert(sampled.collect().map(_.getLong(0)).sorted.toSeq ==
+      again.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("textstats: default redaction scrubs emails and UK phone shapes") {
     val df = Seq(
       "mail me at jo.smith+x@nhs-trust.org.uk or call 0161 496 0000 today",

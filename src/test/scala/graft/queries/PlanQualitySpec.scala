@@ -66,6 +66,19 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: benchmark grams broadcast, corpus side never sort-merged") {
+    val plan = formattedPlan(QueryPack.xDecontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle into a sort-merge join:\n$plan")
+  }
+
+  test("stratified sample is a narrow filter: no exchange, filter reaches the scan") {
+    val plan = formattedPlan(QueryPack.xStratified(spark, sf))
+    assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
+  }
+
   test("x3_xml_repeat: per-record transform is narrow (no exchange, no join)") {
     val plan = formattedPlan(QueryPack.x3XmlRepeat(spark, sf))
     assert(!plan.contains("Exchange"), s"XML transform shuffles:\n$plan")
