@@ -103,9 +103,13 @@ object Streams {
     * the streaming twin of the batch Importer's csv path. Headers are
     * consumed by the csv reader; a per-file line ORDINAL does not exist on
     * an unbounded stream (and `monotonically_increasing_id` is rejected on
-    * streaming plans), so `lineno`/`index` carry a content-derived
-    * surrogate id — unique per distinct row, stable across retries. Use
-    * `row_identifier: uuid` mappings rather than `index` on streams. */
+    * streaming plans), so `lineno`/`index` carry a surrogate id built from
+    * `(task partition << 40) | position-within-partition` — UNIQUE within
+    * a file even for byte-identical rows (a file is ingested atomically in
+    * one micro-batch, and a file's partitions are distinct within it), and
+    * stable across task retries (file splits replay in the same order).
+    * The id is NOT contiguous; mappings needing a stable business key
+    * should still prefer `row_identifier: uuid`. */
   def delimitedStream(spark: SparkSession, dir: String, mapping: TableMapping): DataFrame = {
     // the csv reader can consume exactly one header line per file; deeper
     // headers (and per-file header VALIDATION, which needs the whole
@@ -123,11 +127,20 @@ object Streams {
       .option("header", mapping.headerLines > 0)
       .csv(dir)
     val cells = array(mapping.columns.indices.map(i => col(s"c$i")): _*)
-    val withMeta = lines.select(
-      input_file_name().as("file"),
-      xxhash64(input_file_name(), to_json(struct(
-        mapping.columns.indices.map(i => col(s"c$i")): _*))).as("lineno"),
-      cells.as("cells"))
-    MappingCompiler(mapping).records(withMeta)
+    val withFileCells = lines.select(
+      input_file_name().as("file"), cells.as("cells"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      withFileCells.schema.fields :+
+        org.apache.spark.sql.types.StructField("lineno",
+          org.apache.spark.sql.types.LongType))
+    val withId = withFileCells.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var pos = -1L
+      it.map { r =>
+        pos += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ ((pid << 40) | pos))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    MappingCompiler(mapping).records(withId)
   }
 }

@@ -91,6 +91,31 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("delimitedStream assigns distinct indexes to byte-identical rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graftstreamdup")
+    // three byte-identical data rows in one file
+    java.nio.file.Files.write(dir.resolve("dups.csv"),
+      "surname\nSMITH\nSMITH\nSMITH\n".getBytes("UTF-8"))
+    val mapping = graft.model.MappingLoader.loadTable(
+      """|header_lines: 1
+         |klass: Person
+         |row_identifier: index
+         |columns:
+         |- column: surname
+         |  mappings:
+         |  - field: surname
+         |""".stripMargin)
+    val q = delimitedStream(spark, dir.toString, mapping)
+      .writeStream.format("memory").queryName("dups").outputMode("append").start()
+    q.processAllAvailable()
+    val ids = spark.sql("select fields['row_identifier'] from dups")
+      .collect().map(_.getString(0))
+    assert(ids.length == 3, "all three identical rows must survive")
+    assert(ids.distinct.length == 3,
+      s"identical rows must get distinct indexes, got ${ids.toSeq}")
+    q.stop()
+  }
+
   test("streaming exact dedup drops watermark-window duplicates across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
