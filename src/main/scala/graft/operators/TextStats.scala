@@ -82,6 +82,26 @@ object TextStats {
            .cast("bigint") % 100 < trainPct, lit("train"))
       .otherwise(lit("eval"))
 
+  /** Token-budget sequence packing: lay each group's docs out in a
+    * deterministic order and cut a new training sequence every `budget`
+    * tokens — `seq_id` = group "#" floor(start-offset / budget), with
+    * `seq_offset` the doc's token offset inside its sequence. Docs may
+    * straddle a boundary (offset packing, the streaming-friendly variant);
+    * exact first-fit bin packing needs a sequential pass and does not
+    * distribute. Scale shape: ONE window partitioned by the group column
+    * (shard by source/language/date so no single group dominates), never a
+    * global sort. */
+  def packSequences(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                    orderCol: String, tokens: Column,
+                    budget: Long): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+    val start = sum(tokens).over(w) - tokens
+    df.withColumn("seq_id",
+        concat_ws("#", col(groupCol), floor(start / budget).cast("string")))
+      .withColumn("seq_offset", pmod(start, lit(budget)))
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * md5(stratum ":" key) mod 10000 falls under its stratum's rate —
     * per-stratum rates rebalance a skewed corpus (downsample the dominant

@@ -1050,6 +1050,15 @@ object QueryPack {
         Map("en" -> 0.3, "zh" -> 0.8), defaultFraction = 1.0)
       .select(col("doc_id"), col("lang"))
 
+  /** Token-budget sequence packing — docs cut into ~2000-token training
+    * sequences per language shard. One partitioned window, no global
+    * sort. */
+  def xPack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.packSequences(
+        T(s, dir, "documents"), "lang", "doc_id",
+        size(split(col("text"), " ")).cast("long"), budget = 2000)
+      .select(col("doc_id"), col("seq_id"), col("seq_offset"))
+
   /** PII redaction — scrub emails and phone-shaped tokens before training.
     * PII is injected deterministically from the key so the scrub is
     * observable on synthetic text; patterns stay in the RE2/Java-regex
@@ -1119,6 +1128,7 @@ object QueryPack {
     "x_train_split" -> (xTrainSplit _),
     "x_decontaminate" -> (xDecontaminate _),
     "x_stratified" -> (xStratified _),
+    "x_pack" -> (xPack _),
     "x_redact" -> (xRedact _),
     "x_rep_ratio" -> (xRepRatio _),
     "x_asof_join" -> (xAsofJoin _),
@@ -1283,6 +1293,14 @@ object QueryPack {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
         |  < CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 8000 ELSE 10000 END""".stripMargin,
+    "x_pack" ->
+      """SELECT doc_id,
+        |  lang || '#' || CAST((SUM(len(string_split(text, ' '))) OVER w
+        |      - len(string_split(text, ' '))) // 2000 AS VARCHAR) AS seq_id,
+        |  CAST((SUM(len(string_split(text, ' '))) OVER w
+        |      - len(string_split(text, ' '))) % 2000 AS BIGINT) AS seq_offset
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin,
     "x_redact" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(

@@ -191,6 +191,20 @@ class OperatorsSpec extends SparkSpec {
       again.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("packSequences cuts groups into budget-sized sequences deterministically") {
+    val df = Seq(
+      (1L, "g1", 800L), (2L, "g1", 800L), (3L, "g1", 800L), // starts 0,800,1600
+      (4L, "g1", 800L),                                      // start 2400 → seq 1
+      (5L, "g2", 100L))
+      .toDF("id", "grp", "toks")
+    val out = TextStats.packSequences(df, "grp", "id", col("toks"), budget = 2000)
+      .select("id", "seq_id", "seq_offset")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "g1#0", 0L), (2L, "g1#0", 800L), (3L, "g1#0", 1600L),
+      (4L, "g1#1", 400L), (5L, "g2#0", 0L)))
+  }
+
   test("textstats: default redaction scrubs emails and UK phone shapes") {
     val df = Seq(
       "mail me at jo.smith+x@nhs-trust.org.uk or call 0161 496 0000 today",
