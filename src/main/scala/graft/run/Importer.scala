@@ -131,7 +131,12 @@ object Importer {
           tabularRecords(spark, m, rows)
         }
       case "xls" | "xlsm" | "xlsx" =>
-        val sheets = Excel.tables(spark, Seq(file), fileMapping.filePassword).cache()
+        // materialised once (sheet-name collect + one scan per sheet read
+        // it); localCheckpoint rather than cache() — CacheManager entries
+        // are never auto-freed, while checkpoint blocks release with the
+        // RDD when the import's DataFrames go out of scope
+        val sheets = Excel.tables(spark, Seq(file), fileMapping.filePassword)
+          .localCheckpoint()
         val names = sheets.select("tablename").distinct()
           .collect().map(_.getString(0)).toSeq
         names.map { sheet =>
