@@ -28,6 +28,15 @@ object TextDedup {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** The `n`-gram expression every operator here shares: consecutive
+    * word windows over an already-materialised word-array column (pass a
+    * COLUMN REFERENCE, never an inline split — HOF lambdas defeat
+    * subexpression elimination, re-splitting per element). Yields
+    * size-(n-1) fewer grams than words; callers guard `size(w) >= n`. */
+  private def wordNgrams(w: Column, n: Int): Column =
+    transform(sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*))
+
   /** Exact dedup: one shuffle on the content hash; keeper = min id. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("content_hash"))
@@ -39,9 +48,7 @@ object TextDedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 6, shingle: Int = 3): DataFrame = {
     val w = col("_w")
-    val shingles = transform(
-      sequence(lit(1), size(w) - (shingle - 1)),
-      i => concat_ws(" ", (0 until shingle).map(o => element_at(w, i + o)): _*))
+    val shingles = wordNgrams(w, shingle)
     val doc = docs
       .withColumn("_w", words(col(textCol)))
       .withColumn("_sh", when(size(w) >= shingle, shingles)
@@ -225,16 +232,16 @@ object TextDedup {
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
                     n: Int = 3): DataFrame = {
-    def grams(c: Column): Column = {
-      val w = split(c, " ")
-      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
-    }
-    // word-count filters, never a computed-column filter (see the LSH note)
-    val docGrams = docs.filter(size(split(col(textCol), " ")) >= n)
-      .select(col(idCol), explode(grams(col(textCol))).as("_gram"))
-    val benchGrams = benchmark.filter(size(split(col(benchTextCol), " ")) >= n)
-      .select(explode(grams(col(benchTextCol))).as("_bgram")).distinct()
+    // word-count filters, never a computed-column filter (see the LSH
+    // note); `_w` materialised before the gram transform so the split
+    // isn't re-evaluated per gram inside the lambda
+    def gramRows(df: DataFrame, textC: String, out: String) =
+      df.filter(size(split(col(textC), " ")) >= n)
+        .withColumn("_w", words(col(textC)))
+        .withColumn(out, explode(array_distinct(wordNgrams(col("_w"), n))))
+    val docGrams = gramRows(docs, textCol, "_gram").select(col(idCol), col("_gram"))
+    val benchGrams = gramRows(benchmark, benchTextCol, "_bgram")
+      .select(col("_bgram")).distinct()
     docGrams.join(broadcast(benchGrams), col("_gram") === col("_bgram"))
       // both sides are per-key distinct, so plain count = distinct overlap
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
@@ -247,9 +254,7 @@ object TextDedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.1): DataFrame = {
     val w = col("_w")
-    val grams = array_distinct(transform(
-      sequence(lit(1), size(w) - 1),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+    val grams = array_distinct(wordNgrams(w, 2))
     val d = docs.withColumn("_w", words(col(textCol)))
       .select(col(idCol), when(size(w) >= 2, grams)
         .otherwise(array().cast("array<string>")).as("_grams"))

@@ -94,11 +94,17 @@ object TextStats {
   def packSequences(df: org.apache.spark.sql.DataFrame, groupCol: String,
                     orderCol: String, tokens: Column,
                     budget: Long): org.apache.spark.sql.DataFrame = {
+    // explicit ROWS frame: the default RANGE frame sums ALL order-column
+    // ties into every tied row's running total, overlapping their offsets
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val start = sum(tokens).over(w) - tokens
+    // concat, not concat_ws: a NULL group must yield a NULL seq_id (SQL
+    // || semantics), never a bare number colliding with other groups
     df.withColumn("seq_id",
-        concat_ws("#", col(groupCol), floor(start / budget).cast("string")))
+        concat(col(groupCol), lit("#"), floor(start / budget).cast("string")))
       .withColumn("seq_offset", pmod(start, lit(budget)))
   }
 
@@ -111,12 +117,17 @@ object TextStats {
   def stratifiedSample(df: org.apache.spark.sql.DataFrame, strataCol: String,
                        keyCol: String, fractions: Map[String, Double],
                        defaultFraction: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    // round, not truncate: (0.043 * 10000).toLong is 429; hundreds of
+    // exact four-decimal fractions mis-truncate by one basis point
     val bps = coalesce(
-      element_at(typedLit(fractions.view.mapValues(f => (f * 10000).toLong).toMap),
+      element_at(typedLit(fractions.view.mapValues(f => math.round(f * 10000)).toMap),
         col(strataCol)),
-      lit((defaultFraction * 10000).toLong))
+      lit(math.round(defaultFraction * 10000)))
+    // a NULL stratum is its own stratum under defaultFraction — the hash
+    // input coalesces so the comparison never goes NULL (which would
+    // silently drop every null-stratum row)
     df.filter(
-      conv(substring(md5(concat(col(strataCol), lit(":"), col(keyCol).cast("string"))),
-        1, 8), 16, 10).cast("bigint") % 10000 < bps)
+      conv(substring(md5(concat(coalesce(col(strataCol), lit("")), lit(":"),
+        col(keyCol).cast("string"))), 1, 8), 16, 10).cast("bigint") % 10000 < bps)
   }
 }

@@ -31,8 +31,14 @@ object Checkpoints {
       case Some(d) =>
         df => {
           val path = s"${d.stripSuffix("/")}/ckpt-${java.util.UUID.randomUUID()}"
-          df.write.parquet(path)
-          spark.read.parquet(path)
+          // positional rename around the write: parquet rejects column
+          // names with spaces/commas/semicolons, which caller-supplied id
+          // columns may carry — the reliable path must accept whatever
+          // the localCheckpoint path accepts
+          val names = df.columns.toSeq
+          val safe = names.indices.map(i => s"c$i")
+          df.toDF(safe: _*).write.parquet(path)
+          spark.read.parquet(path).toDF(names: _*)
         }
       case None =>
         df => df.localCheckpoint()

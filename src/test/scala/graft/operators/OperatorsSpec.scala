@@ -205,6 +205,33 @@ class OperatorsSpec extends SparkSpec {
       (4L, "g1#1", 400L), (5L, "g2#0", 0L)))
   }
 
+  test("packSequences: order-column ties pack as ROWS, not RANGE peers") {
+    // two ties at order=5 with 800 tokens each, budget 1000: with the
+    // buggy RANGE default both would start at 800; with ROWS one starts
+    // at 0 — offsets must be distinct and one of them 0
+    val df = Seq((1L, "g", 5L, 800L), (2L, "g", 5L, 800L)).toDF("id", "grp", "ord", "toks")
+    val out = TextStats.packSequences(df, "grp", "ord", col("toks"), budget = 1000)
+      .select("seq_offset").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(0L, 800L), s"got ${out.toSeq}")
+  }
+
+  test("packSequences: NULL group yields NULL seq_id (SQL || semantics)") {
+    val df = Seq((1L, Option("g"), 10L), (2L, Option.empty[String], 10L))
+      .toDF("id", "grp", "toks")
+    val out = TextStats.packSequences(df, "grp", "id", col("toks"), budget = 100)
+      .select("id", "seq_id").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains("g#0") && out(2L).isEmpty)
+  }
+
+  test("stratified sample: null strata fall under the default fraction; bps round") {
+    val df = (1 to 100).map(i => (i.toLong, Option.empty[String])).toDF("id", "stratum")
+    val kept = TextStats.stratifiedSample(df, "stratum", "id",
+      Map("x" -> 0.5), defaultFraction = 1.0).count()
+    assert(kept == 100, s"default 1.0 must keep all null-stratum rows, kept $kept")
+    // 0.043 * 10000 must round to 430 bps, not truncate to 429
+    assert(math.round(0.043 * 10000) == 430L)
+  }
+
   test("textstats: default redaction scrubs emails and UK phone shapes") {
     val df = Seq(
       "mail me at jo.smith+x@nhs-trust.org.uk or call 0161 496 0000 today",
