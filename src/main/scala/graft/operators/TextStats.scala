@@ -82,6 +82,24 @@ object TextStats {
            .cast("bigint") % 100 < trainPct, lit("train"))
       .otherwise(lit("eval"))
 
+  /** Corpus profiling: per-stratum row counts, mean and EXACT interpolated
+    * quantiles of a numeric column — the pre-training health check (is one
+    * shard full of near-empty docs?). Exact `percentile` (one shuffle,
+    * partial-aggregating) rather than `approx_percentile`: approx sketches
+    * differ across engines and runs, exact is oracle-stable; at 100 TB
+    * switch the call site to `approx_percentile` when cross-engine
+    * reproducibility stops mattering. */
+  def profile(df: org.apache.spark.sql.DataFrame, strataCol: String,
+              valueCol: String,
+              quantiles: Seq[Double] = Seq(0.5, 0.95)): org.apache.spark.sql.DataFrame = {
+    val qCols = quantiles.map(q =>
+      round(expr(s"percentile($valueCol, $q)"), 4)
+        .as(s"p${(q * 100).toInt}"))
+    val aggs = Seq(count(lit(1)).as("n"),
+      round(avg(col(valueCol)), 4).as("mean")) ++ qCols
+    df.groupBy(strataCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Token-budget sequence packing: lay each group's docs out in a
     * deterministic order and cut a new training sequence every `budget`
     * tokens — `seq_id` = group "#" floor(start-offset / budget), with

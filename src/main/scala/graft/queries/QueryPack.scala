@@ -1059,6 +1059,11 @@ object QueryPack {
         size(split(col("text"), " ")).cast("long"), budget = 2000)
       .select(col("doc_id"), col("seq_id"), col("seq_offset"))
 
+  /** Corpus profiling — per-language counts, mean and exact p50/p95 doc
+    * length. One partial-aggregating shuffle. */
+  def xProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.profile(T(s, dir, "documents"), "lang", "n_chars")
+
   /** PII redaction — scrub emails and phone-shaped tokens before training.
     * PII is injected deterministically from the key so the scrub is
     * observable on synthetic text; patterns stay in the RE2/Java-regex
@@ -1129,6 +1134,7 @@ object QueryPack {
     "x_decontaminate" -> (xDecontaminate _),
     "x_stratified" -> (xStratified _),
     "x_pack" -> (xPack _),
+    "x_profile" -> (xProfile _),
     "x_redact" -> (xRedact _),
     "x_rep_ratio" -> (xRepRatio _),
     "x_asof_join" -> (xAsofJoin _),
@@ -1293,6 +1299,11 @@ object QueryPack {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
         |  < CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 8000 ELSE 10000 END""".stripMargin,
+    "x_profile" ->
+      """SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS mean,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.95), 4) AS p95
+        |FROM documents GROUP BY lang""".stripMargin,
     "x_pack" ->
       """SELECT doc_id,
         |  lang || '#' || CAST((SUM(len(string_split(text, ' '))) OVER w
