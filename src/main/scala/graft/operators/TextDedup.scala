@@ -150,11 +150,16 @@ object TextDedup {
                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     val ckpt = graft.runtime.Checkpoints.policy(spark, checkpointDir)
+    // labels roll: each round's spill supersedes the last, which is
+    // deleted once the new round is durably written — a long loop holds
+    // at most two label spills, not one per round. Edges persist for the
+    // whole loop and use the plain policy.
+    val labelCkpt = new graft.runtime.Checkpoints.Rolling(spark, checkpointDir)
     val edges = ckpt(
       pairs.select(col(idA).as("src"), col(idB).as("dst"))
         .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
         .distinct())
-    var labels = ckpt(
+    var labels = labelCkpt(
       edges.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))
     var iter = 0
@@ -191,7 +196,7 @@ object TextDedup {
       val counted = flagged.rdd.mapPartitions { it =>
         it.map { r => if (r.getBoolean(2)) changedAcc.add(1L); r }
       }
-      labels = ckpt(
+      labels = labelCkpt(
         spark.createDataFrame(counted, flagged.schema).select("id", "component"))
       converged = changedAcc.value == 0L
       iter += 1

@@ -28,19 +28,46 @@ object Checkpoints {
   /** Returns the checkpoint function for `dir`. */
   def policy(spark: SparkSession, dir: Option[String]): DataFrame => DataFrame =
     dir match {
-      case Some(d) =>
-        df => {
-          val path = s"${d.stripSuffix("/")}/ckpt-${java.util.UUID.randomUUID()}"
-          // positional rename around the write: parquet rejects column
-          // names with spaces/commas/semicolons, which caller-supplied id
-          // columns may carry — the reliable path must accept whatever
-          // the localCheckpoint path accepts
-          val names = df.columns.toSeq
-          val safe = names.indices.map(i => s"c$i")
-          df.toDF(safe: _*).write.parquet(path)
-          spark.read.parquet(path).toDF(names: _*)
-        }
-      case None =>
-        df => df.localCheckpoint()
+      case Some(d) => df => spill(spark, d, df)
+      case None    => df => df.localCheckpoint()
     }
+
+  /** A checkpointer for ITERATIVE loops that deletes each superseded
+    * round's spill once the next round is durably written, so a 50-round
+    * loop holds at most two spills in `dir` instead of fifty. Never
+    * deletes the most recent spill — the loop's final result reads from
+    * it. With `dir` None this is plain localCheckpoint (executor-local
+    * blocks already release via the ContextCleaner). Single-threaded use
+    * (one per loop), like the loops that own it. */
+  final class Rolling(spark: SparkSession, dir: Option[String]) {
+    private var last: Option[String] = None
+    def apply(df: DataFrame): DataFrame = dir match {
+      case Some(d) =>
+        val path = s"${d.stripSuffix("/")}/ckpt-${java.util.UUID.randomUUID()}"
+        val out = spillTo(spark, path, df)
+        last.foreach(delete(spark, _))
+        last = Some(path)
+        out
+      case None => df.localCheckpoint()
+    }
+  }
+
+  private def spill(spark: SparkSession, d: String, df: DataFrame): DataFrame =
+    spillTo(spark, s"${d.stripSuffix("/")}/ckpt-${java.util.UUID.randomUUID()}", df)
+
+  private def spillTo(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
+    // positional rename around the write: parquet rejects column names
+    // with spaces/commas/semicolons, which caller-supplied id columns may
+    // carry — the reliable path must accept whatever localCheckpoint does
+    val names = df.columns.toSeq
+    val safe = names.indices.map(i => s"c$i")
+    df.toDF(safe: _*).write.parquet(path)
+    spark.read.parquet(path).toDF(names: _*)
+  }
+
+  private def delete(spark: SparkSession, path: String): Unit =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    } catch { case _: Exception => () } // cleanup is best-effort
 }

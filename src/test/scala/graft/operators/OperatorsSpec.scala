@@ -149,6 +149,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("reliable CC loop rolls its label spills: ≤2 spill dirs survive a multi-round run") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-roll").toFile
+    try {
+      // a 16-chain takes several rounds — each must supersede the last spill
+      val chain = (0 until 15).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+      val got = TextDedup.connectedComponents(chain, "a", "b",
+          checkpointDir = Some(dir.getAbsolutePath))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.values.forall(_ == 0L))
+      // edges spill + final labels spill only; intermediate rounds deleted
+      val spills = dir.listFiles().count(_.getName.startsWith("ckpt-"))
+      assert(spills == 2, s"expected 2 surviving spills (edges + final labels), got $spills")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("dedupByClusters labels canonical docs across a dup chain") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("id", "t")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b") // chain: {1,2,3}
