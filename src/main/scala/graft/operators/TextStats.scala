@@ -92,12 +92,21 @@ object TextStats {
   def profile(df: org.apache.spark.sql.DataFrame, strataCol: String,
               valueCol: String,
               quantiles: Seq[Double] = Seq(0.5, 0.95)): org.apache.spark.sql.DataFrame = {
-    val qCols = quantiles.map(q =>
-      round(expr(s"percentile($valueCol, $q)"), 4)
-        .as(s"p${(q * 100).toInt}"))
-    val aggs = Seq(count(lit(1)).as("n"),
-      round(avg(col(valueCol)), 4).as("mean")) ++ qCols
-    df.groupBy(strataCol).agg(aggs.head, aggs.tail: _*)
+    // ONE array-percentile aggregate: all quantiles share a single
+    // per-group value-count buffer and sort, instead of one independent
+    // state per quantile; the column name is backtick-quoted so names
+    // with spaces/dashes work (and never parse as arithmetic)
+    val qArray = expr(
+      s"percentile(`$valueCol`, array(${quantiles.mkString(", ")}))")
+    val aggd = df.groupBy(strataCol).agg(
+      count(lit(1)).as("n"),
+      round(avg(col(valueCol)), 4).as("mean"),
+      qArray.as("_qs"))
+    // math.round, not toInt: 0.57 * 100 is 56.999… under doubles
+    val qCols = quantiles.zipWithIndex.map { case (q, i) =>
+      round(element_at(col("_qs"), i + 1), 4).as(s"p${math.round(q * 100)}")
+    }
+    aggd.select(col(strataCol) +: col("n") +: col("mean") +: qCols: _*)
   }
 
   /** Token-budget sequence packing: lay each group's docs out in a

@@ -247,6 +247,18 @@ class OperatorsSpec extends SparkSpec {
     assert(math.round(0.043 * 10000) == 430L)
   }
 
+  test("profile: exact quantiles, awkward column names and labels survive") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("b", 10L))
+      .toDF("grp", "doc len") // space in the value column name
+    val out = TextStats.profile(df, "grp", "doc len", Seq(0.5, 0.57))
+    // 0.57*100 must label p57, not p56 (double truncation)
+    assert(out.columns.toSeq == Seq("grp", "n", "mean", "p50", "p57"))
+    val a = out.filter(col("grp") === "a").collect().head
+    assert(a.getLong(a.fieldIndex("n")) == 4)
+    // exact interpolated median of 1..4 = 2.5
+    assert(a.getDouble(a.fieldIndex("p50")) == 2.5)
+  }
+
   test("textstats: default redaction scrubs emails and UK phone shapes") {
     val df = Seq(
       "mail me at jo.smith+x@nhs-trust.org.uk or call 0161 496 0000 today",
