@@ -25,8 +25,9 @@ import scala.xml.XML
   * An `.xls` that is really an xlsx (zip magic) is parsed as xlsx — the
   * reference's rescue-and-retry (`excel.rb:104-115`); genuine OLE .xls goes
   * through the native BIFF8 parser ([[Biff8]]/[[Cfb]]). Password-protected
-  * workbooks (OOXML agile encryption) need a crypto stack this build does
-  * not implement yet and raise a clearly-marked unsupported error.
+  * workbooks ARE supported: OOXML agile encryption (ECMA-376 §2.3.4) is
+  * decrypted by [[OoxmlCrypto.decrypt]] when `file_password` is set; a
+  * missing password raises the reference's clearly-worded error.
   */
 object Excel {
 
@@ -258,11 +259,18 @@ object Excel {
     * xlsx files take the streaming reader ([[streamedTables]]) so a
     * multi-GiB workbook never hits binaryFile's 2 GiB record limit or
     * materialises on one task's heap. The reference's own xlsx streaming
-    * is an unshipped FIXME (`lib/ndr_import/file/excel.rb:58-63`). */
+    * is an unshipped FIXME (`lib/ndr_import/file/excel.rb:58-63`).
+    * Oversized workbooks that CANNOT stream (CFB containers: BIFF8 .xls or
+    * an encrypted OOXML envelope, which need random access) fall back to a
+    * full in-memory parse on the executor task up to the 2 GiB format
+    * ceiling, so size routing never regresses an input that used to parse. */
   def tables(spark: SparkSession, paths: Seq[String],
              password: Option[String] = None,
              inMemoryMaxBytes: Long = LineSource.DefaultInMemoryMaxBytes): DataFrame = {
     import spark.implicits._
+    if (paths.isEmpty)
+      return spark.emptyDataset[(String, String, Long, Seq[String])]
+        .toDF("file", "tablename", "lineno", "cells")
     val bigSet = LineSource.oversized(spark, paths, inMemoryMaxBytes)
     val (big, small) = paths.partition(bigSet)
     val inMem =
@@ -278,7 +286,7 @@ object Excel {
             }
           }.toDF("file", "tablename", "lineno", "cells"))
     val streamed =
-      if (big.isEmpty) None else Some(streamedTables(spark, big))
+      if (big.isEmpty) None else Some(streamedTables(spark, big, password))
     (inMem.toSeq ++ streamed.toSeq).reduce(_ unionByName _)
   }
 
@@ -299,15 +307,17 @@ object Excel {
     * the workbook bytes. One task per file: sheets are sequential within a
     * workbook (their row numbering is), parallelism comes from many files —
     * the same doctrine as the text sources. Encrypted OOXML and BIFF8
-    * workbooks need random access (crypto envelope / CFB FAT) and raise a
-    * clear bound error instead of OOMing a task. */
-  def streamedTables(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    * workbooks need random access (crypto envelope / CFB FAT): those fall
+    * back to a full in-memory parse ON THE TASK up to the 2 GiB format
+    * ceiling (past which a clear bound error is raised instead of an OOM). */
+  def streamedTables(spark: SparkSession, paths: Seq[String],
+                     password: Option[String] = None): DataFrame = {
     import spark.implicits._
     val parallelism = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
     // qualified driver-side with the SESSION conf, like binaryFile's path
     val qualified = paths.map(p => p -> LineSource.qualifiedPath(spark, p))
     spark.createDataset(qualified).repartition(parallelism)
-      .mapPartitions(_.flatMap { case (p, q) => streamedFileRows(p, q) })
+      .mapPartitions(_.flatMap { case (p, q) => streamedFileRows(p, q, password) })
       .toDF("file", "tablename", "lineno", "cells")
   }
 
@@ -324,17 +334,41 @@ object Excel {
     out.toSeq
   }
 
+  /** The .xlsx/.xls container formats top out at 2 GiB (CFB sector
+    * addressing / zip32 as written by Excel) — the hard ceiling for the
+    * in-memory fallback, matching binaryFile's record limit. */
+  private val FormatMaxBytes: Long = Int.MaxValue.toLong
+
   /** Lazy (file, sheet, lineno, cells) rows for one oversized workbook;
     * `q` is the session-qualified spelling emitted as the `file` value. */
-  private def streamedFileRows(p: String, q: String): Iterator[(String, String, Long, Seq[String])] = {
+  private def streamedFileRows(p: String, q: String, password: Option[String])
+      : Iterator[(String, String, Long, Seq[String])] = {
     val head = { val in = LineSource.openStream(p); try in.readNBytes(8) finally in.close() }
     if (!isZip(head)) {
-      val kind =
-        if (Cfb.isCfb(head)) "an OLE container (legacy BIFF8 .xls or an encrypted OOXML envelope)"
-        else "not a zip archive"
-      sys.error(s"Unable to stream oversized workbook '$p': it is $kind, " +
-        "which needs random access and a full in-memory parse; raise the " +
-        "in-memory bound or convert to plain xlsx")
+      // CFB containers (legacy BIFF8 .xls, encrypted OOXML envelopes) need
+      // random access (CFB FAT / crypto envelope) and cannot stream. Up to
+      // the 2 GiB format ceiling they parse in-memory ON THIS TASK — the
+      // same result the binaryFile path would have produced — so routing a
+      // 300 MiB encrypted workbook past the in-memory bound degrades to a
+      // bigger heap, never a new failure. Only past 2 GiB (no such valid
+      // workbook exists) does this raise.
+      if (!Cfb.isCfb(head))
+        sys.error(s"Unable to stream oversized workbook '$p': it is neither " +
+          "a zip archive nor an OLE container")
+      val len =
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .getFileStatus(hp).getLen
+        } catch { case _: Exception => -1L }
+      if (len > FormatMaxBytes)
+        sys.error(s"Unable to read oversized workbook '$p' ($len bytes): OLE " +
+          "containers need a full in-memory parse and the format tops out at " +
+          "2 GiB — the file is corrupt or mislabelled")
+      val bytes = { val in = LineSource.openStream(p); try in.readAllBytes() finally in.close() }
+      return parseWorkbook(p, bytes, password).iterator.flatMap { sheet =>
+        sheet.rows.zipWithIndex.map { case (cells, i) => (q, sheet.name, i.toLong, cells) }
+      }
     }
     // scan 1: metadata parts
     val meta = scanZip(p) { (name, zin) =>

@@ -115,6 +115,9 @@ object LineSource {
   private def dispatchBySize(spark: SparkSession, paths: Seq[String],
                              inMemoryMaxBytes: Long,
                              csvQuoteAware: Boolean): DataFrame = {
+    import spark.implicits._
+    if (paths.isEmpty)
+      return spark.emptyDataset[(String, Long, String)].toDF("file", "lineno", "line")
     val isBig = oversized(spark, paths, inMemoryMaxBytes)
     val (big, small) = paths.partition(isBig)
     val inMem =
@@ -151,6 +154,11 @@ object LineSource {
         it.flatMap { case (p, q) =>
           val cs = probeCharset(p)
           val br = openReader(p, cs)
+          // close the predecessor on handoff: it is either already closed
+          // (iterator exhausted) or was abandoned mid-file (zero-line file,
+          // consumer short-circuit) — double-close is a no-op, so handoff
+          // plus the completion listener covers every path
+          if (open != null) try open.close() catch { case _: Exception => () }
           open = br
           val recs = if (csvQuoteAware) csvRecordIterator(br) else lineIterator(br)
           recs.zipWithIndex.map { case (l, i) => (q, i.toLong, l) }
