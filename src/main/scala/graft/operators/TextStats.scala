@@ -82,29 +82,42 @@ object TextStats {
            .cast("bigint") % 100 < trainPct, lit("train"))
       .otherwise(lit("eval"))
 
-  /** Corpus profiling: per-stratum row counts, mean and EXACT interpolated
+  /** Corpus profiling: per-stratum row counts, mean and interpolated
     * quantiles of a numeric column — the pre-training health check (is one
-    * shard full of near-empty docs?). Exact `percentile` (one shuffle,
-    * partial-aggregating) rather than `approx_percentile`: approx sketches
-    * differ across engines and runs, exact is oracle-stable; at 100 TB
-    * switch the call site to `approx_percentile` when cross-engine
-    * reproducibility stops mattering. */
+    * shard full of near-empty docs?). `exact = true` (the default) uses
+    * `percentile` (one shuffle, partial-aggregating, oracle-stable across
+    * engines); `exact = false` switches to `approx_percentile` — at 100 TB
+    * the exact aggregate's per-group value buffer is the bottleneck and
+    * the t-digest sketch (bounded state, `approxAccuracy` trades error for
+    * memory) is the production path, at the cost of run-to-run and
+    * cross-engine reproducibility of the quantile digits. */
   def profile(df: org.apache.spark.sql.DataFrame, strataCol: String,
               valueCol: String,
-              quantiles: Seq[Double] = Seq(0.5, 0.95)): org.apache.spark.sql.DataFrame = {
+              quantiles: Seq[Double] = Seq(0.5, 0.95),
+              exact: Boolean = true,
+              approxAccuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1], got: ${quantiles.mkString(", ")}")
+    require(approxAccuracy > 0, s"approxAccuracy must be positive, got $approxAccuracy")
     // ONE array-percentile aggregate: all quantiles share a single
-    // per-group value-count buffer and sort, instead of one independent
-    // state per quantile; the column name is backtick-quoted so names
-    // with spaces/dashes work (and never parse as arithmetic)
-    val qArray = expr(
-      s"percentile(`$valueCol`, array(${quantiles.mkString(", ")}))")
+    // per-group state (value buffer / digest) and sort, instead of one
+    // independent state per quantile. The column name is backtick-quoted
+    // with embedded backticks doubled — names with spaces/dashes/backticks
+    // are identifiers, never arithmetic or injected expressions.
+    val quoted = "`" + valueCol.replace("`", "``") + "`"
+    val qList = quantiles.mkString(", ")
+    val qArray =
+      if (exact) expr(s"percentile($quoted, array($qList))")
+      else expr(s"approx_percentile($quoted, array($qList), $approxAccuracy)")
     val aggd = df.groupBy(strataCol).agg(
       count(lit(1)).as("n"),
       round(avg(col(valueCol)), 4).as("mean"),
       qArray.as("_qs"))
-    // math.round, not toInt: 0.57 * 100 is 56.999… under doubles
+    // math.round, not toInt: 0.57 * 100 is 56.999… under doubles. The cast
+    // keeps the schema stable across the two paths (approx_percentile
+    // returns the input column's type, percentile returns double).
     val qCols = quantiles.zipWithIndex.map { case (q, i) =>
-      round(element_at(col("_qs"), i + 1), 4).as(s"p${math.round(q * 100)}")
+      round(element_at(col("_qs"), i + 1).cast("double"), 4).as(s"p${math.round(q * 100)}")
     }
     aggd.select(col(strataCol) +: col("n") +: col("mean") +: qCols: _*)
   }

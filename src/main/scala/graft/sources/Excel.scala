@@ -314,10 +314,22 @@ object Excel {
                      password: Option[String] = None): DataFrame = {
     import spark.implicits._
     val parallelism = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
-    // qualified driver-side with the SESSION conf, like binaryFile's path
-    val qualified = paths.map(p => p -> LineSource.qualifiedPath(spark, p))
+    // qualified AND statted driver-side with the SESSION conf, like
+    // binaryFile's path — an executor-side fresh Configuration could
+    // resolve differently, and a failed stat must arm (not disarm) the
+    // in-memory fallback's 2 GiB guard. Unknown length reports -1; the
+    // fallback then reads with a bounds-checked loop instead.
+    val conf = spark.sessionState.newHadoopConf()
+    val qualified = paths.map { p =>
+      val len =
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).getFileStatus(hp).getLen
+        } catch { case _: Exception => -1L }
+      (p, LineSource.qualifiedPath(spark, p), len)
+    }
     spark.createDataset(qualified).repartition(parallelism)
-      .mapPartitions(_.flatMap { case (p, q) => streamedFileRows(p, q, password) })
+      .mapPartitions(_.flatMap { case (p, q, len) => streamedFileRows(p, q, len, password) })
       .toDF("file", "tablename", "lineno", "cells")
   }
 
@@ -336,12 +348,23 @@ object Excel {
 
   /** The .xlsx/.xls container formats top out at 2 GiB (CFB sector
     * addressing / zip32 as written by Excel) — the hard ceiling for the
-    * in-memory fallback, matching binaryFile's record limit. */
-  private val FormatMaxBytes: Long = Int.MaxValue.toLong
+    * in-memory fallback. Headroom of 8 below Int.MaxValue: readAllBytes /
+    * array allocation throw raw OutOfMemoryError above Int.MaxValue - 8,
+    * and the clear bound error must fire first. */
+  private[sources] val FormatMaxBytes: Long = Int.MaxValue.toLong - 8
+
+  private def oversizedCfbError(p: String, len: Long): Nothing =
+    sys.error(s"Unable to read oversized workbook '$p' ($len bytes): OLE " +
+      "containers need a full in-memory parse and the format tops out at " +
+      "2 GiB — the file is corrupt or mislabelled")
 
   /** Lazy (file, sheet, lineno, cells) rows for one oversized workbook;
-    * `q` is the session-qualified spelling emitted as the `file` value. */
-  private def streamedFileRows(p: String, q: String, password: Option[String])
+    * `q` is the session-qualified spelling emitted as the `file` value and
+    * `len` the driver-statted byte length (-1 when the stat failed — the
+    * CFB fallback then reads with a bounds-checked loop so an unknown
+    * length can never disarm the 2 GiB guard). */
+  private[sources] def streamedFileRows(p: String, q: String, len: Long,
+                                        password: Option[String])
       : Iterator[(String, String, Long, Seq[String])] = {
     val head = { val in = LineSource.openStream(p); try in.readNBytes(8) finally in.close() }
     if (!isZip(head)) {
@@ -355,17 +378,18 @@ object Excel {
       if (!Cfb.isCfb(head))
         sys.error(s"Unable to stream oversized workbook '$p': it is neither " +
           "a zip archive nor an OLE container")
-      val len =
+      if (len >= FormatMaxBytes) oversizedCfbError(p, len)
+      val bytes = {
+        val in = LineSource.openStream(p)
         try {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            .getFileStatus(hp).getLen
-        } catch { case _: Exception => -1L }
-      if (len > FormatMaxBytes)
-        sys.error(s"Unable to read oversized workbook '$p' ($len bytes): OLE " +
-          "containers need a full in-memory parse and the format tops out at " +
-          "2 GiB — the file is corrupt or mislabelled")
-      val bytes = { val in = LineSource.openStream(p); try in.readAllBytes() finally in.close() }
+          val b = in.readNBytes(FormatMaxBytes.toInt)
+          // unknown length (failed stat): the ceiling read just saturated —
+          // one more byte available means the file exceeds the format cap
+          if (b.length == FormatMaxBytes.toInt && in.read() != -1)
+            oversizedCfbError(p, b.length.toLong)
+          b
+        } finally in.close()
+      }
       return parseWorkbook(p, bytes, password).iterator.flatMap { sheet =>
         sheet.rows.zipWithIndex.map { case (cells, i) => (q, sheet.name, i.toLong, cells) }
       }

@@ -78,15 +78,73 @@ class ExcelStreamSpec extends SparkSpec {
     assert(inMem.map(_._2) == Set("A", "B"), "both sheet names must surface")
   }
 
-  test("oversized OLE/CFB workbook raises the documented bound error") {
-    val cfbMagic = Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
-      0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte) ++ Array.fill(512)(0.toByte)
-    val p = writeTemp(cfbMagic, ".xls")
+  // ---- the oversized-CFB in-memory fallback (r5): CFB containers (BIFF8
+  // .xls, encrypted OOXML envelopes) cannot stream, so past the size bound
+  // they parse in-memory ON THE TASK up to the 2 GiB format ceiling.
+
+  private val referenceFixtures = java.nio.file.Paths.get("/root/reference/test/resources")
+  private def fixture(name: String): Option[Array[Byte]] = {
+    val p = referenceFixtures.resolve(name)
+    if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readAllBytes(p)) else None
+  }
+
+  test("oversized genuine BIFF8 .xls parses via the fallback identically to the in-memory path") {
+    assume(fixture("sample_xls.xls").isDefined)
+    val p = writeTemp(fixture("sample_xls.xls").get, ".xls")
+    val inMem = collectRows(Excel.tables(spark, Seq(p)))
+    val fallback = collectRows(Excel.tables(spark, Seq(p), inMemoryMaxBytes = 1L))
+    assert(fallback == inMem)
+    assert(inMem.map { case (_, t, l, c) => (t, l, c) } == Set(
+      ("Sheet1", 0L, Seq("1A", "1B")), ("Sheet1", 1L, Seq("2A", "2B"))))
+  }
+
+  test("oversized encrypted OOXML + file_password parses via the fallback") {
+    assume(fixture("password_protected_sample_xlsx.xlsx").isDefined)
+    val p = writeTemp(fixture("password_protected_sample_xlsx.xlsx").get, ".xlsx")
+    val inMem = collectRows(Excel.tables(spark, Seq(p), password = Some("carrot")))
+    val fallback = collectRows(
+      Excel.tables(spark, Seq(p), password = Some("carrot"), inMemoryMaxBytes = 1L))
+    assert(fallback == inMem)
+    assert(inMem.map { case (_, _, l, c) => (l, c) } == Set(
+      (0L, Seq("1A", "1B")), (1L, Seq("2A", "2B"))))
+  }
+
+  test("oversized encrypted OOXML without a password raises the documented error") {
+    assume(fixture("password_protected_sample_xlsx.xlsx").isDefined)
+    val p = writeTemp(fixture("password_protected_sample_xlsx.xlsx").get, ".xlsx")
+    val e = intercept[org.apache.spark.SparkException] {
+      Excel.tables(spark, Seq(p), inMemoryMaxBytes = 1L).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("password protected"))
+  }
+
+  test("oversized file that is neither zip nor OLE raises the streaming bound error") {
+    val p = writeTemp("definitely not a workbook".getBytes("UTF-8"), ".xlsx")
     val e = intercept[org.apache.spark.SparkException] {
       Excel.tables(spark, Seq(p), inMemoryMaxBytes = 1L).collect()
     }
     val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
     assert(msg.contains("Unable to stream oversized workbook"))
-    assert(msg.contains("random access"))
+    assert(msg.contains("neither a zip archive nor an OLE container"))
+  }
+
+  test("CFB workbook past the 2 GiB format ceiling raises the bound error, stat or no stat") {
+    val cfbMagic = Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
+      0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte) ++ Array.fill(512)(0.toByte)
+    val p = writeTemp(cfbMagic, ".xls")
+    // driver-statted length says >2 GiB: the guard must fire BEFORE any read
+    val e = intercept[RuntimeException] {
+      Excel.streamedFileRows(p, p, len = 3L * 1024 * 1024 * 1024, password = None)
+    }
+    assert(e.getMessage.contains("tops out at"))
+    assert(e.getMessage.contains("2 GiB"))
+    // a failed stat (len = -1) must NOT disarm the guard: the small fixture
+    // still parses through the bounds-checked read (and fails only inside
+    // Biff8 on the truncated body, proving the read path was taken)
+    val e2 = intercept[RuntimeException] {
+      Excel.streamedFileRows(p, p, len = -1L, password = None).toList
+    }
+    assert(!e2.getMessage.contains("tops out at"))
   }
 }
