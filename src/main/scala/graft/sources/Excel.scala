@@ -271,8 +271,11 @@ object Excel {
     if (paths.isEmpty)
       return spark.emptyDataset[(String, String, Long, Seq[String])]
         .toDF("file", "tablename", "lineno", "cells")
-    val bigSet = LineSource.oversized(spark, paths, inMemoryMaxBytes)
-    val (big, small) = paths.partition(bigSet)
+    // ONE parallel stat pass serves both the size routing here and the
+    // streamed route's 2 GiB fallback guard — re-statting the big subset
+    // serially would add per-file driver RPC latency on wide path lists
+    val lengths = LineSource.statLengths(spark, paths)
+    val (big, small) = paths.partition(p => lengths.getOrElse(p, -1L) > inMemoryMaxBytes)
     val inMem =
       if (small.isEmpty) None
       else Some(
@@ -286,7 +289,7 @@ object Excel {
             }
           }.toDF("file", "tablename", "lineno", "cells"))
     val streamed =
-      if (big.isEmpty) None else Some(streamedTables(spark, big, password))
+      if (big.isEmpty) None else Some(streamedTables(spark, big, password, lengths))
     (inMem.toSeq ++ streamed.toSeq).reduce(_ unionByName _)
   }
 
@@ -311,22 +314,22 @@ object Excel {
     * back to a full in-memory parse ON THE TASK up to the 2 GiB format
     * ceiling (past which a clear bound error is raised instead of an OOM). */
   def streamedTables(spark: SparkSession, paths: Seq[String],
-                     password: Option[String] = None): DataFrame = {
+                     password: Option[String] = None,
+                     lengths: Map[String, Long] = Map.empty): DataFrame = {
     import spark.implicits._
     val parallelism = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
     // qualified AND statted driver-side with the SESSION conf, like
     // binaryFile's path — an executor-side fresh Configuration could
     // resolve differently, and a failed stat must arm (not disarm) the
     // in-memory fallback's 2 GiB guard. Unknown length reports -1; the
-    // fallback then reads with a bounds-checked loop instead.
-    val conf = spark.sessionState.newHadoopConf()
+    // fallback then reads with a bounds-checked loop instead. `lengths`
+    // reuses the caller's stat pass (Excel.tables stats once for routing);
+    // only paths it doesn't cover are statted here, in parallel.
+    val missing = paths.filterNot(lengths.contains)
+    val statted = LineSource.statLengths(spark, missing)
     val qualified = paths.map { p =>
-      val len =
-        try {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(conf).getFileStatus(hp).getLen
-        } catch { case _: Exception => -1L }
-      (p, LineSource.qualifiedPath(spark, p), len)
+      (p, LineSource.qualifiedPath(spark, p),
+        lengths.getOrElse(p, statted.getOrElse(p, -1L)))
     }
     spark.createDataset(qualified).repartition(parallelism)
       .mapPartitions(_.flatMap { case (p, q, len) => streamedFileRows(p, q, len, password) })
@@ -383,9 +386,11 @@ object Excel {
         val in = LineSource.openStream(p)
         try {
           val b = in.readNBytes(FormatMaxBytes.toInt)
-          // unknown length (failed stat): the ceiling read just saturated —
-          // one more byte available means the file exceeds the format cap
-          if (b.length == FormatMaxBytes.toInt && in.read() != -1)
+          // unknown length (failed stat): a saturated ceiling read IS
+          // over-limit — the statted guard rejects len >= FormatMaxBytes,
+          // and a file of exactly that size must fail identically whether
+          // or not its stat succeeded
+          if (b.length == FormatMaxBytes.toInt)
             oversizedCfbError(p, b.length.toLong)
           b
         } finally in.close()

@@ -166,31 +166,41 @@ object LineSource {
       }.toDF("file", "lineno", "line")
   }
 
-  /** Which of `paths` exceed `inMemoryMaxBytes`? Stats in parallel on a
-    * DEDICATED bounded pool: serial per-path HEAD calls would block the
-    * driver for minutes over object stores with 100k-file inputs, and
-    * blocking I/O on the JVM-wide commonPool would starve its other users.
-    * Unknown sizes (exotic filesystems) report small — keeping today's
-    * in-memory behaviour. Shared by every size-routed source (text, CSV,
-    * XML, Excel). */
-  private[graft] def oversized(spark: SparkSession, paths: Seq[String],
-                               inMemoryMaxBytes: Long): Set[String] = {
+  /** Byte length of every path (-1 where the stat failed — exotic
+    * filesystems). Stats in parallel on a DEDICATED bounded pool: serial
+    * per-path HEAD calls would block the driver for minutes over object
+    * stores with 100k-file inputs, and blocking I/O on the JVM-wide
+    * commonPool would starve its other users. ONE stat per path per import:
+    * size-routing consumers ([[oversized]]) and the routed readers (Excel's
+    * fallback 2 GiB guard) share this map instead of re-statting. */
+  private[graft] def statLengths(spark: SparkSession,
+                                 paths: Seq[String]): Map[String, Long] = {
+    if (paths.isEmpty) return Map.empty
     val conf = spark.sessionState.newHadoopConf()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(32, math.max(1, paths.size)))
     try {
       val futures = paths.map { p =>
-        p -> pool.submit(new java.util.concurrent.Callable[Boolean] {
-          def call(): Boolean =
+        p -> pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
             try {
               val hp = new org.apache.hadoop.fs.Path(p)
-              hp.getFileSystem(conf).getFileStatus(hp).getLen > inMemoryMaxBytes
-            } catch { case _: Exception => false }
+              hp.getFileSystem(conf).getFileStatus(hp).getLen
+            } catch { case _: Exception => -1L }
         })
       }
-      futures.filter(_._2.get()).map(_._1).toSet
+      futures.map { case (p, f) => p -> f.get() }.toMap
     } finally pool.shutdown()
   }
+
+  /** Which of `paths` exceed `inMemoryMaxBytes`? Unknown sizes (failed
+    * stats) report small — keeping today's in-memory behaviour. Shared by
+    * every size-routed source (text, CSV, XML, Excel). */
+  private[graft] def oversized(spark: SparkSession, paths: Seq[String],
+                               inMemoryMaxBytes: Long): Set[String] =
+    statLengths(spark, paths).collect {
+      case (p, len) if len > inMemoryMaxBytes => p
+    }.toSet
 
   /** The Hadoop-qualified form of a path ("file:/tmp/x", "hdfs://nn/x") —
     * what `binaryFile`'s `path` column reports. Streamed sources emit THIS
