@@ -229,14 +229,23 @@ object TextDedup {
   /** Test-set decontamination: count, per training doc, the distinct word
     * `n`-grams it shares with a benchmark/eval set — the standard guard
     * against evaluation leakage in a training corpus. Scale shape: the
-    * benchmark's distinct gram set is small (benchmarks are thousands of
-    * docs) and is BROADCAST; the training side is a narrow per-doc explode
-    * of its distinct grams, one join, one aggregation — no shuffle of the
-    * corpus itself beyond the final per-doc count. Docs sharing nothing
-    * are absent (anti-join the output to keep the clean set). */
+    * benchmark's distinct gram set is usually small (benchmarks are
+    * thousands of docs) and is BROADCAST; the training side is a narrow
+    * per-doc explode of its distinct grams, one join, one aggregation — no
+    * shuffle of the corpus itself beyond the final per-doc count. Docs
+    * sharing nothing are absent (anti-join the output to keep the clean
+    * set).
+    *
+    * The broadcast is SIZE-ROUTED, not unconditional: Catalyst's own
+    * estimate of the gram side (`optimizedPlan.stats.sizeInBytes`, the same
+    * signal `autoBroadcastJoinThreshold` consults) is compared against
+    * `benchBroadcastMaxBytes`; a large eval suite degrades to a
+    * shuffle-hash join (bench side builds the hash table, the corpus side
+    * never sorts) instead of OOMing the driver and every executor. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
-                    n: Int = 3): DataFrame = {
+                    n: Int = 3,
+                    benchBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
     // word-count filters, never a computed-column filter (see the LSH
     // note); `_w` materialised before the gram transform so the split
     // isn't re-evaluated per gram inside the lambda
@@ -247,9 +256,14 @@ object TextDedup {
     val docGrams = gramRows(docs, textCol, "_gram").select(col(idCol), col("_gram"))
     val benchGrams = gramRows(benchmark, benchTextCol, "_bgram")
       .select(col("_bgram")).distinct()
-    docGrams.join(broadcast(benchGrams), col("_gram") === col("_bgram"))
-      // both sides are per-key distinct, so plain count = distinct overlap
-      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    val benchEstBytes = benchGrams.queryExecution.optimizedPlan.stats.sizeInBytes
+    val joined =
+      if (benchEstBytes <= BigInt(benchBroadcastMaxBytes))
+        docGrams.join(broadcast(benchGrams), col("_gram") === col("_bgram"))
+      else
+        docGrams.join(benchGrams.hint("SHUFFLE_HASH"), col("_gram") === col("_bgram"))
+    // both sides are per-key distinct, so plain count = distinct overlap
+    joined.groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
 
   /** Word-bigram Jaccard similarity over an all-pairs join — for BOUNDED

@@ -187,6 +187,12 @@ class OperatorsSpec extends SparkSpec {
     // doc 1 shares 'alpha beta gamma' and 'beta gamma delta'; doc 3 shares
     // 'beta gamma delta'; docs 2 and 4 are clean (absent)
     assert(got == Map(1L -> 2L, 3L -> 1L))
+    // the over-threshold (shuffle-join) route must agree exactly with the
+    // broadcast route — threshold 0 forces it
+    val shuffled = TextDedup.decontaminate(docs, "id", "t", bench, "bt",
+      benchBroadcastMaxBytes = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == got)
   }
 
   test("stratified sample: per-stratum rates, deterministic across runs") {

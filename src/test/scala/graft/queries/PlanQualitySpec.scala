@@ -74,6 +74,22 @@ class PlanQualitySpec extends SparkSpec {
       s"the corpus must never shuffle into a sort-merge join:\n$plan")
   }
 
+  test("decontaminate: an over-threshold benchmark degrades to a shuffle-hash join") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // threshold 0 forces the over-threshold route regardless of estimate
+    val plan = formattedPlan(graft.operators.TextDedup.decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 50 === 0), "text",
+      benchBroadcastMaxBytes = 0L))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"over-threshold bench must build a shuffle-hash table:\n$plan")
+    assert(!plan.contains("BroadcastJoin") && !plan.contains("BroadcastHashJoin"),
+      s"over-threshold bench must NOT broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never sort:\n$plan")
+  }
+
   test("stratified sample is a narrow filter: no exchange, filter reaches the scan") {
     val plan = formattedPlan(QueryPack.xStratified(spark, sf))
     assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
