@@ -257,8 +257,15 @@ object TextDedup {
     val benchGrams = gramRows(benchmark, benchTextCol, "_bgram")
       .select(col("_bgram")).distinct()
     val benchEstBytes = benchGrams.queryExecution.optimizedPlan.stats.sizeInBytes
+    val useBroadcast = benchEstBytes <= BigInt(benchBroadcastMaxBytes)
+    // a silently flipping join strategy is a debugging trap at scale —
+    // one visible line records the route and the estimate that chose it
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"decontaminate: bench gram side estimated $benchEstBytes bytes " +
+        s"(threshold $benchBroadcastMaxBytes) -> " +
+        (if (useBroadcast) "BROADCAST" else "SHUFFLE_HASH") + " join")
     val joined =
-      if (benchEstBytes <= BigInt(benchBroadcastMaxBytes))
+      if (useBroadcast)
         docGrams.join(broadcast(benchGrams), col("_gram") === col("_bgram"))
       else
         docGrams.join(benchGrams.hint("SHUFFLE_HASH"), col("_gram") === col("_bgram"))

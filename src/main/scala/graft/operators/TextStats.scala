@@ -128,24 +128,69 @@ object TextStats {
     * `seq_offset` the doc's token offset inside its sequence. Docs may
     * straddle a boundary (offset packing, the streaming-friendly variant);
     * exact first-fit bin packing needs a sequential pass and does not
-    * distribute. Scale shape: ONE window partitioned by the group column
-    * (shard by source/language/date so no single group dominates), never a
-    * global sort. */
+    * distribute.
+    *
+    * Scale shape: windows partitioned by the group column. With the
+    * default `shards = 1` each group funnels through ONE task — fine when
+    * the group column already shards the corpus evenly (source/language/
+    * date), a serialisation bottleneck when one group dominates (one
+    * language at 90% of a 100 TB corpus packs on a single core). Pass
+    * `shards > 1` to split every group into `shards` deterministic
+    * hash-shards of the order column: each shard computes its running
+    * offsets in its own window task, then a tiny per-(group, shard)
+    * total-token aggregate stitches the shard offsets back into one
+    * consistent per-group layout (shard 0's docs first, then shard 1's,
+    * order-column order within each shard). The layout differs from the
+    * unsharded one but satisfies the same contract — a deterministic
+    * order with exact running offsets — and the widest window partition
+    * shrinks by `shards`×. */
   def packSequences(df: org.apache.spark.sql.DataFrame, groupCol: String,
                     orderCol: String, tokens: Column,
-                    budget: Long): org.apache.spark.sql.DataFrame = {
-    // explicit ROWS frame: the default RANGE frame sums ALL order-column
-    // ties into every tied row's running total, overlapping their offsets
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(orderCol)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val start = sum(tokens).over(w) - tokens
-    // concat, not concat_ws: a NULL group must yield a NULL seq_id (SQL
-    // || semantics), never a bare number colliding with other groups
-    df.withColumn("seq_id",
-        concat(col(groupCol), lit("#"), floor(start / budget).cast("string")))
-      .withColumn("seq_offset", pmod(start, lit(budget)))
+                    budget: Long, shards: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val W = org.apache.spark.sql.expressions.Window
+    if (shards == 1) {
+      // explicit ROWS frame: the default RANGE frame sums ALL order-column
+      // ties into every tied row's running total, overlapping their offsets
+      val w = W.partitionBy(groupCol).orderBy(orderCol)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val start = sum(tokens).over(w) - tokens
+      // concat, not concat_ws: a NULL group must yield a NULL seq_id (SQL
+      // || semantics), never a bare number colliding with other groups
+      df.withColumn("seq_id",
+          concat(col(groupCol), lit("#"), floor(start / budget).cast("string")))
+        .withColumn("seq_offset", pmod(start, lit(budget)))
+    } else {
+      // deterministic shard of the order column (md5-derived, the repo's
+      // cross-engine h32) — no RNG, so re-runs land docs identically
+      val d = df
+        .withColumn("_shard", pmod(
+          conv(substring(md5(col(orderCol).cast("string")), 1, 8), 16, 10)
+            .cast("bigint"), lit(shards.toLong)))
+        .withColumn("_tok", tokens)
+      val wLocal = W.partitionBy(groupCol, "_shard").orderBy(orderCol)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val local = d.withColumn("_local_start",
+        sum(col("_tok")).over(wLocal) - col("_tok"))
+      // per-(group, shard) totals → each shard's cumulative start offset.
+      // groups × shards rows: tiny next to the corpus, and the window over
+      // it partitions per group over `shards` rows.
+      val wOff = W.partitionBy("_og").orderBy("_oshard")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val offsets = d.groupBy(col(groupCol).as("_og"), col("_shard").as("_oshard"))
+        .agg(sum(col("_tok")).as("_tot"))
+        .withColumn("_shard_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
+      // null-safe join: a NULL group is its own window partition on both
+      // sides; a name-equality join would silently drop its rows
+      val joined = local.join(offsets,
+        col(groupCol) <=> col("_og") && col("_shard") === col("_oshard"))
+      val start = col("_local_start") + col("_shard_off")
+      joined
+        .withColumn("seq_id",
+          concat(col(groupCol), lit("#"), floor(start / budget).cast("string")))
+        .withColumn("seq_offset", pmod(start, lit(budget)))
+        .drop("_shard", "_tok", "_local_start", "_og", "_oshard", "_tot", "_shard_off")
+    }
   }
 
   /** Deterministic stratified sampling: keep a row iff

@@ -1059,6 +1059,17 @@ object QueryPack {
         size(split(col("text"), " ")).cast("long"), budget = 2000)
       .select(col("doc_id"), col("seq_id"), col("seq_offset"))
 
+  /** Sharded variant of [[xPack]] — the dominant-group guard: every
+    * language is split over 4 deterministic hash-shards of doc_id, so the
+    * widest window partition shrinks 4× while per-doc offsets stay exact
+    * (per-shard running sums stitched by a tiny per-(lang, shard) total
+    * aggregate). */
+  def xPackSalted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.packSequences(
+        T(s, dir, "documents"), "lang", "doc_id",
+        size(split(col("text"), " ")).cast("long"), budget = 2000, shards = 4)
+      .select(col("doc_id"), col("seq_id"), col("seq_offset"))
+
   /** Corpus profiling — per-language counts, mean and exact p50/p95 doc
     * length. One partial-aggregating shuffle. */
   def xProfile(s: SparkSession, dir: String): DataFrame =
@@ -1134,6 +1145,7 @@ object QueryPack {
     "x_decontaminate" -> (xDecontaminate _),
     "x_stratified" -> (xStratified _),
     "x_pack" -> (xPack _),
+    "x_pack_salted" -> (xPackSalted _),
     "x_profile" -> (xProfile _),
     "x_redact" -> (xRedact _),
     "x_rep_ratio" -> (xRepRatio _),
@@ -1312,6 +1324,25 @@ object QueryPack {
         |      - len(string_split(text, ' '))) % 2000 AS BIGINT) AS seq_offset
         |FROM documents
         |WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    "x_pack_salted" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS tok,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard
+        |  FROM documents),
+        |loc AS (
+        |  SELECT doc_id, lang, shard,
+        |    SUM(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |                   ROWS UNBOUNDED PRECEDING) - tok AS local_start
+        |  FROM d),
+        |off AS (
+        |  SELECT lang, shard,
+        |    COALESCE(SUM(tot) OVER (PARTITION BY lang ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_off
+        |  FROM (SELECT lang, shard, SUM(tok) AS tot FROM d GROUP BY 1, 2))
+        |SELECT doc_id,
+        |  lang || '#' || CAST((local_start + shard_off) // 2000 AS VARCHAR) AS seq_id,
+        |  CAST((local_start + shard_off) % 2000 AS BIGINT) AS seq_offset
+        |FROM loc JOIN off USING (lang, shard)""".stripMargin,
     "x_redact" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(

@@ -207,8 +207,17 @@ object Importer {
     val lastCol = mapping.lastColumnToTransform
     val headerRows =
       if (mapping.headerLines > 0)
-        rows.filter(col("lineno") < mapping.headerLines).orderBy("lineno")
-          .collect().map { r =>
+        // limit above the scan: lineno is unique per line of this one
+        // file, so the filter yields at most header_lines rows and the
+        // limit is semantically a no-op — but it plans as CollectLimit,
+        // which stops reading after the header block instead of scanning
+        // the whole file just to validate its header (a full-file pass
+        // per file on a wide 10k-file import). Ordering is restored
+        // driver-side over ≤ header_lines rows.
+        headerFrame(rows, mapping.headerLines)
+          .collect()
+          .sortBy(r => r.getLong(r.fieldIndex("lineno")))
+          .map { r =>
             val cells = Option(r.getSeq[String](r.fieldIndex("cells")))
               .map(_.toSeq).getOrElse(Nil)
             if (lastCol >= 0) cells.take(lastCol + 1) else cells
@@ -217,6 +226,12 @@ object Importer {
     val validated = MappingCompiler.consumeHeader(mapping, headerRows)
     MappingCompiler(validated).records(MappingCompiler.dataRows(rows, validated))
   }
+
+  /** The header block of a single file's (file, lineno, cells) frame,
+    * limit-capped so the read stops after the header. Package-private for
+    * the plan pin in ImporterSpec. */
+  private[run] def headerFrame(rows: DataFrame, headerLines: Int): DataFrame =
+    rows.filter(col("lineno") < headerLines).limit(headerLines)
 
   /** Non-tabular segmentation when the mapping declares it; else each line
     * is a one-cell row. */

@@ -52,6 +52,26 @@ object Checkpoints {
     }
   }
 
+  /** Scoped spill lifecycle: runs `body` against a fresh subdirectory of
+    * `dir`, eagerly materialises the body's result, then deletes the
+    * subdirectory — spills and all. Without this, every caller of an
+    * iterative operator must remember that the FINAL spill outlives the
+    * loop ([[Rolling]] keeps it alive on purpose — the result reads from
+    * it), and a long-running pipeline accretes orphaned `ckpt-*` dirs.
+    *
+    * The materialisation is an eager `localCheckpoint()`: the result's
+    * blocks are computed and pinned BEFORE the parquet spills under the
+    * scope are deleted, so the returned frame never dangles on deleted
+    * files. Callers that need the result durable on a real cluster should
+    * write it to its sink inside `body` (and return the read-back frame);
+    * the scope then deletes only intermediate state. */
+  def withCheckpointScope(spark: SparkSession, dir: String)
+                         (body: String => DataFrame): DataFrame = {
+    val scoped = s"${dir.stripSuffix("/")}/scope-${java.util.UUID.randomUUID()}"
+    try body(scoped).localCheckpoint()
+    finally delete(spark, scoped)
+  }
+
   private def spill(spark: SparkSession, d: String, df: DataFrame): DataFrame =
     spillTo(spark, s"${d.stripSuffix("/")}/ckpt-${java.util.UUID.randomUUID()}", df)
 

@@ -42,20 +42,23 @@ object NonTabular {
   /** Validate N6 (`non_tabular/column_mapping.rb:50-72`) + the table-level
     * requirements (`non_tabular/table.rb:51-55`). */
   def validate(mapping: TableMapping): NonTabularSpec = {
+    // error TEXTS route through the Messages catalogue (the reference's
+    // I18n seam); error TYPES stay MappingError — the asserted contract
+    import graft.runtime.Messages
     val spec = mapping.nonTabular.getOrElse(
-      throw new MappingError("This table has no start_line_pattern"))
+      throw new MappingError(Messages("mapping.errors.missing_start_line_pattern")))
     if (mapping.tablenamePattern.isDefined)
-      throw new MappingError("Should not define tablename_pattern")
+      throw new MappingError(Messages("mapping.errors.unexpected_tablename_pattern"))
     mapping.columns.foreach { cm =>
       val name = cm.rawtextName.orElse(cm.column).orElse(cm.standardMapping).getOrElse("")
       cm.nonTabularCell match {
         case None => throw new MappingError(
-          s"This mapping ($name) has no non_tabular_cell")
+          Messages("mapping.errors.missing_non_tabular_cell", "name" -> name))
         case Some(cell) =>
           if (cell.lines.isEmpty) throw new MappingError(
-            s"This mapping ($name) has no non_tabular_cell lines")
+            Messages("mapping.errors.missing_non_tabular_cell_lines", "name" -> name))
           if (cell.capture.isEmpty) throw new MappingError(
-            s"This mapping ($name) has no non_tabular_cell capture")
+            Messages("mapping.errors.missing_non_tabular_cell_capture", "name" -> name))
       }
     }
     spec
@@ -109,7 +112,8 @@ object NonTabular {
       case Some(_) =>
         flagged.withColumn("rline",
           when(col("is_start") && col("start_cnt_x") > col("end_cnt_x"),
-            raise_error(lit("Start line pattern matched before the end of the preceding record")))
+            raise_error(lit(graft.runtime.Messages(
+              "mapping.errors.start_pattern_before_end"))))
             .otherwise(col("rline")))
       case None => flagged
     }

@@ -164,6 +164,24 @@ class OperatorsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("withCheckpointScope empties the dir after a CC run, result stays live") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-scope").toFile
+    try {
+      val chain = (0 until 15).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+      val labels = graft.runtime.Checkpoints.withCheckpointScope(
+          spark, dir.getAbsolutePath) { scoped =>
+        TextDedup.connectedComponents(chain, "a", "b",
+          checkpointDir = Some(scoped))
+      }
+      // the scope (and every spill under it) is gone...
+      assert(dir.listFiles().isEmpty,
+        s"scope must delete its spills, found: ${dir.listFiles().map(_.getName).toSeq}")
+      // ...and the result still reads (materialised before deletion)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == 16 && got.values.forall(_ == 0L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("dedupByClusters labels canonical docs across a dup chain") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("id", "t")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b") // chain: {1,2,3}
@@ -242,6 +260,43 @@ class OperatorsSpec extends SparkSpec {
     val out = TextStats.packSequences(df, "grp", "id", col("toks"), budget = 100)
       .select("id", "seq_id").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(out(1L).contains("g#0") && out(2L).isEmpty)
+  }
+
+  test("packSequences sharded: dominant group packs exactly across shards") {
+    // one group with 500 docs (the skew shape: ≫ the other group); 4
+    // shards must reproduce EXACT running offsets under the documented
+    // layout — (md5-shard of order col, order col) within each group
+    val shards = 4
+    val docs = (1L to 500L).map(i => (i, "big", (i % 7) + 1L)) :+ ((1001L, "small", 5L))
+    val df = docs.toDF("id", "grp", "toks")
+    val out = TextStats.packSequences(df, "grp", "id", col("toks"),
+        budget = 64, shards = shards)
+      .select("id", "grp", "toks", "seq_id", "seq_offset").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(out.length == docs.length)
+    def shardOf(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % shards
+    }
+    val expected = docs.groupBy(_._2).flatMap { case (grp, ds) =>
+      var start = 0L
+      ds.sortBy(d => (shardOf(d._1), d._1)).map { case (id, g, tok) =>
+        val s = start; start += tok
+        (id, g, tok, s"$g#${s / 64}", s % 64)
+      }
+    }.toSet
+    assert(out.toSet == expected)
+  }
+
+  test("packSequences sharded: NULL group survives the stitch join, NULL seq_id") {
+    val df = Seq((1L, Option("g"), 10L), (2L, Option.empty[String], 10L),
+      (3L, Option.empty[String], 10L)).toDF("id", "grp", "toks")
+    val out = TextStats.packSequences(df, "grp", "id", col("toks"),
+      budget = 100, shards = 3)
+    val m = out.select("id", "seq_id").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(m.size == 3 && m(1L).contains("g#0") && m(2L).isEmpty && m(3L).isEmpty)
   }
 
   test("stratified sample: null strata fall under the default fraction; bps round") {

@@ -215,6 +215,18 @@ class ImporterSpec extends SparkSpec {
     assert(rows.toSeq == Seq("Three in fact"))
   }
 
+  test("header validation plans a limit above the scan (no full-file pass)") {
+    val rows = spark.range(100000).selectExpr(
+      "'f' AS file", "id AS lineno", "array(cast(id AS string)) AS cells")
+    val plan = Importer.headerFrame(rows, 2).queryExecution.executedPlan.toString
+    assert(plan.contains("CollectLimit") || plan.contains("GlobalLimit"),
+      s"header read must stop after header_lines rows, plan was:\n$plan")
+    // and it still yields exactly the header block, in order after the sort
+    val got = Importer.headerFrame(rows, 2).collect()
+      .sortBy(_.getLong(1)).map(_.getLong(1)).toSeq
+    assert(got == Seq(0L, 1L))
+  }
+
   test("parquet and orc files route through the mapping pipeline (extension)") {
     val dir = tmpDir()
     import spark.implicits._

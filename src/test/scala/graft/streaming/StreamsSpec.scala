@@ -133,6 +133,110 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  // ---------------------------------------------------------------------
+  // Committed parity goldens: the full, deterministic output of each
+  // streaming operator over a fixed replay, asserted byte-for-byte against
+  // src/test/resources/streaming/*.golden. Regenerate (after an
+  // intentional semantic change) with GRAFT_REGEN_GOLDENS=1 sbt test,
+  // then review the diff like any other golden.
+  private def assertGolden(name: String, actual: Seq[String]): Unit = {
+    val path = java.nio.file.Paths.get("src/test/resources/streaming", name)
+    val text = actual.mkString("", "\n", "\n")
+    if (sys.env.contains("GRAFT_REGEN_GOLDENS")) {
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.write(path, text.getBytes("UTF-8"))
+    }
+    assert(java.nio.file.Files.exists(path), s"missing golden $path — " +
+      "run once with GRAFT_REGEN_GOLDENS=1 and commit the file")
+    val want = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    assert(text == want,
+      s"golden mismatch for $name:\n--- got ---\n$text--- want ---\n$want")
+  }
+
+  test("golden: tumblingCounts full finalized output over a fixed replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // 48 events, 3 keys, 4 busy hours; formula-generated (no RNG)
+    val events = (0 until 48).map { i =>
+      (t(f"2024-01-01 ${9 + i % 4}%02d:${(i * 7) % 60}%02d:00"),
+        s"k${i % 3}", (i % 10) / 2.0)
+    }
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = tumblingCounts(in.toDF.toDF("ts", "k", "value"), "ts", "k",
+        "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("g_win").outputMode("append").start()
+    in.addData(events.take(30)); q.processAllAvailable()
+    in.addData(events.drop(30)); q.processAllAvailable()
+    // a far-future row pushes the watermark past every window → all finalize
+    in.addData((t("2024-01-02 12:00:00"), "flush", 0.0)); q.processAllAvailable()
+    val out = spark.sql(
+        "select window.start, k, n, total from g_win order by 1, 2")
+      .collect().map(r => s"${r.get(0)}|${r.getString(1)}|${r.getLong(2)}|${r.getDouble(3)}")
+    q.stop()
+    assertGolden("tumbling_counts.golden", out.toSeq)
+  }
+
+  test("golden: dedupStream full survivor set over a fixed replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // 24 docs cycling over 8 distinct texts, duplicates within and across
+    // batches; all inside the 1 h watermark window → exactly 8 survive
+    val docs = (0 until 24).map { i =>
+      (t(f"2024-01-01 10:${i * 2}%02d:00"), s"text-${i % 8}")
+    }
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = dedupStream(in.toDF.toDF("ts", "text"), "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("g_dedup").outputMode("append").start()
+    docs.grouped(8).foreach { b => in.addData(b); q.processAllAvailable() }
+    val out = spark.sql("select text, content_hash from g_dedup order by text")
+      .collect().map(r => s"${r.getString(0)}|${r.getString(1)}")
+    q.stop()
+    assertGolden("dedup_stream.golden", out.toSeq)
+  }
+
+  test("golden: delimitedStream full mapped records over fixed files") {
+    val dir = java.nio.file.Files.createTempDirectory("graftgolden")
+    java.nio.file.Files.write(dir.resolve("a.csv"),
+      ("surname,forename,dob\n" +
+        "smith ,JOHN,2001-02-03\n" +
+        "o'brien,MARY ANN,1999-12-31\n" +
+        "doe,JANE,2010-06-15\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.csv"),
+      ("surname,forename,dob\n" +
+        "bloggs,FRED,1985-01-01\n" +
+        "smith ,JOHN,2001-02-03\n").getBytes("UTF-8"))
+    val mapping = MappingLoader.loadTable(
+      """|header_lines: 1
+         |klass: Person
+         |columns:
+         |- column: surname
+         |  mappings:
+         |  - field: surname
+         |    clean: :name
+         |- column: forename
+         |  mappings:
+         |  - field: forename
+         |- column: dob
+         |  mappings:
+         |  - field: dob
+         |    format: yyyy-mm-dd
+         |""".stripMargin)
+    val q = delimitedStream(spark, dir.toString, mapping)
+      .writeStream.format("memory").queryName("g_par").outputMode("append").start()
+    q.processAllAvailable()
+    // row ids are partition-relative surrogates (excluded: scheduling-
+    // dependent); everything semantic — klass, fields, rawtext — is pinned
+    val out = spark.sql(
+        """select klass, fields['surname'] s, fields['forename'] f,
+          |  cast(fields['dob'] as string) d, rawtext['surname'] rs
+          |from g_par order by s, f, d""".stripMargin)
+      .collect().map(r => (0 until 5).map(r.get(_)).mkString("|"))
+    q.stop()
+    assertGolden("delimited_stream.golden", out.toSeq)
+  }
+
   test("stateful sessionization closes sessions across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -275,6 +275,28 @@ class NonTabularSpec extends SparkSpec {
       "- column: one\n  non_tabular_cell:\n    lines: 0\n"))
   }
 
+  test("messages catalogue: per-locale resolution, fallbacks, placeholder args") {
+    import graft.runtime.Messages
+    // English is the shipped default and carries the placeholder
+    assert(Messages("mapping.errors.missing_non_tabular_cell", "name" -> "surname")
+      == "This mapping (surname) has no non_tabular_cell")
+    // a registered locale resolves its own text; missing keys fall back to en
+    Messages.register("xx", Map(
+      "mapping.errors.missing_non_tabular_cell" -> "XX %{name} XX"))
+    assert(Messages.t("xx", "mapping.errors.missing_non_tabular_cell",
+      "name" -> "a") == "XX a XX")
+    assert(Messages.t("xx", "mapping.errors.missing_start_line_pattern")
+      == "This table has no start_line_pattern")
+    // unknown locale falls back wholesale; unknown key fails fast
+    assert(Messages.t("zz", "mapping.errors.start_pattern_before_end")
+      == Messages("mapping.errors.start_pattern_before_end"))
+    intercept[RuntimeException](Messages("mapping.errors.no_such_key"))
+    // and the raising sites still produce the English texts (type + text)
+    val ex = intercept[NonTabular.MappingError](NonTabular.validate(
+      MappingLoader.loadTable("klass: K\ncolumns:\n- column: one\n")))
+    assert(ex.getMessage == "This table has no start_line_pattern")
+  }
+
   test("start before end with end pattern → runtime error") {
     val yaml =
       """|klass: K
