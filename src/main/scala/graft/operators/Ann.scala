@@ -76,7 +76,15 @@ object Ann {
 
   /** LSH ANN: best within-bucket neighbour per vector. The rank-1 is a
     * partial-aggregating `max_by`, not a window — it map-side combines
-    * before the shuffle, the right shape when buckets hold millions. */
+    * before the shuffle, the right shape when buckets hold millions.
+    *
+    * Sizing `planes` (measured in SCALING.md): bucket count is fixed at
+    * 2^planes, so at a FIXED plane count a 10× corpus means 10× denser
+    * buckets and ~quadratic growth of within-bucket candidate pairs. Keep
+    * per-bucket density constant by growing the plane count with the
+    * corpus — planes ≈ log2(N / target_bucket_size) — which restores
+    * linear candidate-generation cost (the plan shape is density-
+    * independent: bucket shuffle join, never a cartesian). */
   def annLsh(vectors: DataFrame, idCol: String, embCol: String,
              planes: Seq[Seq[Int]]): DataFrame = {
     val sig = vectors.withColumn("bucket", lshBucket(col(embCol), planes))
