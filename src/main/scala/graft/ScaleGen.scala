@@ -53,6 +53,21 @@ object ScaleGen {
     * directories rather than single files). */
   def scale(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    // events carries TIMESTAMP(NANOS) parquet, which Spark only reads with
+    // the nanos-as-long legacy conf — set it for the duration of the run
+    // (runtime SQL conf, restored after) so any caller session works
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try scaleAll(spark, src, dst, factor)
+    finally prevNanos match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None    => spark.conf.unset(nanosKey)
+    }
+  }
+
+  private def scaleAll(spark: SparkSession, src: String, dst: String,
+                       factor: Int): Unit = {
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
 
     // one stride per key family, shared by every table referencing it

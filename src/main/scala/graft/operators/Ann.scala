@@ -85,6 +85,17 @@ object Ann {
     * corpus — planes ≈ log2(N / target_bucket_size) — which restores
     * linear candidate-generation cost (the plan shape is density-
     * independent: bucket shuffle join, never a cartesian). */
+  /** The sizing rule above, executable: the plane count that keeps the
+    * expected bucket population near `targetBucketSize` for an `n`-vector
+    * corpus — ceil(log2(n / target)), floored at 1. Candidate-pair work
+    * per bucket is O(density²), so holding density constant as the corpus
+    * grows is what keeps total LSH cost linear. */
+  def planesFor(n: Long, targetBucketSize: Long = 64): Int = {
+    require(n > 0 && targetBucketSize > 0, "n and targetBucketSize must be positive")
+    math.max(1, math.ceil(
+      math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt)
+  }
+
   def annLsh(vectors: DataFrame, idCol: String, embCol: String,
              planes: Seq[Seq[Int]]): DataFrame = {
     val sig = vectors.withColumn("bucket", lshBucket(col(embCol), planes))

@@ -342,6 +342,17 @@ class OperatorsSpec extends SparkSpec {
     assert(twice == 0)
   }
 
+  test("ann: planesFor holds bucket density constant as the corpus grows") {
+    import graft.operators.Ann
+    // one extra plane per doubling; ~log2(10) ≈ 3-4 planes per 10×
+    assert(Ann.planesFor(2000, 64) == 5)
+    assert(Ann.planesFor(4000, 64) == 6)
+    assert(Ann.planesFor(20000, 64) == 9)
+    // small corpora never go below one plane
+    assert(Ann.planesFor(10, 64) == 1)
+    intercept[IllegalArgumentException](Ann.planesFor(0, 64))
+  }
+
   test("ann: lsh bucket-mates and ivf cell-mates score real cosine") {
     val vecs = (0 until 20).map { i =>
       val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.5f, 0.0f)
