@@ -193,6 +193,57 @@ object TextStats {
     }
   }
 
+  /** Mean unigram log10-probability of each doc's words under the
+    * corpus's own add-one-smoothed unigram distribution — the cheap
+    * language-model quality signal (gibberish and boilerplate sit far
+    * from the corpus distribution; near-empty docs of rare tokens score
+    * low). Scale shape: one explode, one word-keyed shuffle-hash join
+    * against the corpus vocabulary (vocab can reach billions of rows at
+    * 100 TB — never broadcast it), one per-doc aggregation. Stopword-
+    * frequency skew on the join's probe side is AQE skew-join territory;
+    * the build side (distinct vocabulary) is uniform. */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("_w"))
+    val vocab = words.groupBy(col("_w").as("_vw")).agg(count(lit(1)).as("_c"))
+    val totals = vocab.agg(sum(col("_c")).as("_n"), count(lit(1)).as("_v"))
+    words.join(vocab.hint("shuffle_hash"), col("_w") === col("_vw"))
+      .crossJoin(broadcast(totals))
+      .withColumn("_lp",
+        log10((col("_c") + 1).cast("double") / (col("_n") + col("_v"))))
+      .groupBy(idCol)
+      .agg(round(avg(col("_lp")), 4).as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** Temperature-based corpus mixing (the multilingual-pretraining
+    * resampler): per-stratum target shares ∝ share^alpha, alpha in (0, 1]
+    * — alpha = 1 keeps the natural mix, smaller alpha flattens it toward
+    * the tail. Returns one row per stratum with its observed share, the
+    * target share, and a downsample-only `rate` normalised so the most
+    * upweighted stratum keeps everything — feed the rates straight into
+    * [[stratifiedSample]]. One aggregation over the corpus; everything
+    * after operates on the #strata-row table (broadcast by construction). */
+  def temperatureRates(df: org.apache.spark.sql.DataFrame, strataCol: String,
+                       alpha: Double): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    val shared = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("_tot"))))
+      .withColumn("_share", col("n") / col("_tot"))
+      .withColumn("_pw", pow(col("_share"), lit(alpha)))
+    val targeted = shared
+      .crossJoin(broadcast(shared.agg(sum(col("_pw")).as("_z"))))
+      .withColumn("_target", col("_pw") / col("_z"))
+      .withColumn("_rate", col("_target") / col("_share"))
+    targeted
+      .crossJoin(broadcast(targeted.agg(max(col("_rate")).as("_rmax"))))
+      .select(col(strataCol), col("n"),
+        round(col("_share"), 4).as("share"),
+        round(col("_target"), 4).as("target_share"),
+        round(col("_rate") / col("_rmax"), 4).as("rate"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * md5(stratum ":" key) mod 10000 falls under its stratum's rate —
     * per-stratum rates rebalance a skewed corpus (downsample the dominant

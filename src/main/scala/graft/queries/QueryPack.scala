@@ -1070,6 +1070,18 @@ object QueryPack {
         size(split(col("text"), " ")).cast("long"), budget = 2000, shards = 4)
       .select(col("doc_id"), col("seq_id"), col("seq_offset"))
 
+  /** Cheap LM-quality signal: mean unigram log-prob of each doc's words
+    * under the corpus's own smoothed unigram distribution. Vocab joins by
+    * shuffle-hash (never broadcast — corpus-sized at 100 TB). */
+  def xUnigramLogprob(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+
+  /** Temperature resampling rates per language (alpha = 0.5): the
+    * multilingual-pretraining mix flattener, downsample-only, composable
+    * with stratifiedSample. */
+  def xTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.temperatureRates(T(s, dir, "documents"), "lang", 0.5)
+
   /** Corpus profiling — per-language counts, mean and exact p50/p95 doc
     * length. One partial-aggregating shuffle. */
   def xProfile(s: SparkSession, dir: String): DataFrame =
@@ -1146,6 +1158,8 @@ object QueryPack {
     "x_stratified" -> (xStratified _),
     "x_pack" -> (xPack _),
     "x_pack_salted" -> (xPackSalted _),
+    "x_unigram_logprob" -> (xUnigramLogprob _),
+    "x_temperature_mix" -> (xTemperatureMix _),
     "x_profile" -> (xProfile _),
     "x_redact" -> (xRedact _),
     "x_rep_ratio" -> (xRepRatio _),
@@ -1343,6 +1357,25 @@ object QueryPack {
         |  lang || '#' || CAST((local_start + shard_off) // 2000 AS VARCHAR) AS seq_id,
         |  CAST((local_start + shard_off) % 2000 AS BIGINT) AS seq_offset
         |FROM loc JOIN off USING (lang, shard)""".stripMargin,
+    "x_unigram_logprob" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+        |t AS (SELECT sum(c) AS n, count(*) AS vsz FROM v)
+        |SELECT doc_id,
+        |  round(avg(log10((c + 1)::DOUBLE / (n + vsz))), 4) AS avg_logprob,
+        |  count(*) AS n_tokens
+        |FROM w JOIN v USING (w) CROSS JOIN t
+        |GROUP BY 1""".stripMargin,
+    "x_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |s AS (SELECT lang, n, n::DOUBLE / SUM(n) OVER () AS share FROM c),
+        |p AS (SELECT lang, n, share, POW(share, 0.5) AS pw FROM s),
+        |z AS (SELECT lang, n, share, pw / SUM(pw) OVER () AS target FROM p),
+        |r AS (SELECT lang, n, share, target, target / share AS rate FROM z)
+        |SELECT lang, n, round(share, 4) AS share,
+        |  round(target, 4) AS target_share,
+        |  round(rate / MAX(rate) OVER (), 4) AS rate
+        |FROM r""".stripMargin,
     "x_redact" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(

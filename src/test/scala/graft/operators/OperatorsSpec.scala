@@ -213,6 +213,34 @@ class OperatorsSpec extends SparkSpec {
     assert(shuffled == got)
   }
 
+  test("unigramLogProb scores docs against the corpus's own distribution") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "t")
+    val out = TextStats.unigramLogProb(docs, "id", "t")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // vocab: a:2 b:2 c:1, N=5, V=3 → p(a)=p(b)=3/8, p(c)=2/8
+    val (lpA, lpC) = (math.log10(3.0 / 8), math.log10(2.0 / 8))
+    assert(out(1L)._2 == 3 && math.abs(out(1L)._1 - lpA) < 1e-3)
+    assert(out(2L)._2 == 2 && math.abs(out(2L)._1 - (lpA + lpC) / 2) < 1e-3)
+    // the common-word doc scores strictly higher than the rare-word doc
+    assert(out(1L)._1 > out(2L)._1)
+  }
+
+  test("temperatureRates flattens a 90/10 mix; rates are downsample-only") {
+    val df = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (1 to 10).map(i => (100L + i, "small"))).toDF("id", "s")
+    val out = TextStats.temperatureRates(df, "s", 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // shares .9/.1 → pw .9487/.3162, z = 1.2649 → targets .75/.25;
+    // rates .8333/2.5 normalise to .3333/1.0
+    assert(out("big") == ((90L, 0.9, 0.75, 0.3333)))
+    assert(out("small") == ((10L, 0.1, 0.25, 1.0)))
+    // alpha = 1 is the identity mix: every rate 1.0
+    val id = TextStats.temperatureRates(df, "s", 1.0)
+      .collect().map(_.getDouble(4)).toSeq
+    assert(id.forall(_ == 1.0))
+  }
+
   test("stratified sample: per-stratum rates, deterministic across runs") {
     val df = (1 to 2000).map(i => (i.toLong, if (i % 4 == 0) "minor" else "major"))
       .toDF("id", "stratum")

@@ -90,6 +90,21 @@ class PlanQualitySpec extends SparkSpec {
       s"the corpus must never sort:\n$plan")
   }
 
+  test("sharded pack: corpus gets ONE group+shard window; stitch join broadcasts") {
+    val plan = formattedPlan(QueryPack.xPackSalted(spark, sf))
+    // the corpus-side window must partition by (group, shard) — the whole
+    // point: a dominant group spreads over `shards` window partitions
+    assert(plan.linesIterator.exists(l =>
+        l.contains("windowspecdefinition") && l.contains("_shard")),
+      s"corpus window lost its shard key:\n$plan")
+    // the offsets table is groups × shards rows — it must broadcast, the
+    // corpus must never sort-merge against it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset stitch join must broadcast the tiny side:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus must never sort or product for the stitch:\n$plan")
+  }
+
   test("stratified sample is a narrow filter: no exchange, filter reaches the scan") {
     val plan = formattedPlan(QueryPack.xStratified(spark, sf))
     assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
