@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Regenerate SCALING.md's per-query table from two graft.Bench JSON
+lines. Usage: scaling_table.py <bench_sf0.1.json> <bench_sf1.json>.
+Prints the markdown table (descending ratio) plus headline totals."""
+import sys, json
+
+READING = {
+    "x_quality": "cause #1 — linear in chars (13.28x), so sublinear",
+    "x_unigram_logprob": "explode + word-keyed shuffle join; linear in tokens",
+    "x_dedup_embedding": "cause #2 — fixed hyperplane count, denser buckets",
+    "x_token_count": "cause #1 — char-bound regexp, well under 13.28x",
+    "x_ann_lsh": "cause #2",
+    "x_ann_ivf": "cause #3 — sqrt(N) centroids: O(N^1.5) flops by design",
+    "set_ops": "shuffle-bound set algebra; linear-ish in shuffled bytes",
+    "x_range_join": "bucket fan-out join; linear in candidate rows",
+    "m9_cleaners": "regex-chain bound, narrow",
+    "x_dedup_exact": "one hash shuffle, linear",
+    "w1_running_total": "partitioned window, linear",
+    "m11_match": "narrow regex",
+    "t9_fixed_width": "narrow substring unpack",
+    "x_stratified": "narrow md5 filter",
+    "n3_segments": "per-file window state machine; parallel across files",
+    "x_redact": "narrow regexp_replace",
+    "x_decontaminate": "broadcast route (gram side under threshold at both SFs)",
+    "w3_sliding": "windowed agg",
+    "q5_region_revenue": "broadcast dims + one fact shuffle",
+    "x_dedup_cluster": "pointer-jumping CC: O(log d) rounds, round cost linear",
+    "s5_json_props": "per-line JSON parse, narrow",
+    "agg_distinct": "partial-agg shuffle",
+    "w2_sessionize": "10x users, same per-user density — the honest shape",
+    "q3_top_orders": "shuffle + top-k",
+    "x_profile": "one array-percentile aggregate",
+    "m8_dates": "narrow date parse",
+    "x_minhash_pairs": "LSH bands: salting kept candidate growth linear",
+    "x_salted_agg": "two-phase salted agg",
+    "x_pack": "per-group window",
+    "x_pack_salted": "group+shard windows + broadcast offset stitch",
+    "x_temperature_mix": "one corpus agg; rest on the #strata-row table",
+    "m17_join": "narrow concat",
+    "x_asof_join": "union + window carry-forward",
+    "dedup_rows": "dropDuplicates shuffle",
+    "x_rep_ratio": "narrow",
+    "x_train_split": "narrow",
+    "x_lang_id": "narrow",
+    "x_simhash": "explode + per-bit sums, one shuffle",
+    "t7_klass_fanout": "compiled projection fan-out, narrow",
+    "x_minhash": "narrow signature computation",
+    "m16_priority": "narrow coalesce",
+    "q6_forecast_revenue": "scan + filter + single agg",
+    "q1_agg": "was 1-task-scan-bound at sf0.1; now parallel",
+    "agg_rollup": "rollup shuffle, amortised",
+    "x3_xml_repeat": "fixture-bound (synthetic XML, constant size)",
+    "m10_map_dict": "narrow",
+    "s11_vcf": "fixture-bound",
+    "x_jaccard": "doc_id < 100 bound — constant by contract",
+    "x_fingerprint": "narrow, floor-bound",
+    "t12_importer_union": "driver fixture generation amortised (cachedFixture)",
+    "s9_avro": "job floor",
+    "t12b_7z_union": "fixture-bound",
+    "s12_pdf_text": "fixture-bound",
+    "x_ann_cosine": "fixed 8-query broadcast side; 10x corpus scans in parallel",
+    "s15_acroform": "fixture-bound",
+}
+
+a = json.load(open(sys.argv[1]))
+b = json.load(open(sys.argv[2]))
+rows = [(q, a["queries"][q], b["queries"][q], b["queries"][q] / a["queries"][q])
+        for q in sorted(set(a["queries"]) & set(b["queries"]))]
+rows.sort(key=lambda r: -r[3])
+print(f"TOTALS: sf0.1 {a['value']:.2f} s, sf1 {b['value']:.2f} s, "
+      f"ratio {b['value']/a['value']:.2f}")
+print()
+print("| query | sf0.1 | sf1 | ratio | reading |")
+print("|---|---|---|---|---|")
+for q, t0, t1, r in rows:
+    note = READING.get(q, "")
+    print(f"| {q} | {t0:.3f} | {t1:.3f} | {r:.2f} | {note} |")
