@@ -74,28 +74,27 @@ object Ann {
         round(col("_cos"), 4).as("cos_sim"))
   }
 
-  /** LSH ANN: best within-bucket neighbour per vector. The rank-1 is a
-    * partial-aggregating `max_by`, not a window — it map-side combines
-    * before the shuffle, the right shape when buckets hold millions.
-    *
-    * Sizing `planes` (measured in SCALING.md): bucket count is fixed at
-    * 2^planes, so at a FIXED plane count a 10× corpus means 10× denser
-    * buckets and ~quadratic growth of within-bucket candidate pairs. Keep
-    * per-bucket density constant by growing the plane count with the
-    * corpus — planes ≈ log2(N / target_bucket_size) — which restores
-    * linear candidate-generation cost (the plan shape is density-
-    * independent: bucket shuffle join, never a cartesian). */
-  /** The sizing rule above, executable: the plane count that keeps the
-    * expected bucket population near `targetBucketSize` for an `n`-vector
-    * corpus — ceil(log2(n / target)), floored at 1. Candidate-pair work
-    * per bucket is O(density²), so holding density constant as the corpus
-    * grows is what keeps total LSH cost linear. */
+  /** The plane count that keeps the expected bucket population near
+    * `targetBucketSize` for an `n`-vector corpus — ceil(log2(n / target)),
+    * floored at 1. Candidate-pair work per bucket is O(density²), so
+    * holding density constant as the corpus grows is what keeps total
+    * LSH cost linear (measured in SCALING.md). */
   def planesFor(n: Long, targetBucketSize: Long = 64): Int = {
     require(n > 0 && targetBucketSize > 0, "n and targetBucketSize must be positive")
     math.max(1, math.ceil(
       math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt)
   }
 
+  /** LSH ANN: best within-bucket neighbour per vector. The rank-1 is a
+    * partial-aggregating `max_by`, not a window — it map-side combines
+    * before the shuffle, the right shape when buckets hold millions.
+    *
+    * Sizing `planes`: bucket count is fixed at 2^planes, so at a FIXED
+    * plane count a 10× corpus means 10× denser buckets and ~quadratic
+    * growth of within-bucket candidate pairs. Grow the plane count with
+    * the corpus ([[planesFor]]) to restore linear candidate-generation
+    * cost — the plan shape is density-independent: bucket shuffle join,
+    * never a cartesian. */
   def annLsh(vectors: DataFrame, idCol: String, embCol: String,
              planes: Seq[Seq[Int]]): DataFrame = {
     val sig = vectors.withColumn("bucket", lshBucket(col(embCol), planes))

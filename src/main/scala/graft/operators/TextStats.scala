@@ -162,11 +162,15 @@ object TextStats {
         .withColumn("seq_offset", pmod(start, lit(budget)))
     } else {
       // deterministic shard of the order column (md5-derived, the repo's
-      // cross-engine h32) — no RNG, so re-runs land docs identically
+      // cross-engine h32) — no RNG, so re-runs land docs identically. A
+      // NULL order value hashes to NULL; coalesce it into shard 0 so the
+      // row keeps a non-null join key and survives the stitch (the
+      // unsharded path keeps NULL-order rows too — the paths must agree
+      // on row count).
       val d = df
-        .withColumn("_shard", pmod(
+        .withColumn("_shard", pmod(coalesce(
           conv(substring(md5(col(orderCol).cast("string")), 1, 8), 16, 10)
-            .cast("bigint"), lit(shards.toLong)))
+            .cast("bigint"), lit(0L)), lit(shards.toLong)))
         .withColumn("_tok", tokens)
       val wLocal = W.partitionBy(groupCol, "_shard").orderBy(orderCol)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -181,8 +185,12 @@ object TextStats {
         .agg(sum(col("_tok")).as("_tot"))
         .withColumn("_shard_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
       // null-safe join: a NULL group is its own window partition on both
-      // sides; a name-equality join would silently drop its rows
-      val joined = local.join(offsets,
+      // sides; a name-equality join would silently drop its rows. The
+      // offsets side is groups × shards rows — broadcast by construction,
+      // not by estimate (the static planner sizes the aggregate from its
+      // corpus-sized child; without the hint a non-AQE session would sort
+      // the whole corpus into a merge join).
+      val joined = local.join(broadcast(offsets),
         col(groupCol) <=> col("_og") && col("_shard") === col("_oshard"))
       val start = col("_local_start") + col("_shard_off")
       joined
@@ -201,7 +209,13 @@ object TextStats {
     * against the corpus vocabulary (vocab can reach billions of rows at
     * 100 TB — never broadcast it), one per-doc aggregation. Stopword-
     * frequency skew on the join's probe side is AQE skew-join territory;
-    * the build side (distinct vocabulary) is uniform. */
+    * the build side (distinct vocabulary) is uniform. The corpus is
+    * scanned twice (vocab build, then scoring) — a narrow re-read is
+    * cheaper than spilling the corpus×tokens explode; pipelines that
+    * tokenise for several operators should persist the tokenised frame
+    * themselves and pass it in. Docs with NULL text contribute no rows
+    * (explode of a NULL split) and are absent from the output — coalesce
+    * upstream if they must appear with a score. */
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
     val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("_w"))

@@ -317,6 +317,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSet == expected)
   }
 
+  test("packSequences sharded: NULL order column lands in shard 0, row kept") {
+    // md5(NULL) is NULL — without the coalesce the row's shard key is
+    // NULL, the null-unsafe stitch join drops it, and the sharded path
+    // disagrees with shards=1 on row count
+    val df = Seq((Option(1L), "g", 10L), (Option.empty[Long], "g", 7L))
+      .toDF("ord", "grp", "toks")
+    val unsharded = TextStats.packSequences(df, "grp", "ord", col("toks"), 100)
+    val sharded = TextStats.packSequences(df, "grp", "ord", col("toks"), 100, shards = 4)
+    assert(sharded.count() == 2 && unsharded.count() == 2)
+    // md5("1") mod 4 = 0 too, so both docs share shard 0 with the NULL
+    // ord first (NULLS FIRST): exact offsets 0 (7-token doc) then 7
+    val offs = sharded.select("seq_offset").collect().map(_.getLong(0)).sorted
+    assert(offs.toSeq == Seq(0L, 7L), s"got ${offs.toSeq}")
+  }
+
   test("packSequences sharded: NULL group survives the stitch join, NULL seq_id") {
     val df = Seq((1L, Option("g"), 10L), (2L, Option.empty[String], 10L),
       (3L, Option.empty[String], 10L)).toDF("id", "grp", "toks")

@@ -64,11 +64,18 @@ READING = {
 
 a = json.load(open(sys.argv[1]))
 b = json.load(open(sys.argv[2]))
+common = sorted(set(a["queries"]) & set(b["queries"]))
+only = set(a["queries"]) ^ set(b["queries"])
+if only:  # never silently drop a query the totals still include
+    print(f"WARNING: not in both runs, excluded from table AND totals: "
+          f"{sorted(only)}", file=sys.stderr)
 rows = [(q, a["queries"][q], b["queries"][q], b["queries"][q] / a["queries"][q])
-        for q in sorted(set(a["queries"]) & set(b["queries"]))]
+        for q in common]
 rows.sort(key=lambda r: -r[3])
-print(f"TOTALS: sf0.1 {a['value']:.2f} s, sf1 {b['value']:.2f} s, "
-      f"ratio {b['value']/a['value']:.2f}")
+# totals over the SAME query set as the table, so the table sums to them
+ta, tb = sum(a["queries"][q] for q in common), sum(b["queries"][q] for q in common)
+print(f"TOTALS ({len(common)} queries): sf0.1 {ta:.2f} s, sf1 {tb:.2f} s, "
+      f"ratio {tb/ta:.2f}")
 print()
 print("| query | sf0.1 | sf1 | ratio | reading |")
 print("|---|---|---|---|---|")

@@ -24,18 +24,22 @@ for name, sql in sorted(oracle.items()):  # warmup, untimed
     except Exception as e:
         print(f"WARMUP-FAIL {name}: {str(e)[:120]}", file=sys.stderr)
 
-results = {}
+results, failed = {}, []
 for name, sql in sorted(oracle.items()):
-    times = []
+    times, ok = [], True
     for _ in range(3):
         t0 = time.time()
         try:
             con.execute(sql).fetchall()
         except Exception:
-            pass
+            ok = False
         times.append(time.time() - t0)
-    results[name] = sorted(times)[1]
+    # a failed query must NOT contribute its ~0s to the total — that would
+    # silently deflate the engine comparison; record it separately instead
+    if ok:
+        results[name] = sorted(times)[1]
+    else:
+        failed.append(name)
 total = sum(results.values())
-qs = ",".join(f'"{k}":{v}' for k, v in results.items())
 print(json.dumps({"metric": "duckdb_total", "value": total, "unit": "sec",
-                  "queries": results, "sf": sfdir}))
+                  "queries": results, "failed": failed, "sf": sfdir}))
