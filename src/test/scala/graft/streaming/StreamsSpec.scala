@@ -237,6 +237,33 @@ class StreamsSpec extends SparkSpec {
     assertGolden("delimited_stream.golden", out.toSeq)
   }
 
+  test("TextStats expressions apply to a stream unchanged, equal to batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextStats
+    val texts = Seq(
+      "the cat sat on the mat", "xqz vw k", "the the the the",
+      "a quick brown fox jumps over the lazy dog")
+    def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("text"),
+      TextStats.quality(col("text")).as("q"),
+      TextStats.langId(col("text")).as("lang"),
+      TextStats.repetitionRatio(col("text")).as("rep"),
+      TextStats.contentFingerprint(col("text")).as("fp"),
+      TextStats.trainSplit(col("text")).as("split"))
+    val in = MemoryStream[String]
+    val q = proj(in.toDF.toDF("text"))
+      .writeStream.format("memory").queryName("txs").outputMode("append").start()
+    in.addData(texts.take(2)); q.processAllAvailable()
+    in.addData(texts.drop(2)); q.processAllAvailable()
+    val streamed = spark.sql("select * from txs").collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.head)
+    val batch = proj(texts.toDF("text")).collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.head)
+    assert(streamed.toSeq == batch.toSeq)
+    q.stop()
+  }
+
   test("stateful sessionization closes sessions across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
