@@ -105,6 +105,24 @@ class PlanQualitySpec extends SparkSpec {
       s"corpus must never sort or product for the stitch:\n$plan")
   }
 
+  test("unigram log-prob: vocab joins by shuffle-hash, never broadcast or product") {
+    val plan = formattedPlan(QueryPack.xUnigramLogprob(spark, sf))
+    // the vocabulary is corpus-derived — at 100 TB it is itself huge, so
+    // the word join must build a shuffle-hash table, not broadcast
+    assert(plan.contains("ShuffledHashJoin"),
+      s"vocab join lost its shuffle-hash shape:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"product crept in:\n$plan")
+    // the single-row totals ARE broadcast (the only broadcast in the plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"1-row totals should broadcast:\n$plan")
+  }
+
+  test("temperature mix: one corpus aggregate, tiny sides broadcast") {
+    val plan = formattedPlan(QueryPack.xTemperatureMix(spark, sf))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"strata-table joins must broadcast:\n$plan")
+  }
+
   test("stratified sample is a narrow filter: no exchange, filter reaches the scan") {
     val plan = formattedPlan(QueryPack.xStratified(spark, sf))
     assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
