@@ -20,21 +20,18 @@ import org.apache.spark.sql.functions._
   * `x_ann_*` queries pin all three tiers against DuckDB. */
 object Ann {
 
-  /** Elementwise dot product of two array columns (fold order matches
-    * DuckDB's `list_sum`, keeping results oracle-stable). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Elementwise dot product of two array columns — the native codegen'd
+    * [[graft.functions.DotProduct]] (fold order matches both the
+    * interpreted HOF rendering and DuckDB's `list_sum`, keeping results
+    * oracle-stable; the HOF version never entered whole-stage codegen
+    * and dominated the sf10 bench's thread dumps). */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayMath.dot(a, b)
 
   /** L2 norm of an array column. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Dot product against a constant vector. */
-  def dotLit(a: Column, v: Seq[Double]): Column =
-    aggregate(zip_with(a, typedLit(v), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
+  def dotLit(a: Column, v: Seq[Double]): Column = dot(a, typedLit(v))
 
   /** Deterministic random-hyperplane sign matrix: sign[i][d] ∈ {-1,1} from
     * md5("i:d") — reproducible across runs, engines and languages. */
