@@ -116,9 +116,17 @@ object ScaleGen {
   }
 
   /** Offset between consecutive copies of a key column: max+1, so copies
-    * never collide and the mapping is invertible (copy = key / stride). */
-  private def stride(df: DataFrame, c: String): Long =
-    df.agg(max(col(c)).cast("long")).head.getLong(0) + 1L
+    * never collide and the mapping is invertible (copy = key / stride).
+    * An empty (or all-NULL-key) source table has no usable max — fail
+    * with a clear message rather than the opaque NPE `head.getLong(0)`
+    * would throw; a stride-0 pass-through would silently collide copies
+    * if the table were non-empty with NULL keys. */
+  private def stride(df: DataFrame, c: String): Long = {
+    val row = df.agg(max(col(c)).cast("long")).head
+    require(!row.isNullAt(0),
+      s"cannot scale: key column '$c' has no non-null values (empty source table?)")
+    row.getLong(0) + 1L
+  }
 
   /** Copy-k word salt: suffix every word with `_k` (identity for k=0). */
   def saltWords(text: Column, k: Int): Column =

@@ -38,24 +38,29 @@ case class DotProduct(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  // any NumericType element works (the HOF rendering this replaced cast
+  // every castable element to double — the public operator must not be
+  // narrower than that): float/double/int/long/short/byte/decimal
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(et, _) =>
-        et == FloatType || et == DoubleType || et == IntegerType || et == LongType
+      case ArrayType(et, _) => et.isInstanceOf[NumericType]
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two arrays of float/double/int/long, got " +
+      s"$prettyName requires two arrays of numeric elements, got " +
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
   private def getD(a: ArrayData, i: Int, t: DataType): Double = t match {
-    case FloatType   => a.getFloat(i).toDouble
-    case DoubleType  => a.getDouble(i)
-    case IntegerType => a.getInt(i).toDouble
-    case LongType    => a.getLong(i).toDouble
-    case other       => throw new IllegalStateException(s"unreachable: $other")
+    case FloatType      => a.getFloat(i).toDouble
+    case DoubleType     => a.getDouble(i)
+    case IntegerType    => a.getInt(i).toDouble
+    case LongType       => a.getLong(i).toDouble
+    case ShortType      => a.getShort(i).toDouble
+    case ByteType       => a.getByte(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+    case other          => throw new IllegalStateException(s"unreachable: $other")
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -76,11 +81,15 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def acc(v: String, i: String, t: DataType): String = t match {
-      case FloatType   => s"(double) $v.getFloat($i)"
-      case DoubleType  => s"$v.getDouble($i)"
-      case IntegerType => s"(double) $v.getInt($i)"
-      case LongType    => s"(double) $v.getLong($i)"
-      case other       => throw new IllegalStateException(s"unreachable: $other")
+      case FloatType      => s"(double) $v.getFloat($i)"
+      case DoubleType     => s"$v.getDouble($i)"
+      case IntegerType    => s"(double) $v.getInt($i)"
+      case LongType       => s"(double) $v.getLong($i)"
+      case ShortType      => s"(double) $v.getShort($i)"
+      case ByteType       => s"(double) $v.getByte($i)"
+      case d: DecimalType =>
+        s"$v.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+      case other          => throw new IllegalStateException(s"unreachable: $other")
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")

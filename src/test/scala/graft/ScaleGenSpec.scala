@@ -53,6 +53,20 @@ class ScaleGenSpec extends SparkSpec {
       "copy-1 vectors must be decorrelated from copy-0")
   }
 
+  test("an empty source table fails with a clear message, not an NPE") {
+    // stride() needs max(key)+1; an empty (or all-NULL-key) table has no
+    // max, and the failure must name the column rather than NPE deep in
+    // Row.getLong
+    val src = java.nio.file.Files.createTempDirectory("sgempty").toString
+    val dst = java.nio.file.Files.createTempDirectory("sgemptyout").toString
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .limit(0).write.parquet(s"$src/orders.parquet")
+    val e = intercept[IllegalArgumentException] {
+      ScaleGen.scale(spark, src, dst, 2)
+    }
+    assert(e.getMessage.contains("o_orderkey"), e.getMessage)
+  }
+
   test("scale-up is deterministic: two runs produce identical row sets") {
     val src = "/root/testdata/sf0.001"
     val d1 = java.nio.file.Files.createTempDirectory("sgdet1").toString

@@ -64,6 +64,22 @@ class ArrayMathSpec extends SparkSpec {
     assert(q.count() == 97) // 3*id - 8 > 0 ⇔ id >= 3
   }
 
+  test("every numeric element type is accepted and matches the HOF reference") {
+    // the HOF rendering this expression replaced cast ANY castable element
+    // to double, so the public operator must accept the full NumericType
+    // family — short/byte/decimal included, not just float/double/int/long
+    val base = Seq((1L, Seq(1, -2, 3), Seq(4, 5, -6))).toDF("id", "a", "b")
+    val want = 1 * 4 + -2 * 5 + 3 * -6 // = -24
+    for (t <- Seq("smallint", "tinyint", "int", "bigint", "float", "double", "decimal(6,2)")) {
+      val df = base.select(
+        col("a").cast(s"array<$t>").as("a"), col("b").cast(s"array<$t>").as("b"))
+      val got = df.select(ArrayMath.dot(col("a"), col("b")).as("native"),
+          hofDot(col("a"), col("b")).as("hof")).head
+      assert(got.getDouble(0) == want.toDouble, s"element type $t")
+      assert(got.getDouble(0) == got.getDouble(1), s"HOF divergence for $t")
+    }
+  }
+
   test("mixed float/double (literal side) and interpreted eval agree") {
     val df = Seq((1L, Seq(0.5f, -1.5f))).toDF("id", "a")
     val v = Seq(2.0, 4.0)
