@@ -56,13 +56,18 @@ object ScaleGen {
     // events carries TIMESTAMP(NANOS) parquet, which Spark only reads with
     // the nanos-as-long legacy conf — set it for the duration of the run
     // (runtime SQL conf, restored after) so any caller session works
-    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val prevNanos = spark.conf.getOption(nanosKey)
-    spark.conf.set(nanosKey, "true")
+    // write timestamps as µs INT64 (not the INT96 legacy default): INT96
+    // carries no min/max statistics, so predicate pushdown over ts would
+    // go blind on the scaled dirs
+    val confs = Seq(
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try scaleAll(spark, src, dst, factor)
-    finally prevNanos match {
-      case Some(v) => spark.conf.set(nanosKey, v)
-      case None    => spark.conf.unset(nanosKey)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 
@@ -94,7 +99,9 @@ object ScaleGen {
         "l_suppkey" -> sSupp) _,
       // users scale with the data (new users, same per-user event density)
       // so sessionization/window workloads keep their per-key shape
-      "events" -> offsets("event_id" -> sEvent, "user_id" -> sUser) _,
+      "events" -> { (df, k) =>
+        normalizeTs(offsets("event_id" -> sEvent, "user_id" -> sUser)(df, k))
+      },
       "documents" -> { (df, k) =>
         offsets("doc_id" -> sDoc)(df, k)
           .withColumn("text", saltWords(col("text"), k))
@@ -127,6 +134,21 @@ object ScaleGen {
       s"cannot scale: key column '$c' has no non-null values (empty source table?)")
     row.getLong(0) + 1L
   }
+
+  /** events.ts arrives as TIMESTAMP(NANOS), which Spark 4 can only read as
+    * a long (raw nanos). Writing that long back produces plain INT64
+    * parquet, and every downstream engine loses the timestamp binding —
+    * the DuckDB oracle SQL's `epoch_ms(ts)` stops resolving at scaled
+    * dirs, which is why the four event-time queries used to drop out of
+    * the engine comparison. Convert to a µs TIMESTAMP on write so scaled
+    * dirs carry a real timestamp type. Sub-µs precision is dropped
+    * (integer division) — no query observes it (they all bin to ms). */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df // already a real timestamp (e.g. re-scaling scaled output)
+    }
 
   /** Copy-k word salt: suffix every word with `_k` (identity for k=0). */
   def saltWords(text: Column, k: Int): Column =

@@ -72,14 +72,18 @@ object Ann {
   }
 
   /** The plane count that keeps the expected bucket population near
-    * `targetBucketSize` for an `n`-vector corpus — ceil(log2(n / target)),
-    * floored at 1. Candidate-pair work per bucket is O(density²), so
+    * `targetBucketSize` for an `n`-vector corpus — the smallest p ≥ 1 with
+    * target·2^p ≥ n, i.e. ceil(log2(n / target)) floored at 1, computed in
+    * INTEGER arithmetic so an oracle in another engine can replicate it
+    * exactly (float log2 differs by ULPs across libms at power-of-two
+    * boundaries). Candidate-pair work per bucket is O(density²), so
     * holding density constant as the corpus grows is what keeps total
     * LSH cost linear (measured in SCALING.md). */
   def planesFor(n: Long, targetBucketSize: Long = 64): Int = {
     require(n > 0 && targetBucketSize > 0, "n and targetBucketSize must be positive")
-    math.max(1, math.ceil(
-      math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt)
+    var p = 1
+    while (p < 62 && (targetBucketSize << p) < n) p += 1
+    p
   }
 
   /** LSH ANN: best within-bucket neighbour per vector. The rank-1 is a

@@ -26,12 +26,20 @@ object QueryPack {
 
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default; read it as a long (nanos) and derive epoch-millis with
-    * INTEGER division (double division would lose precision at 1e18). */
+  /** The driver's events.parquet carries TIMESTAMP(NANOS), which Spark 4
+    * rejects by default; read it as a long (nanos) and derive epoch-millis
+    * with INTEGER division (double division would lose precision at 1e18).
+    * ScaleGen-produced dirs instead carry a real µs TIMESTAMP (the nanos
+    * long round-trips to INT64 otherwise, breaking every engine's
+    * timestamp binding) — both arrive at the same ts_ms. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    T(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+    val df = T(s, dir, "events")
+    val tsMs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => expr("unix_micros(ts) div 1000")
+    }
+    df.withColumn("ts_ms", tsMs)
   }
 
   // === Relational core ======================================================
@@ -851,6 +859,36 @@ object QueryPack {
   def xAnnLsh(s: SparkSession, dir: String): DataFrame =
     graft.operators.Ann.annLsh(T(s, dir, "embeddings"), "vec_id", "embedding", lshPlanes)
 
+  /** Corpus-sized hyperplane superset for the `_sized` LSH queries: plane
+    * count grows with the corpus (`Ann.planesFor`, target bucket 64), and
+    * the oracle SQL embeds all [[maxSizedPlanes]] sign literals and masks
+    * to the engine-computed count — so Spark and DuckDB derive the SAME
+    * plane count from the SAME `count(*)` without the SQL being
+    * regenerated per scale. 16 planes covers 64·2^16 ≈ 4.2M vectors;
+    * beyond that the require below fires rather than silently densifying. */
+  private val maxSizedPlanes = 16
+  private[queries] val sizedPlanes: Seq[Seq[Int]] =
+    graft.operators.Ann.hyperplanes(numPlanes = maxSizedPlanes, dim = 64)
+
+  private def sizedPlanesFor(n: Long): Seq[Seq[Int]] = {
+    val np = graft.operators.Ann.planesFor(n, 64)
+    require(np <= maxSizedPlanes,
+      s"corpus of $n vectors needs $np planes > superset $maxSizedPlanes")
+    sizedPlanes.take(np)
+  }
+
+  /** x_ann_lsh with the linear-track plane count: `planesFor(n)` planes
+    * instead of the fixed 8, so bucket density stays ~64 as the corpus
+    * grows. The fixed-plane `x_ann_lsh` keeps cross-scale hash
+    * comparability; THIS query pins the configuration a 100 TB run would
+    * use (SCALING.md measured 17.7 s → 1.15 s at sf10 from exactly this
+    * re-sizing). */
+  def xAnnLshSized(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Ann.annLsh(emb, "vec_id", "embedding",
+      sizedPlanesFor(emb.count()))
+  }
+
   /** IVF-style ANN: a deterministic coarse quantizer (the first ⌈√N⌉
     * vectors as fixed centroids — a k-means seeding both engines can
     * replicate) assigns every vector to its nearest cell; search happens
@@ -887,12 +925,30 @@ object QueryPack {
       cents.map { case (id, v) => (id, v.toSeq) }, salts = 4)
   }
 
-  private def dedupEmbeddingOracleSql: String = {
-    def planeSql(p: Seq[Int]): String = p.mkString("[", ",", "]")
-    val bucketExpr = lshPlanes.zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN list_sum(list_transform(range(1,65), j -> CAST(embedding[j] AS DOUBLE) * (${planeSql(p)})[j])) >= 0 THEN ${1 << i} ELSE 0 END)"
+  /** DuckDB rendering of [[graft.operators.Ann.lshBucket]] over `planes`.
+    * When `sized`, every plane term i is additionally masked by
+    * `i < np`, where the `npl` CTE derives np from `count(*)` with the
+    * SAME integer comparison as `Ann.planesFor` (smallest p ≥ 1 with
+    * 64·2^p ≥ n — no float log2, so no cross-libm boundary drift). The
+    * sized SQL therefore adapts to any corpus size up to the embedded
+    * 16-plane superset without being regenerated per scale. */
+  private def duckBucketExpr(planes: Seq[Seq[Int]], sized: Boolean): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dotGe0 = "list_sum(list_transform(range(1,65), j -> " +
+        s"CAST(embedding[j] AS DOUBLE) * (${p.mkString("[", ",", "]")})[j])) >= 0"
+      val cond = if (sized) s"$i < (SELECT np FROM npl) AND $dotGe0" else dotGe0
+      s"(CASE WHEN $cond THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH sig AS (
+
+  private val nplCte: String =
+    """npl AS (
+      |  SELECT (SELECT MIN(p) FROM range(1, 17) t(p)
+      |          WHERE (SELECT count(*) FROM embeddings) <= (CAST(64 AS BIGINT) << p)) AS np),""".stripMargin
+
+  private def dedupEmbeddingOracleSqlFor(planes: Seq[Seq[Int]], sized: Boolean): String = {
+    val bucketExpr = duckBucketExpr(planes, sized)
+    val npl = if (sized) nplCte + "\n" else ""
+    s"""WITH $npl sig AS (
        |  SELECT vec_id, embedding, $bucketExpr AS bucket,
        |    sqrt(list_sum(list_transform(range(1,65), j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)))) AS norm
        |  FROM embeddings)
@@ -936,9 +992,20 @@ object QueryPack {
     * cosine above a threshold — the embedding flavour of dedup (same
     * bucket machinery as x_ann_lsh; threshold keeps only true near-dups).
     */
-  def xDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val sig = T(s, dir, "embeddings")
-      .withColumn("bucket", graft.operators.Ann.lshBucket(col("embedding"), lshPlanes))
+  def xDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    dedupEmbedding(T(s, dir, "embeddings"), lshPlanes)
+
+  /** The embedding-dedup twin of `x_ann_lsh_sized`: same near-dup
+    * semantics as `x_dedup_embedding`, but with the corpus-sized plane
+    * count — the configuration that stays linear at 100 TB. */
+  def xDedupEmbeddingSized(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    dedupEmbedding(emb, sizedPlanesFor(emb.count()))
+  }
+
+  private def dedupEmbedding(emb: DataFrame, planes: Seq[Seq[Int]]): DataFrame = {
+    val sig = emb
+      .withColumn("bucket", graft.operators.Ann.lshBucket(col("embedding"), planes))
       .withColumn("norm", normCol(col("embedding")))
     val dot = dotCols(col("a.embedding"), col("b.embedding"))
     sig.as("a").hint("shuffle_hash").join(sig.as("b").hint("shuffle_hash"),
@@ -948,12 +1015,10 @@ object QueryPack {
       .filter(col("cos_sim") >= 0.2)
   }
 
-  private def lshOracleSql: String = {
-    def planeSql(p: Seq[Int]): String = p.mkString("[", ",", "]")
-    val bucketExpr = lshPlanes.zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN list_sum(list_transform(range(1,65), j -> CAST(embedding[j] AS DOUBLE) * (${planeSql(p)})[j])) >= 0 THEN ${1 << i} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH sig AS (
+  private def lshOracleSqlFor(planes: Seq[Seq[Int]], sized: Boolean): String = {
+    val bucketExpr = duckBucketExpr(planes, sized)
+    val npl = if (sized) nplCte + "\n" else ""
+    s"""WITH $npl sig AS (
        |  SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
        |pairs AS (
        |  SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor,
@@ -1145,8 +1210,10 @@ object QueryPack {
     "x_jaccard" -> (xJaccard _),
     "x_ann_cosine" -> (xAnnCosine _),
     "x_ann_lsh" -> (xAnnLsh _),
+    "x_ann_lsh_sized" -> (xAnnLshSized _),
     "x_ann_ivf" -> ((s, d) => xAnnIvf(s, d)),
     "x_dedup_embedding" -> (xDedupEmbedding _),
+    "x_dedup_embedding_sized" -> (xDedupEmbeddingSized _),
     "w3_sliding" -> (w3Sliding _),
     "x_lang_id" -> (xLangId _),
     "x_quality" -> (xQuality _),
@@ -1505,9 +1572,11 @@ object QueryPack {
         |  FROM scored)
         |SELECT q_id, rank, vec_id AS neighbor, round(cos, 4) AS cos_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
-    "x_ann_lsh" -> lshOracleSql,
+    "x_ann_lsh" -> lshOracleSqlFor(lshPlanes, sized = false),
+    "x_ann_lsh_sized" -> lshOracleSqlFor(sizedPlanes, sized = true),
     "x_ann_ivf" -> ivfOracleSql,
-    "x_dedup_embedding" -> dedupEmbeddingOracleSql,
+    "x_dedup_embedding" -> dedupEmbeddingOracleSqlFor(lshPlanes, sized = false),
+    "x_dedup_embedding_sized" -> dedupEmbeddingOracleSqlFor(sizedPlanes, sized = true),
     "w3_sliding" ->
       """WITH base AS (
         |  SELECT event_type, epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS hour0 FROM events),

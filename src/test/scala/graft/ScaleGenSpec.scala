@@ -45,6 +45,17 @@ class ScaleGenSpec extends SparkSpec {
     assert(out("documents").select("text").distinct.count()
       == 2 * in("documents").select("text").distinct.count())
 
+    // events.ts is written as a real µs TIMESTAMP (the driver parquet's
+    // TIMESTAMP(NANOS) reads only as a long; a raw long round-trip breaks
+    // every engine's timestamp binding on scaled dirs) — and the epoch-ms
+    // values survive the conversion exactly
+    assert(out("events").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType, "scaled events.ts type")
+    val inMs = in("events").select(expr("ts div 1000000").as("ms"))
+    val outMs = out("events").select(expr("unix_micros(ts) div 1000").as("ms"))
+    assert(inMs.exceptAll(outMs).count() == 0,
+      "every source epoch-ms value must survive the timestamp conversion")
+
     // jittered embeddings: no identical vector crosses the copy boundary
     val stride = in("embeddings").agg(max(col("vec_id"))).head.getLong(0) + 1
     val c0 = out("embeddings").filter(col("vec_id") < stride).select(col("embedding").as("e0"))
