@@ -123,16 +123,29 @@ object Ann {
     * [[graft.runtime.Checkpoints]]: executor-local by default, reliable
     * when a directory is given (so losing an executor after the build
     * re-reads the index instead of killing the query). */
+  /** Squared L2 distance from `embCol` to every centroid, as an array
+    * aligned with the centroid order (driver-resident literal matrix —
+    * a narrow per-row scan, no join). */
+  private def sqDistances(embCol: String, centVecs: Seq[Seq[Double]]): Column =
+    transform(typedLit(centVecs), c =>
+      aggregate(zip_with(col(embCol), c,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x))
+
+  /** The nearest-centroid cell id (first minimum wins — deterministic
+    * because the centroid literal order is fixed). */
+  private def nearestCell(embCol: String,
+                          centroids: Seq[(Long, Seq[Double])]): Column = {
+    val ds = sqDistances(embCol, centroids.map(_._2))
+    element_at(typedLit(centroids.map(_._1)),
+      array_position(ds, array_min(ds)).cast("int"))
+  }
+
   def annIvf(vectors: DataFrame, idCol: String, embCol: String,
              centroids: Seq[(Long, Seq[Double])], salts: Int = 4,
              checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = graft.runtime.Checkpoints.policy(vectors.sparkSession, checkpointDir)
-    val ds = transform(typedLit(centroids.map(_._2)), c =>
-      aggregate(zip_with(col(embCol), c,
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, x) => acc + x))
-    val cell = element_at(typedLit(centroids.map(_._1)),
-      array_position(ds, array_min(ds)).cast("int"))
+    val cell = nearestCell(embCol, centroids)
     // Materialise the assignment once (the IVF "index build"): both join
     // sides read it, and without this Spark recomputes the argmin scan per
     // side. Spills to disk above memory — the deliberate cost of an index.
@@ -153,5 +166,48 @@ object Ann {
                   struct(col("cos_sim"), -col("neighbor"))).as("best"))
       .select(col(idCol), col("cell"),
         col("best.neighbor").as("neighbor"), col("best.cos_sim").as("cos_sim"))
+  }
+
+  /** Probe-limited IVF search — the sub-O(N^1.5) seam named in SCALING.md:
+    * instead of every vector searching its whole cell ([[annIvf]]) or a
+    * query set scanning the whole corpus ([[cosineTopK]]), each query
+    * fans out to its `nprobe` NEAREST cells and scores only the vectors
+    * assigned there, touching ≈ nprobe/K of the corpus per query.
+    *
+    * Scale shape: the corpus side is one narrow argmin assignment scan
+    * followed by a broadcast-hash equi-join on the cell key (the exploded
+    * query×nprobe side is small and broadcast) — the corpus never
+    * shuffles and is never compared all-pairs. With `nprobe = K` the
+    * result is EXACTLY [[cosineTopK]]'s (every cell probed), which
+    * OperatorsSpec pins; recall degrades gracefully as nprobe shrinks. */
+  def ivfSearch(vectors: DataFrame, queries: DataFrame,
+                idCol: String, embCol: String,
+                centroids: Seq[(Long, Seq[Double])],
+                nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}], got $nprobe")
+    val assigned = vectors.select(col(idCol), col(embCol),
+      nearestCell(embCol, centroids).as("cell"), norm(col(embCol)).as("_nrm"))
+    // nprobe nearest cells per query: sort (dist, cid) structs so ties
+    // break on the lower centroid id, deterministically in any engine
+    val probe = zip_with(
+      sqDistances(embCol, centroids.map(_._2)),
+      typedLit(centroids.map(_._1)),
+      (d, id) => struct(d.as("dist"), id.as("cid")))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("_q_emb"),
+      norm(col(embCol)).as("_q_nrm"),
+      explode(transform(slice(array_sort(probe), 1, nprobe),
+        s => s.getField("cid"))).as("cell"))
+    val scored = broadcast(q).join(assigned, Seq("cell"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        (dot(col("_q_emb"), col(embCol)) /
+          (col("_q_nrm") * col("_nrm"))).as("_cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("_cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol).as("neighbor"),
+        round(col("_cos"), 4).as("cos_sim"))
   }
 }

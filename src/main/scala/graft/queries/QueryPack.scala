@@ -902,27 +902,42 @@ object QueryPack {
     */
   def xAnnIvf(s: SparkSession, dir: String, centroids: Option[Int] = None): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    // K ≈ √N by default (parameterizable). count() is metadata-only on
-    // parquet; K centroid vectors always fit on the driver (√N grows as
-    // the square root of data volume — 10^10 vectors is 10^5 centroids).
+    // Assignment (narrow argmin over the literal centroid matrix) and the
+    // salted shuffle-hash cell join are the public operator.
+    graft.operators.Ann.annIvf(emb, "vec_id", "embedding",
+      ivfCentroids(emb, centroids), salts = 4)
+  }
+
+  /** The deterministic coarse quantizer both engines replicate: the first
+    * ⌈√N⌉ vectors as fixed centroids (K overridable). count() is
+    * metadata-only on parquet; K centroid vectors always fit on the
+    * driver (√N grows as the square root of data volume — 10^10 vectors
+    * is 10^5 centroids). Collected once and embedded as plan literals, so
+    * assignment is a narrow, fully-codegen argmin per row — no crossJoin,
+    * no window shuffle, no cache to evict. */
+  private def ivfCentroids(emb: DataFrame,
+                           centroids: Option[Int] = None): Seq[(Long, Seq[Double])] = {
     val k = centroids.getOrElse(math.ceil(math.sqrt(emb.count().toDouble)).toInt)
-    // The coarse quantizer is driver-resident: collect the K fixed
-    // centroids and embed them as literals. Assignment is then a narrow,
-    // fully-codegen argmin per row — no crossJoin, no window shuffle, no
-    // cache to evict. Only the vectors stay distributed.
-    val cents: Seq[(Long, IndexedSeq[Double])] = emb.filter(col("vec_id") < k)
+    emb.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Any](1).map {
         case f: Float => f.toDouble
         case d: Double => d
         case x => x.toString.toDouble
-      }.toIndexedSeq))
+      }.toSeq))
       .sortBy(_._1).toSeq
-    // Assignment (narrow argmin over the literal centroid matrix) and the
-    // salted shuffle-hash cell join are the public operator.
-    graft.operators.Ann.annIvf(emb, "vec_id", "embedding",
-      cents.map { case (id, v) => (id, v.toSeq) }, salts = 4)
+  }
+
+  /** Probe-limited IVF search (`Ann.ivfSearch`): the x_ann_cosine query
+    * set (vec_id < 8) searched through the IVF index with nprobe = 3 —
+    * each query scores only its 3 nearest cells' vectors instead of the
+    * whole corpus. Same output shape as x_ann_cosine, so recall against
+    * the brute-force baseline is directly comparable. */
+  def xAnnIvfProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Ann.ivfSearch(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", ivfCentroids(emb), nprobe = 3, k = 5)
   }
 
   /** DuckDB rendering of [[graft.operators.Ann.lshBucket]] over `planes`.
@@ -979,6 +994,40 @@ object QueryPack {
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor) AS rn
       |  FROM pairs)
       |SELECT vec_id, cell, neighbor, cos_sim FROM ranked WHERE rn = 1""".stripMargin
+
+  /** DuckDB mirror of Ann.ivfSearch with nprobe = 3, k = 5 over the
+    * vec_id < 8 query set — same quantizer, same tie-breaks (dist then
+    * cent_id for probe cells; cos DESC then vec_id for ranks). */
+  private val ivfProbeOracleSql: String =
+    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+      |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cent_id AS cell FROM (
+      |    SELECT e.vec_id, e.embedding, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(1,65), j ->
+      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)) *
+      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)))), c.cent_id) AS rn
+      |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+      |queries AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+      |qcells AS (
+      |  SELECT q_id, q_emb, cent_id AS cell FROM (
+      |    SELECT q.q_id, q.q_emb, c.cent_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        list_sum(list_transform(range(1,65), j ->
+      |          (CAST(q.q_emb[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)) *
+      |          (CAST(q.q_emb[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)))), c.cent_id) AS rn
+      |    FROM queries q CROSS JOIN cents c) WHERE rn <= 3),
+      |scored AS (
+      |  SELECT qc.q_id, a.vec_id,
+      |    list_sum(list_transform(range(1,65), j -> CAST(qc.q_emb[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(range(1,65), j -> CAST(qc.q_emb[j] AS DOUBLE) * CAST(qc.q_emb[j] AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE))))) AS cos
+      |  FROM qcells qc JOIN assigned a ON a.cell = qc.cell AND a.vec_id != qc.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+      |SELECT q_id, rank, vec_id AS neighbor, round(cos, 4) AS cos_sim
+      |FROM ranked WHERE rank <= 5""".stripMargin
 
   /** Sliding (hopping) event-time window: 2-hour windows every hour. */
   def w3Sliding(s: SparkSession, dir: String): DataFrame =
@@ -1212,6 +1261,7 @@ object QueryPack {
     "x_ann_lsh" -> (xAnnLsh _),
     "x_ann_lsh_sized" -> (xAnnLshSized _),
     "x_ann_ivf" -> ((s, d) => xAnnIvf(s, d)),
+    "x_ann_ivf_probe" -> (xAnnIvfProbe _),
     "x_dedup_embedding" -> (xDedupEmbedding _),
     "x_dedup_embedding_sized" -> (xDedupEmbeddingSized _),
     "w3_sliding" -> (w3Sliding _),
@@ -1575,6 +1625,7 @@ object QueryPack {
     "x_ann_lsh" -> lshOracleSqlFor(lshPlanes, sized = false),
     "x_ann_lsh_sized" -> lshOracleSqlFor(sizedPlanes, sized = true),
     "x_ann_ivf" -> ivfOracleSql,
+    "x_ann_ivf_probe" -> ivfProbeOracleSql,
     "x_dedup_embedding" -> dedupEmbeddingOracleSqlFor(lshPlanes, sized = false),
     "x_dedup_embedding_sized" -> dedupEmbeddingOracleSqlFor(sizedPlanes, sized = true),
     "w3_sliding" ->

@@ -396,6 +396,35 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Ann.planesFor(0, 64))
   }
 
+  test("ann: ivfSearch with nprobe = K equals brute force; fewer probes degrade gracefully") {
+    import graft.operators.Ann
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat()))).toDF("id", "emb")
+    val queries = vecs.filter(col("id") < 4)
+    val cents = vecs.filter(col("id") < 14).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = rows(Ann.cosineTopK(vecs, queries, "id", "emb", k = 5))
+    // probing every cell scores every vector exactly once → identical to
+    // brute force, rank for rank
+    val full = rows(Ann.ivfSearch(vecs, queries, "id", "emb", cents,
+      nprobe = cents.size, k = 5))
+    assert(full == brute, "nprobe = K must reproduce the brute-force top-k")
+    // probe-limited: still k results per query, recall measurable and
+    // sane (candidates are a biased-but-near subset, never garbage)
+    val probed = rows(Ann.ivfSearch(vecs, queries, "id", "emb", cents,
+      nprobe = 3, k = 5))
+    assert(probed.size == 4 * 5, "k results per query even when probe-limited")
+    val neighbors = (s: Set[(Long, Int, Long)]) => s.map(t => (t._1, t._3))
+    val recall = neighbors(probed).intersect(neighbors(brute)).size / 20.0
+    assert(recall >= 0.2, s"recall@5 collapsed: $recall")
+    intercept[IllegalArgumentException](
+      Ann.ivfSearch(vecs, queries, "id", "emb", cents, nprobe = 0, k = 5))
+  }
+
   test("ann: lsh bucket-mates and ivf cell-mates score real cosine") {
     val vecs = (0 until 20).map { i =>
       val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.5f, 0.0f)
