@@ -212,13 +212,29 @@ object TextStats {
     * the build side (distinct vocabulary) is uniform. The corpus is
     * scanned twice (vocab build, then scoring) — a narrow re-read is
     * cheaper than spilling the corpus×tokens explode; pipelines that
-    * tokenise for several operators should persist the tokenised frame
-    * themselves and pass it in. Docs with NULL text contribute no rows
+    * already tokenised (token counting, packing) should pass their words
+    * frame to [[unigramLogProbOfWords]] instead, which tokenises nothing.
+    * Docs with NULL text contribute no rows
     * (explode of a NULL split) and are absent from the output — coalesce
     * upstream if they must appear with a score. */
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                     textCol: String): org.apache.spark.sql.DataFrame = {
-    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("_w"))
+                     textCol: String): org.apache.spark.sql.DataFrame =
+    unigramLogProbOfWords(
+      docs.select(col(idCol), explode(split(col(textCol), " ")).as("_w")),
+      idCol, "_w")
+
+  /** Pre-tokenised form of [[unigramLogProb]]: scores a words frame (one
+    * row per (id, word)) directly, so a pipeline that tokenised once can
+    * fan the same frame into several operators without re-tokenising the
+    * corpus. Zero-length and NULL words are ignored — consecutive or
+    * leading separators would otherwise put "" tokens in the vocabulary
+    * and inflate both N and V, skewing the distribution on
+    * whitespace-noisy corpora. */
+  def unigramLogProbOfWords(wordRows: org.apache.spark.sql.DataFrame,
+                            idCol: String, wordCol: String): org.apache.spark.sql.DataFrame = {
+    val words = wordRows
+      .filter(length(col(wordCol)) > 0)
+      .select(col(idCol), col(wordCol).as("_w"))
     val vocab = words.groupBy(col("_w").as("_vw")).agg(count(lit(1)).as("_c"))
     val totals = vocab.agg(sum(col("_c")).as("_n"), count(lit(1)).as("_v"))
     words.join(vocab.hint("shuffle_hash"), col("_w") === col("_vw"))

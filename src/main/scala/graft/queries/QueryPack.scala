@@ -1475,7 +1475,8 @@ object QueryPack {
         |  CAST((local_start + shard_off) % 2000 AS BIGINT) AS seq_offset
         |FROM loc JOIN off USING (lang, shard)""".stripMargin,
     "x_unigram_logprob" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      """WITH w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |w AS (SELECT * FROM w0 WHERE w != ''),
         |v AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
         |t AS (SELECT sum(c) AS n, count(*) AS vsz FROM v)
         |SELECT doc_id,

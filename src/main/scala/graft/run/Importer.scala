@@ -228,7 +228,14 @@ object Importer {
   }
 
   /** The header block of a single file's (file, lineno, cells) frame,
-    * limit-capped so the read stops after the header. Package-private for
+    * limit-capped so the read plans a CollectLimit and stops after the
+    * header. CONTRACT: `rows` must hold exactly ONE file — on a
+    * multi-file frame the global `limit(headerLines)` would keep an
+    * arbitrary `headerLines`-row subset and nondeterministically drop
+    * other files' header rows (the per-file `lineno` filter alone is
+    * correct for any frame; the limit is what makes the scan stop, and it
+    * is only sound per file). Every caller builds per-file frames; a new
+    * multi-file caller must window per file instead. Package-private for
     * the plan pin in ImporterSpec. */
   private[run] def headerFrame(rows: DataFrame, headerLines: Int): DataFrame =
     rows.filter(col("lineno") < headerLines).limit(headerLines)

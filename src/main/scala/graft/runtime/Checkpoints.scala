@@ -64,7 +64,13 @@ object Checkpoints {
     * scope are deleted, so the returned frame never dangles on deleted
     * files. Callers that need the result durable on a real cluster should
     * write it to its sink inside `body` (and return the read-back frame);
-    * the scope then deletes only intermediate state. */
+    * the scope then deletes only intermediate state.
+    *
+    * Storage lifecycle: the pinned blocks occupy executor storage until
+    * the session ends — a long-running pipeline that opens many scopes
+    * should call `result.unpersist()` once the result has been written or
+    * fully consumed. After unpersist the frame is NOT re-derivable (its
+    * lineage was truncated and its spills deleted); treat it as spent. */
   def withCheckpointScope(spark: SparkSession, dir: String)
                          (body: String => DataFrame): DataFrame = {
     val scoped = s"${dir.stripSuffix("/")}/scope-${java.util.UUID.randomUUID()}"

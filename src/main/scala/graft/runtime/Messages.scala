@@ -20,7 +20,12 @@ package graft.runtime
   */
 object Messages {
 
-  /** JVM-wide locale used by [[apply]]; per-call override via [[t]]. */
+  /** JVM-wide locale used by [[apply]] — PROCESS-GLOBAL configuration,
+    * not a per-import setting: it exists to mirror the reference's
+    * `I18n.locale` seam, and two imports running concurrently in one JVM
+    * with different locales would race on it (last write wins for both).
+    * Set it once at process start-up; anything finer-grained must pass
+    * the locale per call via [[t]]`(locale, key, args)`. */
   @volatile var defaultLocale: String = "en"
 
   private val en: Map[String, String] = Map(

@@ -225,6 +225,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L)._1 > out(2L)._1)
   }
 
+  test("unigramLogProb: pre-tokenised form agrees; empty tokens never enter the vocab") {
+    // whitespace-noisy corpus: leading / double / trailing separators
+    val docs = Seq((1L, " a  a b"), (2L, "b c "), (3L, "a")).toDF("id", "t")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val fromText = rows(TextStats.unigramLogProb(docs, "id", "t"))
+    // the convenience form is exactly the pre-tokenised form fed its own
+    // explode — a pipeline that tokenised once composes without re-split
+    val words = docs.select(col("id"), explode(split(col("t"), " ")).as("w"))
+    assert(rows(TextStats.unigramLogProbOfWords(words, "id", "w")) == fromText)
+    // "" tokens are ignored: same distribution as the clean corpus
+    // (vocab a:3 b:2 c:1, N=6, V=3), and n_tokens counts real words only
+    val clean = rows(TextStats.unigramLogProb(
+      Seq((1L, "a a b"), (2L, "b c"), (3L, "a")).toDF("id", "t"), "id", "t"))
+    assert(fromText == clean)
+    assert(fromText.find(_._1 == 1L).get._3 == 3)
+  }
+
   test("temperatureRates flattens a 90/10 mix; rates are downsample-only") {
     val df = ((1 to 90).map(i => (i.toLong, "big")) ++
       (1 to 10).map(i => (100L + i, "small"))).toDF("id", "s")

@@ -121,6 +121,21 @@ class PlanQualitySpec extends SparkSpec {
     val plan = formattedPlan(QueryPack.xTemperatureMix(spark, sf))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"strata-table joins must broadcast:\n$plan")
+    // the three crossJoin(broadcast(agg)) stages each re-derive the corpus
+    // groupBy in their LINEAGE (the static plan shows 16 scans); only
+    // AQE's RUNTIME stage reuse collapses them to one physical scan. Pin
+    // the executed final plan: exactly one FileScan survives and the rest
+    // arrive as ReusedExchange — a regression here silently multiplies
+    // the corpus read at 100 TB.
+    val df = QueryPack.xTemperatureMix(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val corpusScans = "FileScan parquet".r.findAllMatchIn(finalPlan).size
+    assert(corpusScans == 1,
+      s"corpus must be scanned exactly once (found $corpusScans):\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"downstream strata aggregates must reuse the corpus exchange:\n$finalPlan")
   }
 
   test("stratified sample is a narrow filter: no exchange, filter reaches the scan") {
