@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass character counters for the text-quality operators.
+  *
+  * The composable renderings — `size(split(text, " "))`,
+  * `size(regexp_extract_all(text, "[^A-Za-z0-9 ]", 0))`, the BPE-ish
+  * alternation — are correct but allocation-bound: each one MATERIALISES
+  * an array of every token / every punctuation character just to take
+  * its length, and the regex engine walks the pattern per input char.
+  * At sf10 the two document-stats queries spend ~80 s doing exactly
+  * that (`x_quality` alone is the most expensive query in the suite).
+  * This expression counts in ONE pass over the UTF-8 bytes — no arrays,
+  * no regex — and is codegen'd into the surrounding stage.
+  *
+  * Each `kind` reproduces one composable rendering EXACTLY (the oracle
+  * hashes must not move), including its Unicode behaviour — both paths
+  * observe the same stored UTF-8 bytes, and multi-byte code points are
+  * counted once via their lead byte (continuation bytes `10xxxxxx` are
+  * skipped):
+  *
+  *   - `spaces`: occurrences of ' ' — `size(split(s, " ")) == spaces + 1`
+  *     (Java split with limit -1 keeps leading and trailing empties, so
+  *     the piece count is always matches + 1);
+  *   - `punct`: code points outside [A-Za-z0-9 ] — any non-ASCII code
+  *     point is in the negated class, so a lead byte counts directly;
+  *   - `wsruns`: maximal runs of Java `\s` = [ \t\n\x0B\f\r] (all
+  *     ASCII) — `size(split(s, "\\s+")) == wsruns + 1` by the same
+  *     piece-count identity (`\s+` is greedy, so each run is one match);
+  *   - `bpe`: matches of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` — a letter
+  *     run is one token, a digit run is one token, any other non-space
+  *     code point is one token (alternation order makes runs win over
+  *     the single-char branch; a non-ASCII code point takes the third
+  *     branch and also breaks any run).
+  */
+case class CharScan(child: Expression, kind: String) extends UnaryExpression {
+
+  override def prettyName: String = s"graft_charscan_$kind"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+    else if (!TextScan.Kinds.contains(kind))
+      TypeCheckResult.TypeCheckFailure(
+        s"unknown scan kind '$kind' (expected one of ${TextScan.Kinds.mkString(", ")})")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    var count = 0
+    var i = 0
+    kind match {
+      case TextScan.Spaces =>
+        while (i < n) { if (s.getByte(i) == ' ') count += 1; i += 1 }
+      case TextScan.Punct =>
+        while (i < n) {
+          val b = s.getByte(i)
+          if ((b & 0xC0) != 0x80 && !CharScan.isAlnumOrSpace(b)) count += 1
+          i += 1
+        }
+      case TextScan.WsRuns =>
+        var prevWs = false
+        while (i < n) {
+          val ws = CharScan.isJavaWs(s.getByte(i))
+          if (ws && !prevWs) count += 1
+          prevWs = ws
+          i += 1
+        }
+      case TextScan.Bpe =>
+        var state = 0 // 0 = none, 1 = in letter run, 2 = in digit run
+        while (i < n) {
+          val b = s.getByte(i)
+          if ((b & 0xC0) != 0x80) {
+            if (CharScan.isLetter(b)) { if (state != 1) { count += 1; state = 1 } }
+            else if (CharScan.isDigit(b)) { if (state != 2) { count += 1; state = 2 } }
+            else if (CharScan.isJavaWs(b)) state = 0
+            else { count += 1; state = 0 }
+          }
+          i += 1
+        }
+    }
+    count
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val cnt = ctx.freshName("cnt")
+      val b = ctx.freshName("b")
+      def ws(v: String) =
+        s"($v == 32 || $v == 9 || $v == 10 || $v == 11 || $v == 12 || $v == 13)"
+      def letter(v: String) = s"(($v >= 65 && $v <= 90) || ($v >= 97 && $v <= 122))"
+      def digit(v: String) = s"($v >= 48 && $v <= 57)"
+      val loop = kind match {
+        case TextScan.Spaces =>
+          s"""for (int $i = 0; $i < $n; $i++) {
+             |  if ($s.getByte($i) == 32) $cnt++;
+             |}""".stripMargin
+        case TextScan.Punct =>
+          s"""for (int $i = 0; $i < $n; $i++) {
+             |  final byte $b = $s.getByte($i);
+             |  if (($b & 0xC0) != 0x80 &&
+             |      !($b == 32 || ${letter(b)} || ${digit(b)})) $cnt++;
+             |}""".stripMargin
+        case TextScan.WsRuns =>
+          val prev = ctx.freshName("prevWs")
+          s"""boolean $prev = false;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  final byte $b = $s.getByte($i);
+             |  final boolean ${prev}_now = ${ws(b)};
+             |  if (${prev}_now && !$prev) $cnt++;
+             |  $prev = ${prev}_now;
+             |}""".stripMargin
+        case TextScan.Bpe =>
+          val st = ctx.freshName("state")
+          s"""int $st = 0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  final byte $b = $s.getByte($i);
+             |  if (($b & 0xC0) != 0x80) {
+             |    if (${letter(b)}) { if ($st != 1) { $cnt++; $st = 1; } }
+             |    else if (${digit(b)}) { if ($st != 2) { $cnt++; $st = 2; } }
+             |    else if (${ws(b)}) { $st = 0; }
+             |    else { $cnt++; $st = 0; }
+             |  }
+             |}""".stripMargin
+      }
+      s"""
+         |final int $n = $s.numBytes();
+         |int $cnt = 0;
+         |$loop
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharScan =
+    copy(child = newChild)
+}
+
+object CharScan {
+  private[functions] def isAlnumOrSpace(b: Byte): Boolean =
+    b == ' ' || isLetter(b) || isDigit(b)
+  private[functions] def isLetter(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+  private[functions] def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+  // Java regex \s (no UNICODE_CHARACTER_CLASS) — ASCII only
+  private[functions] def isJavaWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+}
+
+object TextScan {
+  val Spaces = "spaces"
+  val Punct = "punct"
+  val WsRuns = "wsruns"
+  val Bpe = "bpe"
+  val Kinds: Set[String] = Set(Spaces, Punct, WsRuns, Bpe)
+
+  private def scan(c: Column, kind: String): Column =
+    GraftColumnBridge.column(CharScan(GraftColumnBridge.expression(c), kind))
+
+  /** Count of ' ' characters; `size(split(s, " ")) = spaces(s) + 1`. */
+  def spaces(c: Column): Column = scan(c, Spaces)
+  /** Count of code points outside [A-Za-z0-9 ]. */
+  def punct(c: Column): Column = scan(c, Punct)
+  /** Count of maximal `\s+` runs; `size(split(s, "\\s+")) = wsRuns(s) + 1`. */
+  def wsRuns(c: Column): Column = scan(c, WsRuns)
+  /** Count of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` matches. */
+  def bpeTokens(c: Column): Column = scan(c, Bpe)
+}

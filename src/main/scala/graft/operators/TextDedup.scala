@@ -84,7 +84,8 @@ object TextDedup {
     // the projection with its defining expression substituted in, so the
     // whole shingle+md5 pipeline would run once for the filter and again
     // for the projection — measured 4× slower on the documents table.
-    val eligible = docs.filter(size(split(col(textCol), " ")) >= shingle)
+    val eligible =
+      docs.filter(graft.operators.TextStats.spaceTokens(col(textCol)) >= shingle)
     val sig = minhashSignatures(eligible, idCol, textCol, numHashes, shingle)
     val buckets = (0 until numBands).map { b =>
       val cols = (0 until bandSize).map(j => col(s"mh${b * bandSize + j}"))
@@ -250,7 +251,7 @@ object TextDedup {
     // note); `_w` materialised before the gram transform so the split
     // isn't re-evaluated per gram inside the lambda
     def gramRows(df: DataFrame, textC: String, out: String) =
-      df.filter(size(split(col(textC), " ")) >= n)
+      df.filter(graft.operators.TextStats.spaceTokens(col(textC)) >= n)
         .withColumn("_w", words(col(textC)))
         .withColumn(out, explode(array_distinct(wordNgrams(col("_w"), n))))
     val docGrams = gramRows(docs, textCol, "_gram").select(col(idCol), col("_gram"))

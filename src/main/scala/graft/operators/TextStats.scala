@@ -35,18 +35,32 @@ object TextStats {
     when(hits.cast("double") / size(w) > threshold, lang).otherwise("other")
   }
 
-  /** Whitespace token count. */
-  def wsTokens(text: Column): Column = size(split(trim(text), "\\s+"))
+  /** Whitespace token count. Counted by the native single-pass
+    * [[graft.functions.CharScan]] — value-identical to
+    * `size(split(trim(text), "\\s+"))` (pinned by TextScanSpec) without
+    * materialising the token array. */
+  def wsTokens(text: Column): Column =
+    graft.functions.TextScan.wsRuns(trim(text)) + lit(1)
 
-  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  /** BPE-ish token count: letter runs, digit runs, single punctuation.
+    * Native one-pass DFA — value-identical to the regex alternation
+    * `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` (pinned by TextScanSpec). */
   def bpeIshTokens(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    graft.functions.TextScan.bpeTokens(text)
+
+  /** Space-split token count: `size(split(text, " "))` without the
+    * array — Java split keeps leading/trailing empties (limit -1), so
+    * the piece count is always spaces + 1. */
+  def spaceTokens(text: Column): Column =
+    graft.functions.TextScan.spaces(text) + lit(1)
 
   /** Length/punctuation quality score in [0,1] (longer is better up to
-    * `fullTokens`; punctuation-dense is worse). */
+    * `fullTokens`; punctuation-dense is worse). Counts via the native
+    * scan; the arithmetic is unchanged, so scores are bit-identical to
+    * the regex rendering. */
   def quality(text: Column, fullTokens: Int = 50): Column = {
-    val nTok = size(words(text))
-    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0)))
+    val nTok = spaceTokens(text)
+    val nPunct = graft.functions.TextScan.punct(text)
     round(least(nTok.cast("double") / lit(fullTokens.toDouble), lit(1.0)) *
       (lit(1.0) - nPunct.cast("double") / length(text)), 4)
   }

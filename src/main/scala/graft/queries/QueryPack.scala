@@ -1104,8 +1104,8 @@ object QueryPack {
     val nPunct = col("n_p")
     val meanLen = (length(col("text")) - nTok + 1).cast("double") / nTok
     T(s, dir, "documents")
-      .withColumn("n_tok", size(words(col("text"))))
-      .withColumn("n_p", size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))))
+      .withColumn("n_tok", graft.operators.TextStats.spaceTokens(col("text")))
+      .withColumn("n_p", graft.functions.TextScan.punct(col("text")))
       .select(
       col("doc_id"), nTok.as("n_tokens"), nPunct.as("n_punct"),
       round(meanLen, 4).as("mean_word_len"),
@@ -1170,7 +1170,8 @@ object QueryPack {
   def xPack(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextStats.packSequences(
         T(s, dir, "documents"), "lang", "doc_id",
-        size(split(col("text"), " ")).cast("long"), budget = 2000)
+        graft.operators.TextStats.spaceTokens(col("text")).cast("long"),
+        budget = 2000)
       .select(col("doc_id"), col("seq_id"), col("seq_offset"))
 
   /** Sharded variant of [[xPack]] — the dominant-group guard: every
@@ -1181,7 +1182,8 @@ object QueryPack {
   def xPackSalted(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextStats.packSequences(
         T(s, dir, "documents"), "lang", "doc_id",
-        size(split(col("text"), " ")).cast("long"), budget = 2000, shards = 4)
+        graft.operators.TextStats.spaceTokens(col("text")).cast("long"),
+        budget = 2000, shards = 4)
       .select(col("doc_id"), col("seq_id"), col("seq_offset"))
 
   /** Cheap LM-quality signal: mean unigram log-prob of each doc's words

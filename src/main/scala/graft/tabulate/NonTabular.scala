@@ -157,7 +157,9 @@ object NonTabular {
           case Some(_) => col("start_cnt") > col("end_cnt")
           case None    => col("start_cnt") > 0
         }, col("lineno")).as("last_open"))
-      .withColumn("lines", transform(col("cap"), s => s.getField("rline")))
+      // native GetArrayStructFields, not transform() — a higher-order
+      // function here would evaluate interpreted once per record
+      .withColumn("lines", col("cap").getField("rline"))
       .withColumn("n_cap", size(col("lines")))
     val wFile = Window.partitionBy("file")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -221,6 +223,28 @@ object NonTabular {
         when(pos === 0, lit(null).cast("int")).otherwise((pos - 1).cast("int"))
     }
 
+    // Single-line selectors (`lines: k`, by far the common mapping shape)
+    // take a NO-ARRAY fast path: the capture chain runs as a top-level
+    // codegen'd expression on the one element. The general path below
+    // routes through `transform`/`filter`, which are higher-order
+    // functions and therefore evaluate INTERPRETED — measurably dominant
+    // on multi-million-record segmentations (same disease the native
+    // DotProduct cured for the embedding queries). Semantics are pinned
+    // identical by NonTabularSpec's goldens and the n3_segments oracle:
+    // a missing/out-of-range line, a failed capture, or a blank result
+    // all still produce the joined-empty cell ("").
+    cell.lines.get match {
+      case LineSelector.At(i) =>
+        val el = when(n > 0, element_at(lines,
+          if (i >= 0) lit(i + 1) else lit(i)))
+        val captured = capture(cell, el)
+        val keep =
+          if (cell.preserveBlankLines) captured.isNotNull
+          else captured.isNotNull && trim(captured) =!= ""
+        return when(keep, captured).otherwise(lit(""))
+      case _ => ()
+    }
+
     val selected: Column = cell.lines.get match {
       case LineSelector.At(i) =>
         val el = when(n > 0, element_at(lines,
@@ -237,23 +261,24 @@ object NonTabular {
           .otherwise(slice(lines, ai + 1, least(len, n - ai)))
     }
 
-    // capture: sequential group-1 extraction; nil → "" between patterns;
-    // final Ruby strip (all whitespace + NUL).
-    def capture(l: Column): Column = {
-      val out = cell.capture.foldLeft(l) { (v, rubyPat) =>
-        val p = RubyTranslate.regex(rubyPat)
-        val s = coalesce(v, lit(""))
-        when(s.rlike(p), regexp_extract(s, p, 1)).otherwise(lit(null).cast("string"))
-      }
-      when(out.isNull, out)
-        .otherwise(regexp_replace(out, "^[\\s\\u0000]+|[\\s\\u0000]+$", ""))
-    }
-
-    val mapped = transform(selected, capture _)
+    val mapped = transform(selected, l => capture(cell, l))
     val kept =
       if (cell.preserveBlankLines) filter(mapped, v => v.isNotNull)
       else filter(mapped, v => v.isNotNull && trim(v) =!= "")
     when(selected.isNull, lit(null).cast("string"))
       .otherwise(array_join(kept, cell.join.getOrElse("")))
+  }
+
+  /** The `capture` chain: sequential group-1 extraction; nil → "" between
+    * patterns; final Ruby strip (all whitespace + NUL)
+    * (`non_tabular/record.rb:84-99`). */
+  private def capture(cell: NonTabularCell, l: Column): Column = {
+    val out = cell.capture.foldLeft(l) { (v, rubyPat) =>
+      val p = RubyTranslate.regex(rubyPat)
+      val s = coalesce(v, lit(""))
+      when(s.rlike(p), regexp_extract(s, p, 1)).otherwise(lit(null).cast("string"))
+    }
+    when(out.isNull, out)
+      .otherwise(regexp_replace(out, "^[\\s\\u0000]+|[\\s\\u0000]+$", ""))
   }
 }
