@@ -180,6 +180,99 @@ object Ann {
     * shuffles and is never compared all-pairs. With `nprobe = K` the
     * result is EXACTLY [[cosineTopK]]'s (every cell probed), which
     * OperatorsSpec pins; recall degrades gracefully as nprobe shrinks. */
+  /** Deterministic product-quantisation codebooks: the embedding space is
+    * split into `m` contiguous subspaces and each subspace gets the
+    * corresponding slices of the first `ksub` corpus vectors by id as its
+    * codes — the same fixed k-means seeding convention as the IVF
+    * centroids, so another engine can reproduce the codebooks exactly
+    * from the same table. Returns, per subspace, the `ksub` code
+    * subvectors in code order (code id = seed ordinal). */
+  def pqCodebooks(vectors: DataFrame, idCol: String, embCol: String,
+                  m: Int, ksub: Int): Seq[Seq[Seq[Double]]] = {
+    val seeds = vectors.orderBy(col(idCol)).limit(ksub)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x => x.toString.toDouble
+      }.toSeq).toSeq
+    require(seeds.nonEmpty, "pqCodebooks needs a non-empty corpus")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sd = dim / m
+    (0 until m).map(j => seeds.map(_.slice(j * sd, j * sd + sd)))
+  }
+
+  /** Squared-L2 distances from subvector `sub` to every code of one
+    * subspace's codebook, in code order, via the dot expansion
+    * `(s·s − 2·s·c) + c·c` — each term a native codegen'd [[dot]], the
+    * code norm a driver-side literal folded in the same left-to-right
+    * order, so an oracle engine computing the same expansion gets
+    * bit-identical doubles (and therefore the same argmin). */
+  private def pqDists(sub: Column, book: Seq[Seq[Double]]): Column = {
+    val s2 = dot(sub, sub)
+    array(book.map { c =>
+      val n2 = c.foldLeft(0.0)((a, x) => a + x * x)
+      (s2 - lit(2.0) * dotLit(sub, c)) + lit(n2)
+    }: _*)
+  }
+
+  /** PQ-encode: each vector becomes `m` small code ids (the nearest code
+    * per subspace, first minimum wins). Output: idCol + `code_0..m-1`.
+    * At 8×4-bit codes this is a 64× compression of a 64-float embedding —
+    * the index that makes 100 TB ANN memory-resident. Narrow scan, no
+    * shuffle; the codebook is a plan literal. */
+  def pqEncode(vectors: DataFrame, idCol: String, embCol: String,
+               codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sd = codebooks.head.head.length
+    val withSubs = (0 until m).foldLeft(vectors.select(col(idCol), col(embCol))) {
+      (df, j) => df.withColumn(s"_sub_$j", slice(col(embCol), j * sd + 1, sd))
+    }
+    val withCodes = (0 until m).foldLeft(withSubs) { (df, j) =>
+      val ds = pqDists(col(s"_sub_$j"), codebooks(j))
+      df.withColumn(s"code_$j",
+        (array_position(ds, array_min(ds)) - 1).cast("int"))
+    }
+    withCodes.select(col(idCol) +: (0 until m).map(j => col(s"code_$j")): _*)
+  }
+
+  /** PQ ANN search by asymmetric distance computation: the corpus is
+    * reduced to its PQ codes ONCE (narrow, [[pqEncode]]), each query
+    * precomputes an `m × ksub` table of subspace distances to every code,
+    * and a candidate's approximate distance is `m` table lookups summed in
+    * subspace order — no per-pair float vector math at all. The query
+    * side (queries × tables) broadcasts; the corpus never shuffles. This
+    * is the named sub-O(N^1.5) seam beyond probe-limited IVF: per-query
+    * scan cost is O(N·m) lookups regardless of dimension, and the encoded
+    * corpus is ~64× smaller than the raw embeddings. Exactness is traded
+    * for compression; PqSpec measures recall against brute force. */
+  def pqSearch(vectors: DataFrame, queries: DataFrame,
+               idCol: String, embCol: String,
+               codebooks: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.length
+    val sd = codebooks.head.head.length
+    val encoded = pqEncode(vectors, idCol, embCol, codebooks)
+    val qSubs = (0 until m).foldLeft(
+      queries.select(col(idCol).as("q_id"), col(embCol).as("_q_emb"))) {
+      (df, j) => df.withColumn(s"_qsub_$j", slice(col("_q_emb"), j * sd + 1, sd))
+    }
+    val qTables = (0 until m).foldLeft(qSubs) { (df, j) =>
+      df.withColumn(s"_tbl_$j", pqDists(col(s"_qsub_$j"), codebooks(j)))
+    }.select(col("q_id") +: (0 until m).map(j => col(s"_tbl_$j")): _*)
+    val adc = (0 until m).map(j =>
+      element_at(col(s"_tbl_$j"), col(s"code_$j") + 1)).reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(qTables))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol), adc.as("_adc"))
+    val w = Window.partitionBy("q_id").orderBy(col("_adc").asc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol).as("neighbor"),
+        round(col("_adc"), 4).as("adc_dist"))
+  }
+
   def ivfSearch(vectors: DataFrame, queries: DataFrame,
                 idCol: String, embCol: String,
                 centroids: Seq[(Long, Seq[Double])],

@@ -940,6 +940,22 @@ object QueryPack {
       "vec_id", "embedding", ivfCentroids(emb), nprobe = 3, k = 5)
   }
 
+  /** Product-quantisation ADC search (`Ann.pqSearch`): the corpus encoded
+    * as 8×16-code PQ (codebooks = subvector slices of the first 16
+    * vectors, the same deterministic seeding convention as the IVF
+    * centroids), the x_ann_cosine query set searched by table lookups
+    * only. The DuckDB twin reproduces the whole pipeline — codebooks,
+    * argmin encode, distance tables, subspace-ordered ADC sums — with the
+    * identical dot-expansion arithmetic, so hashes pin the quantiser
+    * bit-for-bit. */
+  def xAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Ann.pqSearch(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding",
+      graft.operators.Ann.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16),
+      k = 5)
+  }
+
   /** DuckDB rendering of [[graft.operators.Ann.lshBucket]] over `planes`.
     * When `sized`, every plane term i is additionally masked by
     * `i < np`, where the `npl` CTE derives np from `count(*)` with the
@@ -1027,6 +1043,56 @@ object QueryPack {
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
       |SELECT q_id, rank, vec_id AS neighbor, round(cos, 4) AS cos_sim
+      |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of Ann.pqSearch (m = 8 subspaces, ksub = 16, k = 5,
+    * queries vec_id < 8). Bit-parity notes: every squared distance is the
+    * dot expansion `(s·s − 2·s·c) + c·c` with each factor CAST to DOUBLE
+    * element-wise and summed left-to-right (list_sum), exactly the
+    * arithmetic the Spark side generates (native DotProduct + a
+    * driver-side left fold for the code norm); the ADC total sums the
+    * per-subspace lookups in subspace order via list(... ORDER BY sub);
+    * argmin ties break on the lower code id (Spark: first array minimum).
+    */
+  private val pqOracleSql: String =
+    """WITH seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |subs AS (SELECT unnest(range(0, 8)) AS sub),
+      |books AS (
+      |  SELECT s.sub AS sub, d.code AS code,
+      |    list_transform(range(1, 9), t -> CAST(d.embedding[s.sub*8 + t] AS DOUBLE)) AS cvec
+      |  FROM seeds d CROSS JOIN subs s),
+      |enc0 AS (
+      |  SELECT e.vec_id, b.sub, b.code,
+      |    (list_sum(list_transform(range(1, 9), t ->
+      |       CAST(e.embedding[b.sub*8 + t] AS DOUBLE) * CAST(e.embedding[b.sub*8 + t] AS DOUBLE)))
+      |     - 2 * list_sum(list_transform(range(1, 9), t ->
+      |       CAST(e.embedding[b.sub*8 + t] AS DOUBLE) * b.cvec[t])))
+      |     + list_sum(list_transform(range(1, 9), t -> b.cvec[t] * b.cvec[t])) AS dist
+      |  FROM embeddings e CROSS JOIN books b),
+      |codes AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+      |    FROM enc0) WHERE rn = 1),
+      |qtab AS (
+      |  SELECT q.vec_id AS q_id, b.sub, b.code,
+      |    (list_sum(list_transform(range(1, 9), t ->
+      |       CAST(q.embedding[b.sub*8 + t] AS DOUBLE) * CAST(q.embedding[b.sub*8 + t] AS DOUBLE)))
+      |     - 2 * list_sum(list_transform(range(1, 9), t ->
+      |       CAST(q.embedding[b.sub*8 + t] AS DOUBLE) * b.cvec[t])))
+      |     + list_sum(list_transform(range(1, 9), t -> b.cvec[t] * b.cvec[t])) AS qdist
+      |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 8),
+      |scored AS (
+      |  SELECT t.q_id, c.vec_id, list_sum(list(t.qdist ORDER BY t.sub)) AS adc
+      |  FROM codes c JOIN qtab t ON t.sub = c.sub AND t.code = c.code
+      |  WHERE c.vec_id != t.q_id
+      |  GROUP BY t.q_id, c.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, vec_id AS neighbor, round(adc, 4) AS adc_dist
       |FROM ranked WHERE rank <= 5""".stripMargin
 
   /** Sliding (hopping) event-time window: 2-hour windows every hour. */
@@ -1264,6 +1330,7 @@ object QueryPack {
     "x_ann_lsh_sized" -> (xAnnLshSized _),
     "x_ann_ivf" -> ((s, d) => xAnnIvf(s, d)),
     "x_ann_ivf_probe" -> (xAnnIvfProbe _),
+    "x_ann_pq" -> (xAnnPq _),
     "x_dedup_embedding" -> (xDedupEmbedding _),
     "x_dedup_embedding_sized" -> (xDedupEmbeddingSized _),
     "w3_sliding" -> (w3Sliding _),
@@ -1629,6 +1696,7 @@ object QueryPack {
     "x_ann_lsh_sized" -> lshOracleSqlFor(sizedPlanes, sized = true),
     "x_ann_ivf" -> ivfOracleSql,
     "x_ann_ivf_probe" -> ivfProbeOracleSql,
+    "x_ann_pq" -> pqOracleSql,
     "x_dedup_embedding" -> dedupEmbeddingOracleSqlFor(lshPlanes, sized = false),
     "x_dedup_embedding_sized" -> dedupEmbeddingOracleSqlFor(sizedPlanes, sized = true),
     "w3_sliding" ->

@@ -467,4 +467,49 @@ class OperatorsSpec extends SparkSpec {
     val bad = ivf.filter(col("id") % 2 =!= col("neighbor") % 2).count()
     assert(bad == 0, "cluster members must find same-cluster neighbours")
   }
+
+  test("ann: pq codebooks, encode and ADC search") {
+    import graft.operators.Ann
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat()))).toDF("id", "emb")
+    val books = Ann.pqCodebooks(vecs, "id", "emb", m = 4, ksub = 8)
+    // shape: m subspaces × ksub codes × dim/m dims, from the first ksub ids
+    assert(books.length == 4 && books.forall(b => b.length == 8 && b.forall(_.length == 4)))
+
+    // a seed vector quantises to its own code in every subspace (its own
+    // subvector is at squared distance exactly 0.0 — the dot expansion
+    // cancels bit-exactly because both folds run left-to-right)
+    val enc = Ann.pqEncode(vecs, "id", "emb", books)
+    assert(enc.columns.toSeq == Seq("id", "code_0", "code_1", "code_2", "code_3"))
+    assert(enc.count() == 200, "encode must not drop rows")
+    val seedCodes = enc.filter(col("id") < 8).collect()
+      .map(r => (r.getLong(0), (1 to 4).map(r.getInt)))
+    seedCodes.foreach { case (id, codes) =>
+      assert(codes.forall(_ == id.toInt), s"seed $id must self-encode, got $codes")
+    }
+    // codes land in [0, ksub)
+    assert(enc.filter((1 to 4).map(j => col(s"code_${j - 1}") < 0 ||
+      col(s"code_${j - 1}") >= 8).reduce(_ || _)).count() == 0)
+
+    // ADC search: k results per query, deterministic, and recall against
+    // exact L2 top-k stays sane for an 8-code-per-subspace quantiser
+    val queries = vecs.filter(col("id") < 4)
+    val got = Ann.pqSearch(vecs, queries, "id", "emb", books, k = 5)
+    val rows = got.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows.size == 4 * 5, "k results per query")
+    assert(Ann.pqSearch(vecs, queries, "id", "emb", books, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet == rows,
+      "re-evaluation must be identical (no RNG anywhere)")
+    val data = vecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))).toMap
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (0L until 4L).flatMap { q =>
+      data.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) => (l2(data(q), v), id) }.take(5)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+    val recall = rows.map(t => (t._1, t._3)).intersect(exact).size / 20.0
+    assert(recall >= 0.2, s"ADC recall@5 collapsed: $recall")
+  }
 }

@@ -44,6 +44,17 @@ class PlanQualitySpec extends SparkSpec {
       s"vector table must not be broadcast:\n$plan")
   }
 
+  test("pq: query tables broadcast; the encoded corpus never shuffles") {
+    val plan = formattedPlan(QueryPack.xAnnPq(spark, sf))
+    // ADC scoring joins the (tiny) query×table side INTO the corpus scan:
+    // a broadcast nested-loop over 8 query rows, never a corpus shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query tables not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle for ADC scoring:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unbroadcast product:\n$plan")
+  }
+
   test("lsh: bucket join is a shuffle join (never a single-partition broadcast)") {
     val plan = formattedPlan(QueryPack.xAnnLsh(spark, sf))
     assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
