@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
-"""Regenerate SCALING.md's per-query table from two graft.Bench JSON
-lines. Usage: scaling_table.py <bench_sf0.1.json> <bench_sf1.json>.
-Prints the markdown table (descending ratio) plus headline totals."""
+"""Regenerate SCALING.md's per-query table from graft.Bench JSON lines.
+Usage: scaling_table.py <bench_sf0.1.json> <bench_sf1.json> [<bench_sf10.json>].
+With two files prints the two-point table; with three, the three-point
+table (ratio column = last/first). Markdown, descending ratio, plus
+headline totals."""
 import sys, json
 
 READING = {
     "x_quality": "cause #1 — linear in chars (13.28x), so sublinear",
+    "x_ann_lsh_sized": "cause #2's fix, oracle-pinned: planesFor(n) holds bucket density — linear track",
+    "x_dedup_embedding_sized": "cause #2's fix for the dedup twin — linear track",
+    "x_ann_ivf_probe": "cause #3 — search side probe-limited; assignment (index build) still O(N^1.5)",
     "x_unigram_logprob": "explode + word-keyed shuffle join; linear in tokens",
     "x_dedup_embedding": "cause #2 — fixed hyperplane count, denser buckets",
     "x_token_count": "cause #1 — char-bound regexp, well under 13.28x",
@@ -62,23 +67,25 @@ READING = {
     "s15_acroform": "fixture-bound",
 }
 
-a = json.load(open(sys.argv[1]))
-b = json.load(open(sys.argv[2]))
-common = sorted(set(a["queries"]) & set(b["queries"]))
-only = set(a["queries"]) ^ set(b["queries"])
+benches = [json.load(open(p)) for p in sys.argv[1:]]
+labels = ["sf0.1", "sf1", "sf10"][: len(benches)]
+common = sorted(set.intersection(*[set(b["queries"]) for b in benches]))
+only = set.union(*[set(b["queries"]) for b in benches]) - set(common)
 if only:  # never silently drop a query the totals still include
-    print(f"WARNING: not in both runs, excluded from table AND totals: "
+    print(f"WARNING: not in all runs, excluded from table AND totals: "
           f"{sorted(only)}", file=sys.stderr)
-rows = [(q, a["queries"][q], b["queries"][q], b["queries"][q] / a["queries"][q])
-        for q in common]
-rows.sort(key=lambda r: -r[3])
+rows = [(q, [b["queries"][q] for b in benches]) for q in common]
+rows.sort(key=lambda r: -(r[1][-1] / r[1][0]))
 # totals over the SAME query set as the table, so the table sums to them
-ta, tb = sum(a["queries"][q] for q in common), sum(b["queries"][q] for q in common)
-print(f"TOTALS ({len(common)} queries): sf0.1 {ta:.2f} s, sf1 {tb:.2f} s, "
-      f"ratio {tb/ta:.2f}")
+totals = [sum(b["queries"][q] for q in common) for b in benches]
+print(f"TOTALS ({len(common)} queries): "
+      + ", ".join(f"{l} {t:.2f} s" for l, t in zip(labels, totals))
+      + f", ratio {totals[-1]/totals[0]:.2f}")
 print()
-print("| query | sf0.1 | sf1 | ratio | reading |")
-print("|---|---|---|---|---|")
-for q, t0, t1, r in rows:
+ratio_hdr = f"{labels[-1]}/{labels[0]}" if len(benches) > 2 else "ratio"
+print(f"| query | {' | '.join(labels)} | {ratio_hdr} | reading |")
+print("|---" * (len(labels) + 3) + "|")
+for q, ts in rows:
     note = READING.get(q, "")
-    print(f"| {q} | {t0:.3f} | {t1:.3f} | {r:.2f} | {note} |")
+    cells = " | ".join(f"{t:.3f}" for t in ts)
+    print(f"| {q} | {cells} | {ts[-1]/ts[0]:.2f} | {note} |")
