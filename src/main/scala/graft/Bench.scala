@@ -3,6 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional args(0): comma-separated query names — time just those
+    // (same warmup + median-of-3 protocol), so a query added after a full
+    // campaign can be measured alone without re-running the suite.
+    val only: Option[Set[String]] =
+      args.headOption.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -31,13 +37,13 @@ object Bench {
     // per-query fixture generation, codegen compilation and shuffle-file
     // creation land outside the medians — scan-bound queries were swinging
     // ±20-60% round-to-round from exactly these first-run costs.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    picked.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => }
     }
     // Steady-state: median of three runs per query, so a single GC pause or
     // scheduler hiccup can't masquerade as a regression (or an improvement);
     // fixed name order keeps runs comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir)) catch { case _: Throwable => }

@@ -303,4 +303,74 @@ object Ann {
       .select(col("q_id"), col("rank"), col(idCol).as("neighbor"),
         round(col("_cos"), 4).as("cos_sim"))
   }
+
+  /** IVF-PQ: probe-limited cells ([[ivfSearch]]) scored by PQ asymmetric
+    * distance ([[pqSearch]]) — the canonical compressed-index ANN at
+    * 100 TB. The corpus is read in ONE narrow scan producing both its
+    * cell id and its `m` PQ codes (centroids and codebooks are plan
+    * literals — no join, no shuffle); each query broadcasts its `nprobe`
+    * nearest cells and its `m × ksub` ADC tables; candidates meet in a
+    * broadcast-hash equi-join on the cell key and cost `m` table lookups
+    * each — no per-pair float vector math, and only ≈ nprobe/K of the
+    * corpus is touched per query. With `nprobe = K` the ADC distances are
+    * exactly [[pqSearch]]'s (every cell probed, every candidate scored
+    * once — a corpus vector lives in exactly one cell), which
+    * OperatorsSpec pins rank-for-rank.
+    *
+    * Output: `q_id, rank, neighbor, adc_dist` (ascending approximate
+    * squared L2, ties on the lower neighbor id). */
+  def ivfPqSearch(vectors: DataFrame, queries: DataFrame,
+                  idCol: String, embCol: String,
+                  centroids: Seq[(Long, Seq[Double])],
+                  codebooks: Seq[Seq[Seq[Double]]],
+                  nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}], got $nprobe")
+    val m = codebooks.length
+    val sd = codebooks.head.head.length
+    // Corpus index: cell + codes in one pass. Subvectors materialise via
+    // withColumn first — referencing a slice() inside the distance
+    // expression would re-evaluate it per codebook entry (subexpression
+    // elimination doesn't reach HOF lambdas).
+    val withCell = vectors.select(col(idCol), col(embCol),
+      nearestCell(embCol, centroids).as("cell"))
+    val withSubs = (0 until m).foldLeft(withCell) { (df, j) =>
+      df.withColumn(s"_sub_$j", slice(col(embCol), j * sd + 1, sd))
+    }
+    val encoded = (0 until m).foldLeft(withSubs) { (df, j) =>
+      val ds = pqDists(col(s"_sub_$j"), codebooks(j))
+      df.withColumn(s"code_$j",
+        (array_position(ds, array_min(ds)) - 1).cast("int"))
+    }.select(col(idCol) +: col("cell") +:
+      (0 until m).map(j => col(s"code_$j")): _*)
+    // Query side: ADC tables once per query, THEN the probe fan-out
+    // (explode after the tables so they aren't recomputed per probed cell).
+    val qSubs = (0 until m).foldLeft(
+      queries.select(col(idCol).as("q_id"), col(embCol).as("_q_emb"))) {
+      (df, j) => df.withColumn(s"_qsub_$j", slice(col("_q_emb"), j * sd + 1, sd))
+    }
+    val qTables = (0 until m).foldLeft(qSubs) { (df, j) =>
+      df.withColumn(s"_tbl_$j", pqDists(col(s"_qsub_$j"), codebooks(j)))
+    }
+    val probe = zip_with(
+      sqDistances("_q_emb", centroids.map(_._2)),
+      typedLit(centroids.map(_._1)),
+      (d, id) => struct(d.as("dist"), id.as("cid")))
+    val qSide = qTables.withColumn("cell",
+      explode(transform(slice(array_sort(probe), 1, nprobe),
+        s => s.getField("cid"))))
+      .select(col("q_id") +: col("cell") +:
+        (0 until m).map(j => col(s"_tbl_$j")): _*)
+    val adc = (0 until m).map(j =>
+      element_at(col(s"_tbl_$j"), col(s"code_$j") + 1)).reduce(_ + _)
+    val scored = broadcast(qSide).join(encoded, Seq("cell"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol), adc.as("_adc"))
+    val w = Window.partitionBy("q_id").orderBy(col("_adc").asc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol).as("neighbor"),
+        round(col("_adc"), 4).as("adc_dist"))
+  }
 }

@@ -956,6 +956,19 @@ object QueryPack {
       k = 5)
   }
 
+  /** IVF-PQ (`Ann.ivfPqSearch`): the x_ann_pq quantiser searched through
+    * the x_ann_ivf_probe index — nprobe = 3 cells per query, candidates
+    * scored by ADC table lookups only. The compressed-index composition
+    * both parents pin separately; its DuckDB twin reuses their exact
+    * arithmetic, so hashes pin the whole pipeline bit-for-bit. */
+  def xAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Ann.ivfPqSearch(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", ivfCentroids(emb),
+      graft.operators.Ann.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16),
+      nprobe = 3, k = 5)
+  }
+
   /** DuckDB rendering of [[graft.operators.Ann.lshBucket]] over `planes`.
     * When `sized`, every plane term i is additionally masked by
     * `i < np`, where the `npl` CTE derives np from `count(*)` with the
@@ -1088,6 +1101,74 @@ object QueryPack {
       |  SELECT t.q_id, c.vec_id, list_sum(list(t.qdist ORDER BY t.sub)) AS adc
       |  FROM codes c JOIN qtab t ON t.sub = c.sub AND t.code = c.code
       |  WHERE c.vec_id != t.q_id
+      |  GROUP BY t.q_id, c.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, vec_id AS neighbor, round(adc, 4) AS adc_dist
+      |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of Ann.ivfPqSearch (nprobe = 3, m = 8, ksub = 16,
+    * k = 5, queries vec_id < 8): the ivf_probe oracle's quantizer CTEs
+    * (cents / assigned / qcells) composed with the pq oracle's codebook
+    * CTEs (seeds / books / codes / qtab), candidates restricted to the
+    * probed cells before the ADC group-by. Every arithmetic expression is
+    * verbatim from one of the two parents, so bit parity carries over. */
+  private val ivfPqOracleSql: String =
+    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+      |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+      |assigned AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(1,65), j ->
+      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)) *
+      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)))), c.cent_id) AS rn
+      |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+      |qcells AS (
+      |  SELECT q_id, cent_id AS cell FROM (
+      |    SELECT q.vec_id AS q_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(range(1,65), j ->
+      |          (CAST(q.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)) *
+      |          (CAST(q.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)))), c.cent_id) AS rn
+      |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8) WHERE rn <= 3),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |subs AS (SELECT unnest(range(0, 8)) AS sub),
+      |books AS (
+      |  SELECT s.sub AS sub, d.code AS code,
+      |    list_transform(range(1, 9), t -> CAST(d.embedding[s.sub*8 + t] AS DOUBLE)) AS cvec
+      |  FROM seeds d CROSS JOIN subs s),
+      |enc0 AS (
+      |  SELECT e.vec_id, b.sub, b.code,
+      |    (list_sum(list_transform(range(1, 9), t ->
+      |       CAST(e.embedding[b.sub*8 + t] AS DOUBLE) * CAST(e.embedding[b.sub*8 + t] AS DOUBLE)))
+      |     - 2 * list_sum(list_transform(range(1, 9), t ->
+      |       CAST(e.embedding[b.sub*8 + t] AS DOUBLE) * b.cvec[t])))
+      |     + list_sum(list_transform(range(1, 9), t -> b.cvec[t] * b.cvec[t])) AS dist
+      |  FROM embeddings e CROSS JOIN books b),
+      |codes AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+      |    FROM enc0) WHERE rn = 1),
+      |qtab AS (
+      |  SELECT q.vec_id AS q_id, b.sub, b.code,
+      |    (list_sum(list_transform(range(1, 9), t ->
+      |       CAST(q.embedding[b.sub*8 + t] AS DOUBLE) * CAST(q.embedding[b.sub*8 + t] AS DOUBLE)))
+      |     - 2 * list_sum(list_transform(range(1, 9), t ->
+      |       CAST(q.embedding[b.sub*8 + t] AS DOUBLE) * b.cvec[t])))
+      |     + list_sum(list_transform(range(1, 9), t -> b.cvec[t] * b.cvec[t])) AS qdist
+      |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 8),
+      |scored AS (
+      |  SELECT t.q_id, c.vec_id, list_sum(list(t.qdist ORDER BY t.sub)) AS adc
+      |  FROM codes c
+      |  JOIN assigned a ON a.vec_id = c.vec_id
+      |  JOIN qcells qc ON qc.cell = a.cell
+      |  JOIN qtab t ON t.q_id = qc.q_id AND t.sub = c.sub AND t.code = c.code
+      |  WHERE c.vec_id != qc.q_id
       |  GROUP BY t.q_id, c.vec_id),
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
@@ -1330,6 +1411,7 @@ object QueryPack {
     "x_ann_lsh_sized" -> (xAnnLshSized _),
     "x_ann_ivf" -> ((s, d) => xAnnIvf(s, d)),
     "x_ann_ivf_probe" -> (xAnnIvfProbe _),
+    "x_ann_ivfpq" -> (xAnnIvfPq _),
     "x_ann_pq" -> (xAnnPq _),
     "x_dedup_embedding" -> (xDedupEmbedding _),
     "x_dedup_embedding_sized" -> (xDedupEmbeddingSized _),
@@ -1696,6 +1778,7 @@ object QueryPack {
     "x_ann_lsh_sized" -> lshOracleSqlFor(sizedPlanes, sized = true),
     "x_ann_ivf" -> ivfOracleSql,
     "x_ann_ivf_probe" -> ivfProbeOracleSql,
+    "x_ann_ivfpq" -> ivfPqOracleSql,
     "x_ann_pq" -> pqOracleSql,
     "x_dedup_embedding" -> dedupEmbeddingOracleSqlFor(lshPlanes, sized = false),
     "x_dedup_embedding_sized" -> dedupEmbeddingOracleSqlFor(sizedPlanes, sized = true),

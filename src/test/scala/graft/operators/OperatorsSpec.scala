@@ -512,4 +512,34 @@ class OperatorsSpec extends SparkSpec {
     val recall = rows.map(t => (t._1, t._3)).intersect(exact).size / 20.0
     assert(recall >= 0.2, s"ADC recall@5 collapsed: $recall")
   }
+
+  test("ann: ivfPqSearch with nprobe = K equals pqSearch; fewer probes stay sane") {
+    import graft.operators.Ann
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat()))).toDF("id", "emb")
+    val queries = vecs.filter(col("id") < 4)
+    val cents = vecs.filter(col("id") < 14).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    val books = Ann.pqCodebooks(vecs, "id", "emb", m = 4, ksub = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // probing every cell scores every candidate exactly once (a vector
+    // lives in exactly one cell) with the identical ADC arithmetic →
+    // rank-for-rank AND distance-for-distance equal to the full PQ scan
+    val full = rows(Ann.ivfPqSearch(vecs, queries, "id", "emb", cents, books,
+      nprobe = cents.size, k = 5))
+    val pq = rows(Ann.pqSearch(vecs, queries, "id", "emb", books, k = 5))
+    assert(full == pq, "nprobe = K must reproduce pqSearch exactly")
+    // probe-limited: k results per query, a subset of plausible candidates
+    val probed = rows(Ann.ivfPqSearch(vecs, queries, "id", "emb", cents, books,
+      nprobe = 3, k = 5))
+    assert(probed.size == 4 * 5, "k results per query even when probe-limited")
+    val neighbors = (s: Set[(Long, Int, Long, Double)]) => s.map(t => (t._1, t._3))
+    val recall = neighbors(probed).intersect(neighbors(pq)).size / 20.0
+    assert(recall >= 0.2, s"IVF-PQ recall@5 vs full PQ collapsed: $recall")
+    intercept[IllegalArgumentException](
+      Ann.ivfPqSearch(vecs, queries, "id", "emb", cents, books, nprobe = 0, k = 5))
+  }
 }

@@ -55,6 +55,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"unbroadcast product:\n$plan")
   }
 
+  test("ivfpq: probed cells broadcast-hash-join the encoded corpus; no corpus shuffle") {
+    val plan = formattedPlan(QueryPack.xAnnIvfPq(spark, sf))
+    // the compressed-index shape: the query side (nprobe cells × ADC
+    // tables) broadcasts and meets the one-pass encoded corpus in a
+    // hash join on the cell key — the corpus itself never shuffles and
+    // is never compared all-pairs
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell join must broadcast the probed query side:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle before ADC scoring:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unbroadcast product:\n$plan")
+  }
+
   test("lsh: bucket join is a shuffle join (never a single-partition broadcast)") {
     val plan = formattedPlan(QueryPack.xAnnLsh(spark, sf))
     assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
