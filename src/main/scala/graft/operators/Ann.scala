@@ -141,16 +141,59 @@ object Ann {
       array_position(ds, array_min(ds)).cast("int"))
   }
 
+  /** Two-level (coarse → fine) nearest-centroid assignment — the
+    * sub-O(N·K) index build. Centroids are grouped into ⌈√K⌉-sized
+    * blocks in id order; each block's FIRST centroid is its coarse
+    * representative. A row finds its nearest representative (ties →
+    * lower block, exactly [[nearestCell]]'s first-minimum rule), then
+    * the nearest centroid WITHIN that block only — ~2√K distance
+    * computations per row instead of K, turning the O(N^1.5) √N-centroid
+    * build into O(N·N^0.25). The block argmins sit in `CASE WHEN`
+    * branches keyed on a MATERIALISED block id (`_grp` via withColumn —
+    * inlining it would re-evaluate the coarse argmin per branch
+    * condition), so only the matched block's distances are computed.
+    *
+    * The assignment is hierarchical, not exact: a row whose true nearest
+    * centroid sits in a block whose representative is far away lands in
+    * the neighbouring block instead — the standard recall/cost trade of
+    * every coarse quantizer, pinned bit-for-bit by the `x_ann_ivf_hier`
+    * oracle (DuckDB replicates block layout, both argmins and both
+    * tie-breaks). Adds `out` (the cell id) to `vectors`. */
+  def assignCellsHier(vectors: DataFrame, embCol: String,
+                      centroids: Seq[(Long, Seq[Double])],
+                      out: String = "cell"): DataFrame = {
+    val k = centroids.size
+    val g = math.ceil(math.sqrt(k.toDouble)).toInt
+    val blocks = centroids.grouped(g).toSeq
+    val repDs = sqDistances(embCol, blocks.map(_.head._2))
+    val fine = blocks.zipWithIndex.map { case (blk, i) =>
+      val ds = sqDistances(embCol, blk.map(_._2))
+      (i, element_at(typedLit(blk.map(_._1)),
+        array_position(ds, array_min(ds)).cast("int")))
+    }
+    val chain = fine.tail.foldLeft(
+      when(col("_grp") === (fine.head._1 + 1), fine.head._2)) {
+      case (acc, (i, cell)) => acc.when(col("_grp") === (i + 1), cell)
+    }
+    vectors
+      .withColumn("_grp", array_position(repDs, array_min(repDs)))
+      .withColumn(out, chain)
+      .drop("_grp")
+  }
+
   def annIvf(vectors: DataFrame, idCol: String, embCol: String,
              centroids: Seq[(Long, Seq[Double])], salts: Int = 4,
-             checkpointDir: Option[String] = None): DataFrame = {
+             checkpointDir: Option[String] = None,
+             twoLevel: Boolean = false): DataFrame = {
     val ckpt = graft.runtime.Checkpoints.policy(vectors.sparkSession, checkpointDir)
-    val cell = nearestCell(embCol, centroids)
     // Materialise the assignment once (the IVF "index build"): both join
     // sides read it, and without this Spark recomputes the argmin scan per
     // side. Spills to disk above memory — the deliberate cost of an index.
-    val assigned = ckpt(vectors.select(col(idCol), col(embCol),
-      cell.as("cell"), norm(col(embCol)).as("_nrm")))
+    val withCell =
+      if (twoLevel) assignCellsHier(vectors, embCol, centroids)
+      else vectors.withColumn("cell", nearestCell(embCol, centroids))
+    val assigned = ckpt(withCell.select(col(idCol), col(embCol),
+      col("cell"), norm(col(embCol)).as("_nrm")))
     val build = assigned.select(col(idCol).as("_b_id"),
       col(embCol).as("_b_emb"), col("cell").as("_b_cell"),
       col("_nrm").as("_b_nrm"))

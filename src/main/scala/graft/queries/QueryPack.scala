@@ -908,6 +908,17 @@ object QueryPack {
       ivfCentroids(emb, centroids), salts = 4)
   }
 
+  /** x_ann_ivf with the two-level index build (`Ann.assignCellsHier`):
+    * same centroids, same within-cell search, but assignment costs
+    * ~2√K distances per row instead of K — the sub-O(N^1.5) build. The
+    * DuckDB twin replicates the block layout and both argmin tie-breaks,
+    * so the hash pins the hierarchical assignment bit-for-bit. */
+  def xAnnIvfHier(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Ann.annIvf(emb, "vec_id", "embedding",
+      ivfCentroids(emb), salts = 4, twoLevel = true)
+  }
+
   /** The deterministic coarse quantizer both engines replicate: the first
     * ⌈√N⌉ vectors as fixed centroids (K overridable). count() is
     * metadata-only on parquet; K centroid vectors always fit on the
@@ -1013,6 +1024,52 @@ object QueryPack {
       |          (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)) *
       |          (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)))), c.cent_id) AS rn
       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS neighbor,
+      |    round(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(range(1,65), j -> CAST(b.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))))), 4) AS cos_sim
+      |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor) AS rn
+      |  FROM pairs)
+      |SELECT vec_id, cell, neighbor, cos_sim FROM ranked WHERE rn = 1""".stripMargin
+
+  /** DuckDB mirror of Ann.assignCellsHier + annIvf: centroids in id
+    * order are cut into ⌈√K⌉-sized blocks by POSITION (pos // g), the
+    * block's first centroid (bpos = 0) is its representative, a vector
+    * picks its nearest representative (ties → lower block id, Spark's
+    * first-array-minimum) and then its nearest centroid within that
+    * block only (ties → lower cent_id = lower block position). The
+    * distance arithmetic is verbatim from the ivf oracle, so float
+    * parity carries over; search/rank CTEs are identical. */
+  private val ivfHierOracleSql: String =
+    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent,
+      |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS pos
+      |  FROM embeddings
+      |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+      |blocks AS (
+      |  SELECT cent_id, cent, pos,
+      |    pos // (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM cents) AS gid,
+      |    pos %  (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM cents) AS bpos
+      |  FROM cents),
+      |reps AS (SELECT gid, cent AS rep FROM blocks WHERE bpos = 0),
+      |coarse AS (
+      |  SELECT vec_id, embedding, gid FROM (
+      |    SELECT e.vec_id, e.embedding, r.gid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(1,65), j ->
+      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(r.rep[j] AS DOUBLE)) *
+      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(r.rep[j] AS DOUBLE)))), r.gid) AS rn
+      |    FROM embeddings e CROSS JOIN reps r) WHERE rn = 1),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cent_id AS cell FROM (
+      |    SELECT co.vec_id, co.embedding, b.cent_id,
+      |      row_number() OVER (PARTITION BY co.vec_id ORDER BY
+      |        list_sum(list_transform(range(1,65), j ->
+      |          (CAST(co.embedding[j] AS DOUBLE) - CAST(b.cent[j] AS DOUBLE)) *
+      |          (CAST(co.embedding[j] AS DOUBLE) - CAST(b.cent[j] AS DOUBLE)))), b.cent_id) AS rn
+      |    FROM coarse co JOIN blocks b ON b.gid = co.gid) WHERE rn = 1),
       |pairs AS (
       |  SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS neighbor,
       |    round(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))) /
@@ -1410,6 +1467,7 @@ object QueryPack {
     "x_ann_lsh" -> (xAnnLsh _),
     "x_ann_lsh_sized" -> (xAnnLshSized _),
     "x_ann_ivf" -> ((s, d) => xAnnIvf(s, d)),
+    "x_ann_ivf_hier" -> (xAnnIvfHier _),
     "x_ann_ivf_probe" -> (xAnnIvfProbe _),
     "x_ann_ivfpq" -> (xAnnIvfPq _),
     "x_ann_pq" -> (xAnnPq _),
@@ -1777,6 +1835,7 @@ object QueryPack {
     "x_ann_lsh" -> lshOracleSqlFor(lshPlanes, sized = false),
     "x_ann_lsh_sized" -> lshOracleSqlFor(sizedPlanes, sized = true),
     "x_ann_ivf" -> ivfOracleSql,
+    "x_ann_ivf_hier" -> ivfHierOracleSql,
     "x_ann_ivf_probe" -> ivfProbeOracleSql,
     "x_ann_ivfpq" -> ivfPqOracleSql,
     "x_ann_pq" -> pqOracleSql,

@@ -542,4 +542,47 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Ann.ivfPqSearch(vecs, queries, "id", "emb", cents, books, nprobe = 0, k = 5))
   }
+
+  test("ann: two-level assignment follows the documented block rule exactly") {
+    import graft.operators.Ann
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val vecs = (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextFloat()))).toDF("id", "emb")
+    val cents = vecs.filter(col("id") < 20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    // driver-side oracle for the rule: blocks of ceil(sqrt(K)) in id
+    // order, rep = block head, coarse argmin (ties -> lower block) then
+    // fine argmin within the block (ties -> lower id); squared L2 summed
+    // left-to-right in doubles, the same fold order as the expression
+    val g = math.ceil(math.sqrt(cents.size.toDouble)).toInt
+    val blocks = cents.grouped(g).toSeq
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val expect = vecs.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toSeq
+      val gi = blocks.map(b => d2(v, b.head._2)).zipWithIndex
+        .minBy { case (dist, i) => (dist, i) }._2
+      val cell = blocks(gi).map { case (id, c) => (d2(v, c), id) }
+        .minBy { case (dist, id) => (dist, id) }._2
+      (r.getLong(0), cell)
+    }.toMap
+    val got = Ann.assignCellsHier(vecs, "emb", cents).select(col("id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect, "hier assignment must match the block rule")
+    // with a single block (K tiny) hier degenerates to the exact argmin
+    val two = cents.take(2)
+    val hier2 = Ann.assignCellsHier(vecs, "emb", two).select(col("id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact2 = vecs.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toSeq
+      (r.getLong(0), two.map { case (id, c) => (d2(v, c), id) }.minBy(identity)._2)
+    }.toMap
+    assert(hier2 == exact2, "K <= 2 is one block: hier == exact argmin")
+    // annIvf(twoLevel) is deterministic and keeps the output contract
+    val ivf = Ann.annIvf(vecs, "id", "emb", cents, twoLevel = true)
+    assert(ivf.columns.toSeq == Seq("id", "cell", "neighbor", "cos_sim"))
+    assert(ivf.collect().toSet == Ann.annIvf(vecs, "id", "emb", cents,
+      twoLevel = true).collect().toSet)
+  }
 }

@@ -33,15 +33,17 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("ivf: no crossJoin, no window, and the vector table is never broadcast") {
-    val plan = formattedPlan(QueryPack.xAnnIvf(spark, sf))
-    assert(!plan.contains("CartesianProduct"), s"crossJoin crept back:\n$plan")
-    assert(!plan.contains("Window"), s"window crept back:\n$plan")
-    // the 100 TB shape: cell join is a salted shuffle-hash join — a
-    // whole-table broadcast would OOM at scale
-    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
-      s"cell join lost its shuffle shape:\n$plan")
-    assert(!plan.contains("BroadcastHashJoin"),
-      s"vector table must not be broadcast:\n$plan")
+    for (q <- Seq(QueryPack.xAnnIvf(spark, sf), QueryPack.xAnnIvfHier(spark, sf))) {
+      val plan = formattedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"crossJoin crept back:\n$plan")
+      assert(!plan.contains("Window"), s"window crept back:\n$plan")
+      // the 100 TB shape: cell join is a salted shuffle-hash join — a
+      // whole-table broadcast would OOM at scale
+      assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+        s"cell join lost its shuffle shape:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"vector table must not be broadcast:\n$plan")
+    }
   }
 
   test("pq: query tables broadcast; the encoded corpus never shuffles") {
