@@ -158,7 +158,15 @@ object Ann {
     * the neighbouring block instead — the standard recall/cost trade of
     * every coarse quantizer, pinned bit-for-bit by the `x_ann_ivf_hier`
     * oracle (DuckDB replicates block layout, both argmins and both
-    * tie-breaks). Adds `out` (the cell id) to `vectors`. */
+    * tie-breaks). Adds `out` (the cell id) to `vectors`.
+    *
+    * Measured caveat (SCALING.md, sf10 probe): the inexact assignment
+    * SKEWS cell populations — Σpop² lands 6.2× the flat argmin's on the
+    * sf10 embeddings — so pair it with probe-limited consumers
+    * ([[ivfSearch]], [[ivfPqSearch]]), whose cost is linear in the
+    * probed cells' populations, not with [[annIvf]]'s within-cell
+    * all-pairs join, which pays Σpop² and ends up slower end-to-end
+    * than the flat build it was meant to beat (76.1 s vs 48.3 s). */
   def assignCellsHier(vectors: DataFrame, embCol: String,
                       centroids: Seq[(Long, Seq[Double])],
                       out: String = "cell"): DataFrame = {
