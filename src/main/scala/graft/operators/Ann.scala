@@ -14,10 +14,16 @@ import org.apache.spark.sql.functions._
   *     cardinality grows with the data); pair join is a salted shuffle-hash
   *     join, never a whole-table broadcast.
   *
-  * Vector arithmetic uses higher-order functions deliberately: an unrolled
-  * 64-term `element_at` sum measured 4-5× SLOWER (the generated method
-  * blows past JIT/whole-stage-codegen size limits). The oracle-checked
-  * `x_ann_*` queries pin all three tiers against DuckDB. */
+  * All vector arithmetic runs on the native codegen'd [[dot]] — pairwise
+  * dots directly, every squared-L2 via the `(v·v − 2·v·c) + ‖c‖²`
+  * expansion over driver-resident constants ([[sqDistances]]) — never on
+  * Spark higher-order functions, which always evaluate interpreted and
+  * twice became the measured dominant cost at sf10 (first the LSH dot,
+  * then the IVF assignment argmin — SCALING.md rounds 8 and 10). An
+  * unrolled 64-term `element_at` sum is no alternative either: it
+  * measured 4-5× slower (the generated method blows past
+  * JIT/whole-stage-codegen size limits). The oracle-checked `x_ann_*`
+  * queries pin every tier against DuckDB. */
 object Ann {
 
   /** Elementwise dot product of two array columns — the native codegen'd
@@ -81,8 +87,11 @@ object Ann {
     * LSH cost linear (measured in SCALING.md). */
   def planesFor(n: Long, targetBucketSize: Long = 64): Int = {
     require(n > 0 && targetBucketSize > 0, "n and targetBucketSize must be positive")
+    // overflow-safe rendering of target·2^p < n: compare target against
+    // ceil(n / 2^p) instead of shifting target left (a large caller-supplied
+    // target shifted 62 times wraps negative and the loop runs to 62)
     var p = 1
-    while (p < 62 && (targetBucketSize << p) < n) p += 1
+    while (p < 62 && targetBucketSize < ((n + (1L << p) - 1) >> p)) p += 1
     p
   }
 
@@ -123,14 +132,32 @@ object Ann {
     * [[graft.runtime.Checkpoints]]: executor-local by default, reliable
     * when a directory is given (so losing an executor after the build
     * re-reads the index instead of killing the query). */
-  /** Squared L2 distance from `embCol` to every centroid, as an array
-    * aligned with the centroid order (driver-resident literal matrix —
-    * a narrow per-row scan, no join). */
+  /** Squared-L2 distances from vector column `v` to each driver-resident
+    * constant vector in `cents`, in order, via the dot expansion
+    * `(v·v − 2·v·c) + ‖c‖²` — each dot the native codegen'd [[dot]], the
+    * constant's norm folded on the driver in the same left-to-right
+    * order, so an oracle engine computing the expansion element-wise
+    * gets bit-identical doubles and therefore the same argmin. The
+    * previous rendering — `transform(typedLit(cents), c =>
+    * aggregate(zip_with(v, c, (x,y) => (x−y)²), 0, _+_))` — ran
+    * INTERPRETED (Spark higher-order functions never enter codegen) and
+    * was the measured dominant cost of all four sf10 IVF queries; the
+    * expansion is the same fix that took the PQ encode path to 1.69×
+    * for 100× the corpus (SCALING.md). The `v·v` term is one common
+    * subexpression across all K entries (codegen CSE hoists it). */
+  private def sqDistances(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val s2 = dot(v, v)
+    array(cents.map { c =>
+      val n2 = c.foldLeft(0.0)((a, x) => a + x * x)
+      (s2 - lit(2.0) * dotLit(v, c)) + lit(n2)
+    }: _*)
+  }
+
+  /** [[sqDistances]] over a named column — an array aligned with the
+    * centroid order (driver-resident literal matrix — a narrow per-row
+    * scan, no join). */
   private def sqDistances(embCol: String, centVecs: Seq[Seq[Double]]): Column =
-    transform(typedLit(centVecs), c =>
-      aggregate(zip_with(col(embCol), c,
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, x) => acc + x))
+    sqDistances(col(embCol), centVecs)
 
   /** The nearest-centroid cell id (first minimum wins — deterministic
     * because the centroid literal order is fixed). */
@@ -179,14 +206,19 @@ object Ann {
       (i, element_at(typedLit(blk.map(_._1)),
         array_position(ds, array_min(ds)).cast("int")))
     }
+    // collision-free temp name: a caller's own `_grp` column must survive
+    // (and never be read as the block id by the CASE chain below)
+    val grp = Iterator.from(0)
+      .map(i => if (i == 0) "_grp" else s"_grp$i")
+      .find(n => !vectors.columns.contains(n) && n != out).get
     val chain = fine.tail.foldLeft(
-      when(col("_grp") === (fine.head._1 + 1), fine.head._2)) {
-      case (acc, (i, cell)) => acc.when(col("_grp") === (i + 1), cell)
+      when(col(grp) === (fine.head._1 + 1), fine.head._2)) {
+      case (acc, (i, cell)) => acc.when(col(grp) === (i + 1), cell)
     }
     vectors
-      .withColumn("_grp", array_position(repDs, array_min(repDs)))
+      .withColumn(grp, array_position(repDs, array_min(repDs)))
       .withColumn(out, chain)
-      .drop("_grp")
+      .drop(grp)
   }
 
   def annIvf(vectors: DataFrame, idCol: String, embCol: String,
@@ -254,20 +286,6 @@ object Ann {
     (0 until m).map(j => seeds.map(_.slice(j * sd, j * sd + sd)))
   }
 
-  /** Squared-L2 distances from subvector `sub` to every code of one
-    * subspace's codebook, in code order, via the dot expansion
-    * `(s·s − 2·s·c) + c·c` — each term a native codegen'd [[dot]], the
-    * code norm a driver-side literal folded in the same left-to-right
-    * order, so an oracle engine computing the same expansion gets
-    * bit-identical doubles (and therefore the same argmin). */
-  private def pqDists(sub: Column, book: Seq[Seq[Double]]): Column = {
-    val s2 = dot(sub, sub)
-    array(book.map { c =>
-      val n2 = c.foldLeft(0.0)((a, x) => a + x * x)
-      (s2 - lit(2.0) * dotLit(sub, c)) + lit(n2)
-    }: _*)
-  }
-
   /** PQ-encode: each vector becomes `m` small code ids (the nearest code
     * per subspace, first minimum wins). Output: idCol + `code_0..m-1`.
     * At 8×4-bit codes this is a 64× compression of a 64-float embedding —
@@ -281,7 +299,7 @@ object Ann {
       (df, j) => df.withColumn(s"_sub_$j", slice(col(embCol), j * sd + 1, sd))
     }
     val withCodes = (0 until m).foldLeft(withSubs) { (df, j) =>
-      val ds = pqDists(col(s"_sub_$j"), codebooks(j))
+      val ds = sqDistances(col(s"_sub_$j"), codebooks(j))
       df.withColumn(s"code_$j",
         (array_position(ds, array_min(ds)) - 1).cast("int"))
     }
@@ -310,7 +328,7 @@ object Ann {
       (df, j) => df.withColumn(s"_qsub_$j", slice(col("_q_emb"), j * sd + 1, sd))
     }
     val qTables = (0 until m).foldLeft(qSubs) { (df, j) =>
-      df.withColumn(s"_tbl_$j", pqDists(col(s"_qsub_$j"), codebooks(j)))
+      df.withColumn(s"_tbl_$j", sqDistances(col(s"_qsub_$j"), codebooks(j)))
     }.select(col("q_id") +: (0 until m).map(j => col(s"_tbl_$j")): _*)
     val adc = (0 until m).map(j =>
       element_at(col(s"_tbl_$j"), col(s"code_$j") + 1)).reduce(_ + _)
@@ -324,15 +342,26 @@ object Ann {
         round(col("_adc"), 4).as("adc_dist"))
   }
 
+  /** `twoLevel` selects the corpus assignment strategy: flat argmin over
+    * all K centroids (exact, O(N·K) distances) or [[assignCellsHier]]'s
+    * coarse→fine pass (~2√K distances per row) — the pairing that
+    * assignment's scaladoc prescribes, since probe-limited search cost
+    * is linear in the probed cells' populations and does not pay the
+    * Σpop² skew penalty that sinks [[annIvf]]'s all-pairs consumer.
+    * Queries always probe by exact distance to all K centroids (the
+    * query side is tiny). */
   def ivfSearch(vectors: DataFrame, queries: DataFrame,
                 idCol: String, embCol: String,
                 centroids: Seq[(Long, Seq[Double])],
-                nprobe: Int, k: Int): DataFrame = {
+                nprobe: Int, k: Int, twoLevel: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe must be in [1, ${centroids.size}], got $nprobe")
-    val assigned = vectors.select(col(idCol), col(embCol),
-      nearestCell(embCol, centroids).as("cell"), norm(col(embCol)).as("_nrm"))
+    val withCell =
+      if (twoLevel) assignCellsHier(vectors, embCol, centroids)
+      else vectors.withColumn("cell", nearestCell(embCol, centroids))
+    val assigned = withCell.select(col(idCol), col(embCol),
+      col("cell"), norm(col(embCol)).as("_nrm"))
     // nprobe nearest cells per query: sort (dist, cid) structs so ties
     // break on the lower centroid id, deterministically in any engine
     val probe = zip_with(
@@ -374,23 +403,26 @@ object Ann {
                   idCol: String, embCol: String,
                   centroids: Seq[(Long, Seq[Double])],
                   codebooks: Seq[Seq[Seq[Double]]],
-                  nprobe: Int, k: Int): DataFrame = {
+                  nprobe: Int, k: Int, twoLevel: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe must be in [1, ${centroids.size}], got $nprobe")
     val m = codebooks.length
     val sd = codebooks.head.head.length
-    // Corpus index: cell + codes in one pass. Subvectors materialise via
-    // withColumn first — referencing a slice() inside the distance
-    // expression would re-evaluate it per codebook entry (subexpression
-    // elimination doesn't reach HOF lambdas).
-    val withCell = vectors.select(col(idCol), col(embCol),
-      nearestCell(embCol, centroids).as("cell"))
+    // Corpus index: cell + codes in one pass (`twoLevel` swaps the flat
+    // argmin for the hier assignment — see [[ivfSearch]]). Subvectors
+    // materialise via withColumn first — referencing a slice() inside the
+    // distance expression would re-evaluate it per codebook entry
+    // (subexpression elimination doesn't reach HOF lambdas).
+    val withCell =
+      (if (twoLevel) assignCellsHier(vectors, embCol, centroids)
+       else vectors.withColumn("cell", nearestCell(embCol, centroids)))
+        .select(col(idCol), col(embCol), col("cell"))
     val withSubs = (0 until m).foldLeft(withCell) { (df, j) =>
       df.withColumn(s"_sub_$j", slice(col(embCol), j * sd + 1, sd))
     }
     val encoded = (0 until m).foldLeft(withSubs) { (df, j) =>
-      val ds = pqDists(col(s"_sub_$j"), codebooks(j))
+      val ds = sqDistances(col(s"_sub_$j"), codebooks(j))
       df.withColumn(s"code_$j",
         (array_position(ds, array_min(ds)) - 1).cast("int"))
     }.select(col(idCol) +: col("cell") +:
@@ -402,7 +434,7 @@ object Ann {
       (df, j) => df.withColumn(s"_qsub_$j", slice(col("_q_emb"), j * sd + 1, sd))
     }
     val qTables = (0 until m).foldLeft(qSubs) { (df, j) =>
-      df.withColumn(s"_tbl_$j", pqDists(col(s"_qsub_$j"), codebooks(j)))
+      df.withColumn(s"_tbl_$j", sqDistances(col(s"_qsub_$j"), codebooks(j)))
     }
     val probe = zip_with(
       sqDistances("_q_emb", centroids.map(_._2)),

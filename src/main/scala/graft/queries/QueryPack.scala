@@ -951,6 +951,23 @@ object QueryPack {
       "vec_id", "embedding", ivfCentroids(emb), nprobe = 3, k = 5)
   }
 
+  /** The two-level build paired with its PRESCRIBED consumer
+    * (`Ann.ivfSearch(twoLevel = true)`): corpus assignment via the
+    * coarse→fine hier pass (~2√K distances per row instead of K), search
+    * probe-limited (nprobe = 3) — the configuration
+    * `Ann.assignCellsHier`'s scaladoc steers to, now an oracle row
+    * instead of prose. Probe-limited cost is linear in the probed cells'
+    * populations, so the hier assignment's measured Σpop² skew (which
+    * sinks its all-pairs pairing `x_ann_ivf_hier`) does not bite here.
+    * The DuckDB twin composes the hier oracle's assignment CTEs with the
+    * probe oracle's search CTEs verbatim. */
+  def xAnnIvfHierProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Ann.ivfSearch(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", ivfCentroids(emb), nprobe = 3, k = 5,
+      twoLevel = true)
+  }
+
   /** Product-quantisation ADC search (`Ann.pqSearch`): the corpus encoded
     * as 8×16-code PQ (codebooks = subvector slices of the first 16
     * vectors, the same deterministic seeding convention as the IVF
@@ -1013,16 +1030,26 @@ object QueryPack {
        |WHERE round(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))) / (a.norm * b.norm), 4) >= 0.2""".stripMargin
   }
 
+  /** DuckDB rendering of the Spark side's squared-L2 dot expansion
+    * (`Ann.sqDistances`): `(v·v − 2·v·c) + c·c`, each term a list_sum of
+    * element-wise double products in the same left-to-right order as the
+    * native DotProduct's fold (and the driver-side norm fold), so both
+    * engines produce bit-identical doubles and the same argmin. The
+    * Spark side hoists v·v as a common subexpression; recomputing it
+    * per (v, c) pair here yields the identical value. */
+  private def duckSqDist(v: String, c: String): String =
+    s"(list_sum(list_transform(range(1,65), j -> CAST($v[j] AS DOUBLE) * CAST($v[j] AS DOUBLE)))" +
+      s" - 2 * list_sum(list_transform(range(1,65), j -> CAST($v[j] AS DOUBLE) * CAST($c[j] AS DOUBLE))))" +
+      s" + list_sum(list_transform(range(1,65), j -> CAST($c[j] AS DOUBLE) * CAST($c[j] AS DOUBLE)))"
+
   private val ivfOracleSql: String =
-    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
       |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
       |assigned AS (
       |  SELECT vec_id, embedding, cent_id AS cell FROM (
       |    SELECT e.vec_id, e.embedding, c.cent_id,
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |        list_sum(list_transform(range(1,65), j ->
-      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)) *
-      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)))), c.cent_id) AS rn
+      |        ${duckSqDist("e.embedding", "c.cent")}, c.cent_id) AS rn
       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
       |pairs AS (
       |  SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS neighbor,
@@ -1044,7 +1071,7 @@ object QueryPack {
     * distance arithmetic is verbatim from the ivf oracle, so float
     * parity carries over; search/rank CTEs are identical. */
   private val ivfHierOracleSql: String =
-    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent,
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent,
       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS pos
       |  FROM embeddings
       |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
@@ -1058,17 +1085,13 @@ object QueryPack {
       |  SELECT vec_id, embedding, gid FROM (
       |    SELECT e.vec_id, e.embedding, r.gid,
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |        list_sum(list_transform(range(1,65), j ->
-      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(r.rep[j] AS DOUBLE)) *
-      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(r.rep[j] AS DOUBLE)))), r.gid) AS rn
+      |        ${duckSqDist("e.embedding", "r.rep")}, r.gid) AS rn
       |    FROM embeddings e CROSS JOIN reps r) WHERE rn = 1),
       |assigned AS (
       |  SELECT vec_id, embedding, cent_id AS cell FROM (
       |    SELECT co.vec_id, co.embedding, b.cent_id,
       |      row_number() OVER (PARTITION BY co.vec_id ORDER BY
-      |        list_sum(list_transform(range(1,65), j ->
-      |          (CAST(co.embedding[j] AS DOUBLE) - CAST(b.cent[j] AS DOUBLE)) *
-      |          (CAST(co.embedding[j] AS DOUBLE) - CAST(b.cent[j] AS DOUBLE)))), b.cent_id) AS rn
+      |        ${duckSqDist("co.embedding", "b.cent")}, b.cent_id) AS rn
       |    FROM coarse co JOIN blocks b ON b.gid = co.gid) WHERE rn = 1),
       |pairs AS (
       |  SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS neighbor,
@@ -1085,24 +1108,69 @@ object QueryPack {
     * vec_id < 8 query set — same quantizer, same tie-breaks (dist then
     * cent_id for probe cells; cos DESC then vec_id for ranks). */
   private val ivfProbeOracleSql: String =
-    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
       |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
       |assigned AS (
       |  SELECT vec_id, embedding, cent_id AS cell FROM (
       |    SELECT e.vec_id, e.embedding, c.cent_id,
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |        list_sum(list_transform(range(1,65), j ->
-      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)) *
-      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)))), c.cent_id) AS rn
+      |        ${duckSqDist("e.embedding", "c.cent")}, c.cent_id) AS rn
       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
       |queries AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
       |qcells AS (
       |  SELECT q_id, q_emb, cent_id AS cell FROM (
       |    SELECT q.q_id, q.q_emb, c.cent_id,
       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-      |        list_sum(list_transform(range(1,65), j ->
-      |          (CAST(q.q_emb[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)) *
-      |          (CAST(q.q_emb[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)))), c.cent_id) AS rn
+      |        ${duckSqDist("q.q_emb", "c.cent")}, c.cent_id) AS rn
+      |    FROM queries q CROSS JOIN cents c) WHERE rn <= 3),
+      |scored AS (
+      |  SELECT qc.q_id, a.vec_id,
+      |    list_sum(list_transform(range(1,65), j -> CAST(qc.q_emb[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(range(1,65), j -> CAST(qc.q_emb[j] AS DOUBLE) * CAST(qc.q_emb[j] AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE))))) AS cos
+      |  FROM qcells qc JOIN assigned a ON a.cell = qc.cell AND a.vec_id != qc.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+      |SELECT q_id, rank, vec_id AS neighbor, round(cos, 4) AS cos_sim
+      |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of Ann.ivfSearch(twoLevel = true) with nprobe = 3,
+    * k = 5 over the vec_id < 8 query set: the hier oracle's assignment
+    * CTEs (cents/blocks/reps/coarse/assigned) composed with the probe
+    * oracle's search CTEs (queries/qcells/scored/ranked), every distance
+    * the shared dot expansion — so float parity carries over from both
+    * parents. Queries probe by exact distance to ALL centroids (the
+    * Spark side does the same; only the corpus assignment is
+    * hierarchical). */
+  private val ivfHierProbeOracleSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent,
+      |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS pos
+      |  FROM embeddings
+      |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+      |blocks AS (
+      |  SELECT cent_id, cent, pos,
+      |    pos // (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM cents) AS gid,
+      |    pos %  (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM cents) AS bpos
+      |  FROM cents),
+      |reps AS (SELECT gid, cent AS rep FROM blocks WHERE bpos = 0),
+      |coarse AS (
+      |  SELECT vec_id, embedding, gid FROM (
+      |    SELECT e.vec_id, e.embedding, r.gid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ${duckSqDist("e.embedding", "r.rep")}, r.gid) AS rn
+      |    FROM embeddings e CROSS JOIN reps r) WHERE rn = 1),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cent_id AS cell FROM (
+      |    SELECT co.vec_id, co.embedding, b.cent_id,
+      |      row_number() OVER (PARTITION BY co.vec_id ORDER BY
+      |        ${duckSqDist("co.embedding", "b.cent")}, b.cent_id) AS rn
+      |    FROM coarse co JOIN blocks b ON b.gid = co.gid) WHERE rn = 1),
+      |queries AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+      |qcells AS (
+      |  SELECT q_id, q_emb, cent_id AS cell FROM (
+      |    SELECT q.q_id, q.q_emb, c.cent_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        ${duckSqDist("q.q_emb", "c.cent")}, c.cent_id) AS rn
       |    FROM queries q CROSS JOIN cents c) WHERE rn <= 3),
       |scored AS (
       |  SELECT qc.q_id, a.vec_id,
@@ -1172,23 +1240,19 @@ object QueryPack {
     * probed cells before the ADC group-by. Every arithmetic expression is
     * verbatim from one of the two parents, so bit parity carries over. */
   private val ivfPqOracleSql: String =
-    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
       |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
       |assigned AS (
       |  SELECT vec_id, cent_id AS cell FROM (
       |    SELECT e.vec_id, c.cent_id,
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |        list_sum(list_transform(range(1,65), j ->
-      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)) *
-      |          (CAST(e.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)))), c.cent_id) AS rn
+      |        ${duckSqDist("e.embedding", "c.cent")}, c.cent_id) AS rn
       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
       |qcells AS (
       |  SELECT q_id, cent_id AS cell FROM (
       |    SELECT q.vec_id AS q_id, c.cent_id,
       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-      |        list_sum(list_transform(range(1,65), j ->
-      |          (CAST(q.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)) *
-      |          (CAST(q.embedding[j] AS DOUBLE) - CAST(c.cent[j] AS DOUBLE)))), c.cent_id) AS rn
+      |        ${duckSqDist("q.embedding", "c.cent")}, c.cent_id) AS rn
       |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8) WHERE rn <= 3),
       |seeds AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
@@ -1468,6 +1532,7 @@ object QueryPack {
     "x_ann_lsh_sized" -> (xAnnLshSized _),
     "x_ann_ivf" -> ((s, d) => xAnnIvf(s, d)),
     "x_ann_ivf_hier" -> (xAnnIvfHier _),
+    "x_ann_ivf_hier_probe" -> (xAnnIvfHierProbe _),
     "x_ann_ivf_probe" -> (xAnnIvfProbe _),
     "x_ann_ivfpq" -> (xAnnIvfPq _),
     "x_ann_pq" -> (xAnnPq _),
@@ -1836,6 +1901,7 @@ object QueryPack {
     "x_ann_lsh_sized" -> lshOracleSqlFor(sizedPlanes, sized = true),
     "x_ann_ivf" -> ivfOracleSql,
     "x_ann_ivf_hier" -> ivfHierOracleSql,
+    "x_ann_ivf_hier_probe" -> ivfHierProbeOracleSql,
     "x_ann_ivf_probe" -> ivfProbeOracleSql,
     "x_ann_ivfpq" -> ivfPqOracleSql,
     "x_ann_pq" -> pqOracleSql,

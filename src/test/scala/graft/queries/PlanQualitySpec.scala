@@ -46,6 +46,32 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("ivf assignment evaluates native: no interpreted HOF, dot inside codegen") {
+    // The disease that struck twice (the LSH dot in r8, the IVF
+    // assignment argmin in r9): an interpreted higher-order function —
+    // transform/zip_with/aggregate — carrying the dominant per-row
+    // compute. The assignment now expands ‖v−c‖² over the native
+    // codegen'd graft_dot; pin that the two all-assignment IVF plans
+    // contain NO lambda-bearing HOF node anywhere and that the dot
+    // reaches a whole-stage-codegen span. (The probe-limited variants
+    // keep a zip_with on the 8-row query side, so they are pinned by
+    // the broadcast-shape tests instead.)
+    for (q <- Seq(QueryPack.xAnnIvf(spark, sf), QueryPack.xAnnIvfHier(spark, sf))) {
+      // execute, then read the AQE FINAL plan — its simple string prints
+      // expressions inline on the `*(n)` codegen-stage lines (the
+      // unexecuted AdaptiveSparkPlan carries no codegen markers yet)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      for (hof <- Seq("zip_with(", "aggregate(", "transform("))
+        assert(!plan.contains(hof),
+          s"interpreted HOF '$hof' back in the assignment plan:\n$plan")
+      assert(plan.contains("graft_dot"), s"native dot missing:\n$plan")
+      assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_dot")),
+        s"graft_dot not inside a codegen stage:\n$plan")
+    }
+  }
+
   test("pq: query tables broadcast; the encoded corpus never shuffles") {
     val plan = formattedPlan(QueryPack.xAnnPq(spark, sf))
     // ADC scoring joins the (tiny) query×table side INTO the corpus scan:
