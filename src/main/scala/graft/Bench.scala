@@ -8,6 +8,16 @@ object Bench {
     // campaign can be measured alone without re-running the suite.
     val only: Option[Set[String]] =
       args.headOption.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // Fail fast on names that match nothing — a typo (or passing the SF
+    // dir as args(0): it comes from SPARK_GRAFT_SF_DIR) would otherwise
+    // emit a zero-query JSON line that looks like a clean measurement.
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+          "(args(0) is ONLY a comma-separated query filter; the data dir " +
+          "comes from SPARK_GRAFT_SF_DIR)")
+    }
     val picked = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)

@@ -75,14 +75,19 @@ class TextScanSpec extends SparkSpec {
       TextScan.spaces(col("t")), TextScan.punct(col("t")),
       TextScan.wsRuns(col("t")), TextScan.bpeTokens(col("t")))
     val codegen = sel.collect().map(_.toSeq)
+    // restore whatever the suite was running with, not hardcoded defaults
+    val keys = Seq("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
       val interp = sel.collect().map(_.toSeq)
       assert(codegen.toSeq == interp.toSeq)
     } finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
     }
   }
 

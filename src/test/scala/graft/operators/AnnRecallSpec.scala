@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recall@5 of every approximate ANN tier against its exact baseline on
+  * the REAL sf0.1 embeddings (2,000 64-dim vectors, the same table and
+  * configurations the oracle queries run) — a 100 TB ANN index is graded
+  * on recall per unit cost, and before round 10 only cost was measured.
+  * Floors sit just under the values measured in round 10 (published in
+  * SCALING.md's recall table), so a quantiser or probe regression fails
+  * loudly — the old 0.2 floors only caught total collapse.
+  *
+  * Baselines: probe-limited IVF ranks by true cosine, so its exact twin
+  * is [[Ann.cosineTopK]]; PQ and IVF-PQ rank by approximate squared L2,
+  * so their exact twin is the driver-computed exact-L2 top-5. */
+class AnnRecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.1"
+  private val k = 5
+
+  private def neighborSet(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+  private def recall(approx: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
+    approx.intersect(exact).size.toDouble / exact.size
+
+  test("recall@5 on sf0.1 embeddings stays at the measured levels") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val n = emb.count()
+    val kCents = math.ceil(math.sqrt(n.toDouble)).toInt
+    val cents = emb.filter(col("vec_id") < kCents)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    val books = Ann.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+
+    // exact baselines
+    val cosExact = neighborSet(
+      Ann.cosineTopK(emb, queries, "vec_id", "embedding", k))
+    val data = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq))
+    val qVecs = data.filter(_._1 < 8)
+    def l2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val l2Exact = qVecs.flatMap { case (q, qv) =>
+      data.filter(_._1 != q)
+        .sortBy { case (id, v) => (l2(qv, v), id) }.take(k)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+
+    val measured = Seq(
+      ("ivf_probe3", neighborSet(Ann.ivfSearch(
+        emb, queries, "vec_id", "embedding", cents, nprobe = 3, k = k)), cosExact),
+      ("ivf_probe8", neighborSet(Ann.ivfSearch(
+        emb, queries, "vec_id", "embedding", cents, nprobe = 8, k = k)), cosExact),
+      ("ivf_hier_probe3", neighborSet(Ann.ivfSearch(
+        emb, queries, "vec_id", "embedding", cents, nprobe = 3, k = k,
+        twoLevel = true)), cosExact),
+      ("pq", neighborSet(Ann.pqSearch(
+        emb, queries, "vec_id", "embedding", books, k = k)), l2Exact),
+      ("ivfpq_probe3", neighborSet(Ann.ivfPqSearch(
+        emb, queries, "vec_id", "embedding", cents, books,
+        nprobe = 3, k = k)), l2Exact),
+      ("ivfpq_probe8", neighborSet(Ann.ivfPqSearch(
+        emb, queries, "vec_id", "embedding", cents, books,
+        nprobe = 8, k = k)), l2Exact))
+    val recalls = measured.map { case (name, approx, exact) =>
+      assert(approx.size == 8 * k, s"$name must return k results per query")
+      name -> recall(approx, exact)
+    }.toMap
+    recalls.toSeq.sortBy(_._1).foreach { case (name, r) =>
+      info(f"recall@5 $name%-16s = $r%.3f")
+    }
+
+    // floors: just under round 10's measured values (SCALING.md table)
+    val floors = Map(
+      "ivf_probe3" -> 0.95, "ivf_probe8" -> 0.95, "ivf_hier_probe3" -> 0.50,
+      "pq" -> 0.10, "ivfpq_probe3" -> 0.25, "ivfpq_probe8" -> 0.15)
+    floors.foreach { case (name, floor) =>
+      assert(recalls(name) >= floor,
+        s"$name recall@5 ${recalls(name)} fell under its measured floor $floor")
+    }
+  }
+}

@@ -438,7 +438,10 @@ class OperatorsSpec extends SparkSpec {
     assert(probed.size == 4 * 5, "k results per query even when probe-limited")
     val neighbors = (s: Set[(Long, Int, Long)]) => s.map(t => (t._1, t._3))
     val recall = neighbors(probed).intersect(neighbors(brute)).size / 20.0
-    assert(recall >= 0.2, s"recall@5 collapsed: $recall")
+    info(f"ivf probe-limited recall@5 = $recall%.2f")
+    // measured 0.80 (deterministic fixture); floor just under so a probe
+    // regression fails loudly while algorithm improvements still pass
+    assert(recall >= 0.75, s"recall@5 fell under its measured level: $recall")
     intercept[IllegalArgumentException](
       Ann.ivfSearch(vecs, queries, "id", "emb", cents, nprobe = 0, k = 5))
   }
@@ -510,7 +513,9 @@ class OperatorsSpec extends SparkSpec {
         .map { case (id, _) => (q, id) }
     }.toSet
     val recall = rows.map(t => (t._1, t._3)).intersect(exact).size / 20.0
-    assert(recall >= 0.2, s"ADC recall@5 collapsed: $recall")
+    info(f"pq ADC recall@5 = $recall%.2f")
+    // measured 0.40 (deterministic fixture; untrained first-ksub books)
+    assert(recall >= 0.35, s"ADC recall@5 fell under its measured level: $recall")
   }
 
   test("ann: ivfPqSearch with nprobe = K equals pqSearch; fewer probes stay sane") {
@@ -538,7 +543,9 @@ class OperatorsSpec extends SparkSpec {
     assert(probed.size == 4 * 5, "k results per query even when probe-limited")
     val neighbors = (s: Set[(Long, Int, Long, Double)]) => s.map(t => (t._1, t._3))
     val recall = neighbors(probed).intersect(neighbors(pq)).size / 20.0
-    assert(recall >= 0.2, s"IVF-PQ recall@5 vs full PQ collapsed: $recall")
+    info(f"ivf-pq recall@5 vs full pq = $recall%.2f")
+    // measured 0.70 (deterministic fixture)
+    assert(recall >= 0.65, s"IVF-PQ recall@5 vs full PQ fell under its measured level: $recall")
     intercept[IllegalArgumentException](
       Ann.ivfPqSearch(vecs, queries, "id", "emb", cents, books, nprobe = 0, k = 5))
   }
