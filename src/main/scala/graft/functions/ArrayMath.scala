@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
@@ -116,9 +116,163 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-constant-vector argmin: the id of the centroid minimising
+  * `(v·v − 2·v·c) + ‖c‖²` over a DRIVER-RESIDENT centroid matrix, ties →
+  * the earliest centroid (ids must therefore be in ascending order for
+  * ORDER BY-style oracle parity).
+  *
+  * Why an expression and not `array(dot, dot, …)` + `array_min`: the
+  * array rendering inlines K 64-iteration loops into ONE generated
+  * method. Under whole-stage codegen that method cannot be split
+  * (values live in locals, not a row), so past K ≈ 100 it blows the
+  * JIT's ~8 KB bytecode ceiling and the stage executes in the JVM
+  * *bytecode interpreter* — measured 4.5× slower than even the
+  * interpreted-HOF rendering it replaced (sf1, K = 142; SCALING.md
+  * round 10). Here the matrix is a constant in the references array and
+  * the generated code is two tiny loops — size-independent of K, always
+  * JIT-compiled, and the plan string stays free of K×64 literals.
+  *
+  * Arithmetic parity (oracle-stable): per-element products in double,
+  * summed left-to-right; `‖c‖²` folded on the driver in the same order;
+  * `d = (v·v − 2·dot) + ‖c‖²` — exactly the dot expansion the DuckDB
+  * oracles compute, so argmins match bit-for-bit. Null array / length
+  * mismatch / null element → NULL (the array rendering's semantics). */
+case class NearestCentroid(child: Expression, ids: Seq[Long],
+                           cents: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  require(ids.nonEmpty && ids.length == cents.length,
+    s"ids (${ids.length}) and centroid rows (${cents.length}) must match and be non-empty")
+  require(cents.forall(_.length == cents.head.length),
+    "all centroid rows must share one dimension")
+
+  override def prettyName: String = "graft_nearest_centroid"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  @transient private lazy val cm: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    cm.map(_.foldLeft(0.0)((a, x) => a + x * x))
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if et.isInstanceOf[NumericType] =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array of numeric elements, got ${other.catalogString}")
+  }
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != cm(0).length) return null
+    val t = elemType
+    val v = new Array[Double](n)
+    var s2 = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = t match {
+        case FloatType      => a.getFloat(i).toDouble
+        case DoubleType     => a.getDouble(i)
+        case IntegerType    => a.getInt(i).toDouble
+        case LongType       => a.getLong(i).toDouble
+        case ShortType      => a.getShort(i).toDouble
+        case ByteType       => a.getByte(i).toDouble
+        case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+        case other          => throw new IllegalStateException(s"unreachable: $other")
+      }
+      v(i) = x
+      s2 += x * x
+      i += 1
+    }
+    var best = Double.PositiveInfinity
+    var bi = 0
+    var c = 0
+    while (c < cm.length) {
+      val cv = cm(c)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += v(j) * cv(j); j += 1 }
+      val d = (s2 - 2.0 * dot) + norms(c)
+      if (d < best) { best = d; bi = c }
+      c += 1
+    }
+    idArr(bi)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cmRef = ctx.addReferenceObj("cm", cm, "double[][]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+    val idsRef = ctx.addReferenceObj("ids", idArr, "long[]")
+    def get(a: String, i: String): String = elemType match {
+      case FloatType      => s"(double) $a.getFloat($i)"
+      case DoubleType     => s"$a.getDouble($i)"
+      case IntegerType    => s"(double) $a.getInt($i)"
+      case LongType       => s"(double) $a.getLong($i)"
+      case ShortType      => s"(double) $a.getShort($i)"
+      case ByteType       => s"(double) $a.getByte($i)"
+      case d: DecimalType => s"$a.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+      case other          => throw new IllegalStateException(s"unreachable: $other")
+    }
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val s2 = ctx.freshName("s2")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val bi = ctx.freshName("bi")
+      val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot")
+      val j = ctx.freshName("j")
+      val cv = ctx.freshName("cv")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $cmRef[0].length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $v = new double[$n];
+         |  double $s2 = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $v[$i] = ${get(a, i)};
+         |    $s2 += $v[$i] * $v[$i];
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $best = Double.POSITIVE_INFINITY;
+         |    int $bi = 0;
+         |    for (int $c = 0; $c < $cmRef.length; $c++) {
+         |      final double[] $cv = $cmRef[$c];
+         |      double $dot = 0.0;
+         |      for (int $j = 0; $j < $n; $j++) { $dot += $v[$j] * $cv[$j]; }
+         |      final double $d = ($s2 - 2.0 * $dot) + $normsRef[$c];
+         |      if ($d < $best) { $best = $d; $bi = $c; }
+         |    }
+         |    ${ev.value} = $idsRef[$bi];
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 object ArrayMath {
   /** Column-level dot product backed by [[DotProduct]]. */
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column-level nearest-centroid argmin backed by [[NearestCentroid]].
+    * `ids` must be ascending for first-minimum/ORDER BY tie parity. */
+  def nearestCentroid(a: Column, ids: Seq[Long], cents: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(
+      NearestCentroid(GraftColumnBridge.expression(a), ids, cents))
 }

@@ -160,13 +160,17 @@ object Ann {
     sqDistances(col(embCol), centVecs)
 
   /** The nearest-centroid cell id (first minimum wins — deterministic
-    * because the centroid literal order is fixed). */
+    * because the centroid order is fixed and ids ascend). Backed by the
+    * native [[graft.functions.NearestCentroid]] loop: the K-wide
+    * `array(dot…)` + `array_min` rendering blows the JIT's bytecode
+    * ceiling past K ≈ 100 and de-optimises the whole stage to the JVM
+    * bytecode interpreter (measured — see the expression's scaladoc);
+    * the native argmin is size-independent of K. Same expansion
+    * arithmetic, so oracle hashes are unchanged. */
   private def nearestCell(embCol: String,
-                          centroids: Seq[(Long, Seq[Double])]): Column = {
-    val ds = sqDistances(embCol, centroids.map(_._2))
-    element_at(typedLit(centroids.map(_._1)),
-      array_position(ds, array_min(ds)).cast("int"))
-  }
+                          centroids: Seq[(Long, Seq[Double])]): Column =
+    graft.functions.ArrayMath.nearestCentroid(
+      col(embCol), centroids.map(_._1), centroids.map(_._2))
 
   /** Two-level (coarse → fine) nearest-centroid assignment — the
     * sub-O(N·K) index build. Centroids are grouped into ⌈√K⌉-sized
@@ -200,11 +204,14 @@ object Ann {
     val k = centroids.size
     val g = math.ceil(math.sqrt(k.toDouble)).toInt
     val blocks = centroids.grouped(g).toSeq
-    val repDs = sqDistances(embCol, blocks.map(_.head._2))
+    // both argmin tiers on the native NearestCentroid loop (JIT-safe at
+    // any block count — see nearestCell); coarse returns the 1-BASED
+    // block id, matching the old array_position convention
+    val coarse = graft.functions.ArrayMath.nearestCentroid(
+      col(embCol), (1L to blocks.size.toLong), blocks.map(_.head._2))
     val fine = blocks.zipWithIndex.map { case (blk, i) =>
-      val ds = sqDistances(embCol, blk.map(_._2))
-      (i, element_at(typedLit(blk.map(_._1)),
-        array_position(ds, array_min(ds)).cast("int")))
+      (i, graft.functions.ArrayMath.nearestCentroid(
+        col(embCol), blk.map(_._1), blk.map(_._2)))
     }
     // collision-free temp name: a caller's own `_grp` column must survive
     // (and never be read as the block id by the CASE chain below)
@@ -216,7 +223,7 @@ object Ann {
       case (acc, (i, cell)) => acc.when(col(grp) === (i + 1), cell)
     }
     vectors
-      .withColumn(grp, array_position(repDs, array_min(repDs)))
+      .withColumn(grp, coarse)
       .withColumn(out, chain)
       .drop(grp)
   }
@@ -284,6 +291,69 @@ object Ann {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sd = dim / m
     (0 until m).map(j => seeds.map(_.slice(j * sd, j * sd + sd)))
+  }
+
+  /** [[pqCodebooks]] refined by `iters` deterministic Lloyd passes over
+    * the first `sampleN` corpus vectors by id. The whole refinement runs
+    * on the DRIVER (a sampleN × ksub × dim flop count — microseconds),
+    * so another engine can reproduce the resulting codebooks exactly
+    * from the same table: assignment uses the same dot-expansion
+    * arithmetic as [[sqDistances]] (left-to-right double folds,
+    * first-minimum tie → lower code), each refined code is the
+    * element-wise mean of its members summed in vec_id order and divided
+    * by the member count, and a code that attracts no members keeps its
+    * previous vector. `iters = 0` returns [[pqCodebooks]]'s seeding
+    * unchanged. Measured on the sf0.1 embeddings (AnnRecallSpec,
+    * SCALING.md round 10): one pass lifts ADC recall@5 materially over
+    * the untrained first-ksub seeding at identical search cost — the
+    * codebook is a plan literal either way. */
+  def pqCodebooksLloyd(vectors: DataFrame, idCol: String, embCol: String,
+                       m: Int, ksub: Int, iters: Int = 1,
+                       sampleN: Int = 256): Seq[Seq[Seq[Double]]] = {
+    val sample = vectors.orderBy(col(idCol)).limit(sampleN)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x => x.toString.toDouble
+      }.toIndexedSeq).toSeq
+    require(sample.nonEmpty, "pqCodebooksLloyd needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sd = dim / m
+    var books: Seq[Seq[IndexedSeq[Double]]] =
+      (0 until m).map(j => sample.take(ksub).map(_.slice(j * sd, j * sd + sd)))
+    for (_ <- 0 until iters) {
+      books = (0 until m).map { j =>
+        val subs = sample.map(_.slice(j * sd, j * sd + sd))
+        val book = books(j)
+        // the exact expansion arithmetic of sqDistances, in driver doubles
+        val assigned = subs.map { s =>
+          val s2 = s.foldLeft(0.0)((a, x) => a + x * x)
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          for (c <- book.indices) {
+            val cvec = book(c)
+            var dotv = 0.0
+            var t = 0
+            while (t < sd) { dotv += s(t) * cvec(t); t += 1 }
+            val n2 = cvec.foldLeft(0.0)((a, x) => a + x * x)
+            val d = (s2 - 2.0 * dotv) + n2
+            if (d < bestD) { bestD = d; best = c } // strict: first min wins
+          }
+          best
+        }
+        book.indices.map { c =>
+          val members = assigned.zipWithIndex.collect {
+            case (a, i) if a == c => subs(i)
+          }
+          if (members.isEmpty) book(c)
+          else (0 until sd).map(t =>
+            members.foldLeft(0.0)((a, v) => a + v(t)) / members.size).toIndexedSeq
+        }
+      }
+    }
+    books.map(_.map(_.toSeq))
   }
 
   /** PQ-encode: each vector becomes `m` small code ids (the nearest code

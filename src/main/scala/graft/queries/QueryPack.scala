@@ -984,6 +984,23 @@ object QueryPack {
       k = 5)
   }
 
+  /** x_ann_pq with one deterministic Lloyd refinement pass over the
+    * codebooks (`Ann.pqCodebooksLloyd`, sample = first 256 vectors by
+    * id): same encode/ADC pipeline, better-centred codes. The whole
+    * refinement is driver-side and its arithmetic mirrors the dot
+    * expansion, so the DuckDB twin re-derives the refined books from the
+    * table (one unrolled assign→mean pass, member sums in vec_id order)
+    * and the hash pins codebook training bit-for-bit. AnnRecallSpec
+    * publishes the recall delta vs the untrained seeding. */
+  def xAnnPqLloyd(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Ann.pqSearch(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding",
+      graft.operators.Ann.pqCodebooksLloyd(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 1, sampleN = 256),
+      k = 5)
+  }
+
   /** IVF-PQ (`Ann.ivfPqSearch`): the x_ann_pq quantiser searched through
     * the x_ann_ivf_probe index — nprobe = 3 cells per query, candidates
     * scored by ADC table lookups only. The compressed-index composition
@@ -1192,16 +1209,12 @@ object QueryPack {
     * per-subspace lookups in subspace order via list(... ORDER BY sub);
     * argmin ties break on the lower code id (Spark: first array minimum).
     */
-  private val pqOracleSql: String =
-    """WITH seeds AS (
-      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
-      |  FROM embeddings ORDER BY vec_id LIMIT 16),
-      |subs AS (SELECT unnest(range(0, 8)) AS sub),
-      |books AS (
-      |  SELECT s.sub AS sub, d.code AS code,
-      |    list_transform(range(1, 9), t -> CAST(d.embedding[s.sub*8 + t] AS DOUBLE)) AS cvec
-      |  FROM seeds d CROSS JOIN subs s),
-      |enc0 AS (
+  /** The search tail shared by the plain-PQ and Lloyd-PQ oracles —
+    * everything downstream of a `books(sub, code, cvec)` CTE: encode,
+    * query tables, subspace-ordered ADC sums, ranking. Shared verbatim
+    * so the two pipelines differ ONLY in codebook derivation. */
+  private val pqSearchTailSql: String =
+    """enc0 AS (
       |  SELECT e.vec_id, b.sub, b.code,
       |    (list_sum(list_transform(range(1, 9), t ->
       |       CAST(e.embedding[b.sub*8 + t] AS DOUBLE) * CAST(e.embedding[b.sub*8 + t] AS DOUBLE)))
@@ -1232,6 +1245,61 @@ object QueryPack {
       |  FROM scored)
       |SELECT q_id, rank, vec_id AS neighbor, round(adc, 4) AS adc_dist
       |FROM ranked WHERE rank <= 5""".stripMargin
+
+  private val pqOracleSql: String =
+    s"""WITH seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |subs AS (SELECT unnest(range(0, 8)) AS sub),
+      |books AS (
+      |  SELECT s.sub AS sub, d.code AS code,
+      |    list_transform(range(1, 9), t -> CAST(d.embedding[s.sub*8 + t] AS DOUBLE)) AS cvec
+      |  FROM seeds d CROSS JOIN subs s),
+      |$pqSearchTailSql""".stripMargin
+
+  /** DuckDB mirror of Ann.pqCodebooksLloyd(iters = 1, sampleN = 256) +
+    * pqSearch: one unrolled Lloyd pass — books0 = the first-ksub
+    * seeding, asg0 = each sample subvector's nearest code under the dot
+    * expansion (ties → lower code, row_number), dims = per-(sub, code,
+    * dimension) member mean with the sum folded in vec_id order
+    * (list_sum over an ORDER BY vec_id list — the driver folds members
+    * in the same order), books = refined vectors with empty cells
+    * keeping their seed (LEFT JOIN + coalesce). The search tail is
+    * byte-identical to the plain pq oracle's. */
+  private val pqLloydOracleSql: String =
+    s"""WITH sample AS (
+      |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |subs AS (SELECT unnest(range(0, 8)) AS sub),
+      |books0 AS (
+      |  SELECT s.sub AS sub, d.code AS code,
+      |    list_transform(range(1, 9), t -> CAST(d.embedding[s.sub*8 + t] AS DOUBLE)) AS cvec
+      |  FROM seeds d CROSS JOIN subs s),
+      |svecs AS (
+      |  SELECT e.vec_id, s.sub,
+      |    list_transform(range(1, 9), t -> CAST(e.embedding[s.sub*8 + t] AS DOUBLE)) AS svec
+      |  FROM sample e CROSS JOIN subs s),
+      |asg0 AS (
+      |  SELECT vec_id, sub, code, svec FROM (
+      |    SELECT v.vec_id, v.sub, b.code, v.svec,
+      |      row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+      |        (list_sum(list_transform(range(1, 9), t -> v.svec[t] * v.svec[t]))
+      |         - 2 * list_sum(list_transform(range(1, 9), t -> v.svec[t] * b.cvec[t])))
+      |         + list_sum(list_transform(range(1, 9), t -> b.cvec[t] * b.cvec[t])), b.code) AS rn
+      |    FROM svecs v JOIN books0 b ON b.sub = v.sub) WHERE rn = 1),
+      |dims AS (
+      |  SELECT a.sub, a.code, t.t,
+      |    list_sum(list(a.svec[t.t] ORDER BY a.vec_id)) / count(*) AS mu
+      |  FROM asg0 a CROSS JOIN (SELECT unnest(range(1, 9)) AS t) t
+      |  GROUP BY a.sub, a.code, t.t),
+      |refined AS (
+      |  SELECT sub, code, list(mu ORDER BY t) AS cvec FROM dims GROUP BY sub, code),
+      |books AS (
+      |  SELECT b0.sub, b0.code, coalesce(r.cvec, b0.cvec) AS cvec
+      |  FROM books0 b0 LEFT JOIN refined r ON r.sub = b0.sub AND r.code = b0.code),
+      |$pqSearchTailSql""".stripMargin
 
   /** DuckDB mirror of Ann.ivfPqSearch (nprobe = 3, m = 8, ksub = 16,
     * k = 5, queries vec_id < 8): the ivf_probe oracle's quantizer CTEs
@@ -1536,6 +1604,7 @@ object QueryPack {
     "x_ann_ivf_probe" -> (xAnnIvfProbe _),
     "x_ann_ivfpq" -> (xAnnIvfPq _),
     "x_ann_pq" -> (xAnnPq _),
+    "x_ann_pq_lloyd" -> (xAnnPqLloyd _),
     "x_dedup_embedding" -> (xDedupEmbedding _),
     "x_dedup_embedding_sized" -> (xDedupEmbeddingSized _),
     "w3_sliding" -> (w3Sliding _),
@@ -1905,6 +1974,7 @@ object QueryPack {
     "x_ann_ivf_probe" -> ivfProbeOracleSql,
     "x_ann_ivfpq" -> ivfPqOracleSql,
     "x_ann_pq" -> pqOracleSql,
+    "x_ann_pq_lloyd" -> pqLloydOracleSql,
     "x_dedup_embedding" -> dedupEmbeddingOracleSqlFor(lshPlanes, sized = false),
     "x_dedup_embedding_sized" -> dedupEmbeddingOracleSqlFor(sizedPlanes, sized = true),
     "w3_sliding" ->

@@ -36,6 +36,8 @@ class AnnRecallSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
       .sortBy(_._1).toSeq
     val books = Ann.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val lloyd = Ann.pqCodebooksLloyd(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 1, sampleN = 256)
 
     // exact baselines
     val cosExact = neighborSet(
@@ -64,6 +66,11 @@ class AnnRecallSpec extends SparkSpec {
         twoLevel = true)), cosExact),
       ("pq", neighborSet(Ann.pqSearch(
         emb, queries, "vec_id", "embedding", books, k = k)), l2Exact),
+      ("pq_lloyd", neighborSet(Ann.pqSearch(
+        emb, queries, "vec_id", "embedding", lloyd, k = k)), l2Exact),
+      ("ivfpq_lloyd_probe3", neighborSet(Ann.ivfPqSearch(
+        emb, queries, "vec_id", "embedding", cents, lloyd,
+        nprobe = 3, k = k)), l2Exact),
       ("ivfpq_probe3", neighborSet(Ann.ivfPqSearch(
         emb, queries, "vec_id", "embedding", cents, books,
         nprobe = 3, k = k)), l2Exact),
@@ -81,7 +88,8 @@ class AnnRecallSpec extends SparkSpec {
     // floors: just under round 10's measured values (SCALING.md table)
     val floors = Map(
       "ivf_probe3" -> 0.95, "ivf_probe8" -> 0.95, "ivf_hier_probe3" -> 0.50,
-      "pq" -> 0.10, "ivfpq_probe3" -> 0.25, "ivfpq_probe8" -> 0.15)
+      "pq" -> 0.10, "ivfpq_probe3" -> 0.25, "ivfpq_probe8" -> 0.15,
+      "pq_lloyd" -> 0.20, "ivfpq_lloyd_probe3" -> 0.30)
     floors.foreach { case (name, floor) =>
       assert(recalls(name) >= floor,
         s"$name recall@5 ${recalls(name)} fell under its measured floor $floor")

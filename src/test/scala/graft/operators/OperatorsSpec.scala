@@ -518,6 +518,38 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.35, s"ADC recall@5 fell under its measured level: $recall")
   }
 
+  test("ann: lloyd codebook refinement — iters=0 is the seeding, deterministic, SSE monotone") {
+    import graft.operators.Ann
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat()))).toDF("id", "emb")
+    val plain = Ann.pqCodebooks(vecs, "id", "emb", m = 4, ksub = 8)
+    assert(Ann.pqCodebooksLloyd(vecs, "id", "emb", m = 4, ksub = 8, iters = 0) == plain,
+      "zero iterations must return the first-ksub seeding unchanged")
+    val one = Ann.pqCodebooksLloyd(vecs, "id", "emb", m = 4, ksub = 8, iters = 1)
+    assert(one == Ann.pqCodebooksLloyd(vecs, "id", "emb", m = 4, ksub = 8, iters = 1),
+      "refinement must be deterministic (no RNG anywhere)")
+    assert(one.length == 4 && one.forall(b => b.length == 8 && b.forall(_.length == 4)))
+    // Lloyd never increases the sample's quantisation error: means
+    // minimise SSE for a fixed assignment, re-assignment minimises it
+    // for fixed codes (the empty-cell keep-old rule changes nothing)
+    val sample = vecs.orderBy(col("id")).limit(256).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+    def sse(books: Seq[Seq[Seq[Double]]]): Double =
+      sample.map { v =>
+        books.zipWithIndex.map { case (book, j) =>
+          val s = v.slice(j * 4, j * 4 + 4)
+          book.map(c => s.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
+        }.sum
+      }.sum
+    val (e0, e1) = (sse(plain), sse(one))
+    info(f"sample SSE: seeding $e0%.3f -> one lloyd pass $e1%.3f")
+    assert(e1 <= e0, s"lloyd pass increased quantisation error: $e0 -> $e1")
+    // a second pass keeps improving or holds (monotone, still deterministic)
+    val two = Ann.pqCodebooksLloyd(vecs, "id", "emb", m = 4, ksub = 8, iters = 2)
+    assert(sse(two) <= e1)
+  }
+
   test("ann: ivfPqSearch with nprobe = K equals pqSearch; fewer probes stay sane") {
     import graft.operators.Ann
     import spark.implicits._
