@@ -46,27 +46,57 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("ivf assignment evaluates native: no interpreted HOF, dot inside codegen") {
-    // The disease that struck twice (the LSH dot in r8, the IVF
-    // assignment argmin in r9): an interpreted higher-order function —
-    // transform/zip_with/aggregate — carrying the dominant per-row
-    // compute. The assignment now expands ‖v−c‖² over the native
-    // codegen'd graft_dot; pin that the two all-assignment IVF plans
-    // contain NO lambda-bearing HOF node anywhere and that the dot
-    // reaches a whole-stage-codegen span. (The probe-limited variants
-    // keep a zip_with on the 8-row query side, so they are pinned by
-    // the broadcast-shape tests instead.)
+  test("ivf assignment evaluates native: no interpreted HOF, argmin inside codegen") {
+    // The disease that struck three times (the LSH dot in r8, the IVF
+    // assignment argmin in r9, the K-wide dot-array expansion in r10):
+    // first an interpreted higher-order function — transform/zip_with/
+    // aggregate — carrying the dominant per-row compute, then its cure's
+    // own failure mode — `array(dot×K)` + array_min inlines K loops into
+    // one generated method, which past K ≈ 100 blows the JIT bytecode
+    // ceiling and de-optimises the stage to the bytecode interpreter.
+    //
+    // annIvf CHECKPOINTS the assigned frame (the index build), which
+    // truncates lineage — the assignment expression can never appear in
+    // that query's executed plan. So the assignment tier is pinned on the
+    // two surfaces that expose it un-checkpointed: the public two-level
+    // assignment itself and the probe search's corpus side.
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    val hier = graft.operators.Ann.assignCellsHier(emb, "embedding", cents)
+    hier.collect()
+    val hierPlan = hier.queryExecution.executedPlan.toString
+    for (hof <- Seq("zip_with(", "aggregate(", "transform("))
+      assert(!hierPlan.contains(hof),
+        s"interpreted HOF '$hof' in the two-level assignment plan:\n$hierPlan")
+    assert(!hierPlan.contains("array(graft_dot"),
+      s"K-wide dot-array expansion (JIT-ceiling risk) in the assignment:\n$hierPlan")
+    assert(hierPlan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_nearest_centroid")),
+      s"graft_nearest_centroid not inside a codegen stage:\n$hierPlan")
+
+    // probe search: the corpus-side flat assignment is in-plan (the 8-row
+    // query side legitimately keeps a zip_with, so no HOF-absence pin here)
+    val probe = QueryPack.xAnnIvfProbe(spark, sf)
+    probe.collect()
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(probePlan.contains("graft_nearest_centroid"),
+      s"native argmin missing from the probe-search corpus scan:\n$probePlan")
+    assert(!probePlan.contains("array(graft_dot"),
+      s"K-wide dot-array expansion (JIT-ceiling risk) in the probe plan:\n$probePlan")
+
+    // the checkpointed all-assignment queries still score via the native
+    // dot and must stay HOF-free end to end
     for (q <- Seq(QueryPack.xAnnIvf(spark, sf), QueryPack.xAnnIvfHier(spark, sf))) {
-      // execute, then read the AQE FINAL plan — its simple string prints
-      // expressions inline on the `*(n)` codegen-stage lines (the
-      // unexecuted AdaptiveSparkPlan carries no codegen markers yet)
       q.collect()
       val plan = q.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
       for (hof <- Seq("zip_with(", "aggregate(", "transform("))
         assert(!plan.contains(hof),
-          s"interpreted HOF '$hof' back in the assignment plan:\n$plan")
-      assert(plan.contains("graft_dot"), s"native dot missing:\n$plan")
+          s"interpreted HOF '$hof' back in the scoring plan:\n$plan")
       assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_dot")),
         s"graft_dot not inside a codegen stage:\n$plan")
     }
