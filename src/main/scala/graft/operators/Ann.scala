@@ -228,6 +228,20 @@ object Ann {
       .drop(grp)
   }
 
+  /** Exhaustive-within-cell IVF: every vector's best cosine neighbour
+    * among the vectors sharing its cell — the all-pairs-per-cell shape,
+    * cost ∝ Σ(cell population)². The cell join is a SALTED shuffle-hash
+    * join (never a corpus broadcast); the assignment is checkpointed
+    * once as the index build.
+    *
+    * `twoLevel` exists for oracle parity with the `x_ann_ivf_hier` row
+    * and is MEASURED SLOWER here than the default flat assignment
+    * (SCALING.md): [[assignCellsHier]]'s inexact coarse pass skews cell
+    * populations (Σpop² 6.2× flat on the sf10 embeddings), and this
+    * operator's all-pairs consumer pays exactly that Σpop². Pair the
+    * hier assignment with the probe-limited searchers instead —
+    * [[ivfSearch]] / [[ivfPqSearch]] `(twoLevel = true)` — whose cost is
+    * linear in the probed cells' populations. */
   def annIvf(vectors: DataFrame, idCol: String, embCol: String,
              centroids: Seq[(Long, Seq[Double])], salts: Int = 4,
              checkpointDir: Option[String] = None,
@@ -258,18 +272,6 @@ object Ann {
         col("best.neighbor").as("neighbor"), col("best.cos_sim").as("cos_sim"))
   }
 
-  /** Probe-limited IVF search — the sub-O(N^1.5) seam named in SCALING.md:
-    * instead of every vector searching its whole cell ([[annIvf]]) or a
-    * query set scanning the whole corpus ([[cosineTopK]]), each query
-    * fans out to its `nprobe` NEAREST cells and scores only the vectors
-    * assigned there, touching ≈ nprobe/K of the corpus per query.
-    *
-    * Scale shape: the corpus side is one narrow argmin assignment scan
-    * followed by a broadcast-hash equi-join on the cell key (the exploded
-    * query×nprobe side is small and broadcast) — the corpus never
-    * shuffles and is never compared all-pairs. With `nprobe = K` the
-    * result is EXACTLY [[cosineTopK]]'s (every cell probed), which
-    * OperatorsSpec pins; recall degrades gracefully as nprobe shrinks. */
   /** Deterministic product-quantisation codebooks: the embedding space is
     * split into `m` contiguous subspaces and each subspace gets the
     * corresponding slices of the first `ksub` corpus vectors by id as its
@@ -412,7 +414,20 @@ object Ann {
         round(col("_adc"), 4).as("adc_dist"))
   }
 
-  /** `twoLevel` selects the corpus assignment strategy: flat argmin over
+  /** Probe-limited IVF search — the sub-O(N^1.5) seam named in SCALING.md:
+    * instead of every vector searching its whole cell ([[annIvf]]) or a
+    * query set scanning the whole corpus ([[cosineTopK]]), each query
+    * fans out to its `nprobe` NEAREST cells and scores only the vectors
+    * assigned there, touching ≈ nprobe/K of the corpus per query.
+    *
+    * Scale shape: the corpus side is one narrow argmin assignment scan
+    * followed by a broadcast-hash equi-join on the cell key (the exploded
+    * query×nprobe side is small and broadcast) — the corpus never
+    * shuffles and is never compared all-pairs. With `nprobe = K` the
+    * result is EXACTLY [[cosineTopK]]'s (every cell probed), which
+    * OperatorsSpec pins; recall degrades gracefully as nprobe shrinks.
+    *
+    * `twoLevel` selects the corpus assignment strategy: flat argmin over
     * all K centroids (exact, O(N·K) distances) or [[assignCellsHier]]'s
     * coarse→fine pass (~2√K distances per row) — the pairing that
     * assignment's scaladoc prescribes, since probe-limited search cost
