@@ -264,6 +264,187 @@ case class NearestCentroid(child: Expression, ids: Seq[Long],
     copy(child = newChild)
 }
 
+/** Two-level (coarse → fine) nearest-centroid argmin fused into ONE
+  * expression: centroids are grouped into fixed-size blocks in id order;
+  * the input first argmins over each block's FIRST centroid (the
+  * representative, ties → earlier block), then argmins over the chosen
+  * block's centroids only (ties → earlier centroid) — ~2√K distance
+  * loops per row instead of K.
+  *
+  * Why fused and not a CASE chain of per-block [[NearestCentroid]]s:
+  * whole-stage codegen inlines every CASE branch into one generated
+  * method, so at B ≈ √K blocks the chain re-creates exactly the
+  * JIT-bytecode-ceiling blowup the flat argmin hit at K ≈ 100 — and
+  * worse, it drags the whole fused stage (join, scoring) into the
+  * bytecode interpreter with it. Measured at sf10 (K = 447, B = 22):
+  * the CASE rendering ran `x_ann_ivf_hier_probe` at 187–200 s where the
+  * flat-assignment twin took 1.5 s (SCALING.md round 10). Here the
+  * block structure lives in reference arrays and the generated code is
+  * three tiny loops — size-independent of K.
+  *
+  * Arithmetic parity with the CASE rendering is exact: same
+  * `(v·v − 2·v·c) + ‖c‖²` expansion, same fold order, same two
+  * first-minimum tie rules — all oracle hashes unchanged. Null/length
+  * semantics as [[NearestCentroid]]. */
+case class NearestCentroidHier(child: Expression, ids: Seq[Long],
+                               cents: Seq[Seq[Double]], blockSize: Int)
+    extends UnaryExpression {
+
+  require(ids.nonEmpty && ids.length == cents.length,
+    s"ids (${ids.length}) and centroid rows (${cents.length}) must match and be non-empty")
+  require(cents.forall(_.length == cents.head.length),
+    "all centroid rows must share one dimension")
+  require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+
+  override def prettyName: String = "graft_nearest_centroid_hier"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  @transient private lazy val cm: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    cm.map(_.foldLeft(0.0)((a, x) => a + x * x))
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  // block b spans [starts(b), starts(b+1)); representatives sit at starts
+  @transient private lazy val starts: Array[Int] =
+    (0 until cm.length by blockSize).toArray :+ cm.length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if et.isInstanceOf[NumericType] =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array of numeric elements, got ${other.catalogString}")
+  }
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != cm(0).length) return null
+    val t = elemType
+    val v = new Array[Double](n)
+    var s2 = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = t match {
+        case FloatType      => a.getFloat(i).toDouble
+        case DoubleType     => a.getDouble(i)
+        case IntegerType    => a.getInt(i).toDouble
+        case LongType       => a.getLong(i).toDouble
+        case ShortType      => a.getShort(i).toDouble
+        case ByteType       => a.getByte(i).toDouble
+        case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+        case other          => throw new IllegalStateException(s"unreachable: $other")
+      }
+      v(i) = x
+      s2 += x * x
+      i += 1
+    }
+    var best = Double.PositiveInfinity
+    var bb = 0
+    var b = 0
+    while (b < starts.length - 1) {
+      val cv = cm(starts(b))
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += v(j) * cv(j); j += 1 }
+      val d = (s2 - 2.0 * dot) + norms(starts(b))
+      if (d < best) { best = d; bb = b }
+      b += 1
+    }
+    best = Double.PositiveInfinity
+    var bi = starts(bb)
+    var c = starts(bb)
+    while (c < starts(bb + 1)) {
+      val cv = cm(c)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += v(j) * cv(j); j += 1 }
+      val d = (s2 - 2.0 * dot) + norms(c)
+      if (d < best) { best = d; bi = c }
+      c += 1
+    }
+    idArr(bi)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cmRef = ctx.addReferenceObj("cm", cm, "double[][]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+    val idsRef = ctx.addReferenceObj("ids", idArr, "long[]")
+    val startsRef = ctx.addReferenceObj("starts", starts, "int[]")
+    def get(a: String, i: String): String = elemType match {
+      case FloatType      => s"(double) $a.getFloat($i)"
+      case DoubleType     => s"$a.getDouble($i)"
+      case IntegerType    => s"(double) $a.getInt($i)"
+      case LongType       => s"(double) $a.getLong($i)"
+      case ShortType      => s"(double) $a.getShort($i)"
+      case ByteType       => s"(double) $a.getByte($i)"
+      case d: DecimalType => s"$a.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+      case other          => throw new IllegalStateException(s"unreachable: $other")
+    }
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val s2 = ctx.freshName("s2")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val bb = ctx.freshName("bb")
+      val b = ctx.freshName("b")
+      val bi = ctx.freshName("bi")
+      val c = ctx.freshName("c")
+      val dotC = ctx.freshName("dotc")
+      val dotF = ctx.freshName("dotf")
+      val jC = ctx.freshName("jc")
+      val jF = ctx.freshName("jf")
+      val cvC = ctx.freshName("cvc")
+      val cvF = ctx.freshName("cvf")
+      val dC = ctx.freshName("dc")
+      val dF = ctx.freshName("df")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $cmRef[0].length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $v = new double[$n];
+         |  double $s2 = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $v[$i] = ${get(a, i)};
+         |    $s2 += $v[$i] * $v[$i];
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $best = Double.POSITIVE_INFINITY;
+         |    int $bb = 0;
+         |    for (int $b = 0; $b < $startsRef.length - 1; $b++) {
+         |      final double[] $cvC = $cmRef[$startsRef[$b]];
+         |      double $dotC = 0.0;
+         |      for (int $jC = 0; $jC < $n; $jC++) { $dotC += $v[$jC] * $cvC[$jC]; }
+         |      final double $dC = ($s2 - 2.0 * $dotC) + $normsRef[$startsRef[$b]];
+         |      if ($dC < $best) { $best = $dC; $bb = $b; }
+         |    }
+         |    $best = Double.POSITIVE_INFINITY;
+         |    int $bi = $startsRef[$bb];
+         |    for (int $c = $startsRef[$bb]; $c < $startsRef[$bb + 1]; $c++) {
+         |      final double[] $cvF = $cmRef[$c];
+         |      double $dotF = 0.0;
+         |      for (int $jF = 0; $jF < $n; $jF++) { $dotF += $v[$jF] * $cvF[$jF]; }
+         |      final double $dF = ($s2 - 2.0 * $dotF) + $normsRef[$c];
+         |      if ($dF < $best) { $best = $dF; $bi = $c; }
+         |    }
+         |    ${ev.value} = $idsRef[$bi];
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidHier =
+    copy(child = newChild)
+}
+
 object ArrayMath {
   /** Column-level dot product backed by [[DotProduct]]. */
   def dot(a: Column, b: Column): Column =
@@ -275,4 +456,11 @@ object ArrayMath {
   def nearestCentroid(a: Column, ids: Seq[Long], cents: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(
       NearestCentroid(GraftColumnBridge.expression(a), ids, cents))
+
+  /** Column-level two-level argmin backed by [[NearestCentroidHier]].
+    * `ids` must be ascending for first-minimum/ORDER BY tie parity. */
+  def nearestCentroidHier(a: Column, ids: Seq[Long], cents: Seq[Seq[Double]],
+                          blockSize: Int): Column =
+    GraftColumnBridge.column(
+      NearestCentroidHier(GraftColumnBridge.expression(a), ids, cents, blockSize))
 }

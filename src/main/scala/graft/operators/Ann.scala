@@ -179,10 +179,13 @@ object Ann {
     * lower block, exactly [[nearestCell]]'s first-minimum rule), then
     * the nearest centroid WITHIN that block only — ~2√K distance
     * computations per row instead of K, turning the O(N^1.5) √N-centroid
-    * build into O(N·N^0.25). The block argmins sit in `CASE WHEN`
-    * branches keyed on a MATERIALISED block id (`_grp` via withColumn —
-    * inlining it would re-evaluate the coarse argmin per branch
-    * condition), so only the matched block's distances are computed.
+    * build into O(N·N^0.25). Both argmin tiers run FUSED inside the
+    * single native [[graft.functions.NearestCentroidHier]] expression —
+    * a CASE chain of per-block argmins would re-inline ~√K loop bodies
+    * into one generated method and blow the JIT bytecode ceiling, the
+    * exact disease the flat argmin hit at K ≈ 100 (measured: the CASE
+    * rendering ran the sf10 probe pairing at 187–200 s vs 1.5 s flat;
+    * SCALING.md round 10).
     *
     * The assignment is hierarchical, not exact: a row whose true nearest
     * centroid sits in a block whose representative is far away lands in
@@ -203,29 +206,8 @@ object Ann {
                       out: String = "cell"): DataFrame = {
     val k = centroids.size
     val g = math.ceil(math.sqrt(k.toDouble)).toInt
-    val blocks = centroids.grouped(g).toSeq
-    // both argmin tiers on the native NearestCentroid loop (JIT-safe at
-    // any block count — see nearestCell); coarse returns the 1-BASED
-    // block id, matching the old array_position convention
-    val coarse = graft.functions.ArrayMath.nearestCentroid(
-      col(embCol), (1L to blocks.size.toLong), blocks.map(_.head._2))
-    val fine = blocks.zipWithIndex.map { case (blk, i) =>
-      (i, graft.functions.ArrayMath.nearestCentroid(
-        col(embCol), blk.map(_._1), blk.map(_._2)))
-    }
-    // collision-free temp name: a caller's own `_grp` column must survive
-    // (and never be read as the block id by the CASE chain below)
-    val grp = Iterator.from(0)
-      .map(i => if (i == 0) "_grp" else s"_grp$i")
-      .find(n => !vectors.columns.contains(n) && n != out).get
-    val chain = fine.tail.foldLeft(
-      when(col(grp) === (fine.head._1 + 1), fine.head._2)) {
-      case (acc, (i, cell)) => acc.when(col(grp) === (i + 1), cell)
-    }
-    vectors
-      .withColumn(grp, coarse)
-      .withColumn(out, chain)
-      .drop(grp)
+    vectors.withColumn(out, graft.functions.ArrayMath.nearestCentroidHier(
+      col(embCol), centroids.map(_._1), centroids.map(_._2), g))
   }
 
   /** Exhaustive-within-cell IVF: every vector's best cosine neighbour

@@ -74,9 +74,15 @@ class PlanQualitySpec extends SparkSpec {
         s"interpreted HOF '$hof' in the two-level assignment plan:\n$hierPlan")
     assert(!hierPlan.contains("array(graft_dot"),
       s"K-wide dot-array expansion (JIT-ceiling risk) in the assignment:\n$hierPlan")
+    // the two tiers must be FUSED in one expression — a CASE chain of
+    // per-block argmins re-inlines ~sqrt(K) loop bodies into one generated
+    // method and blows the JIT bytecode ceiling (187-200 s vs 1.5 s at
+    // sf10, SCALING.md round 10)
+    assert(!hierPlan.contains("CASE WHEN"),
+      s"per-block CASE chain (JIT-ceiling risk) back in the assignment:\n$hierPlan")
     assert(hierPlan.linesIterator.exists(l =>
-      l.contains("*(") && l.contains("graft_nearest_centroid")),
-      s"graft_nearest_centroid not inside a codegen stage:\n$hierPlan")
+      l.contains("*(") && l.contains("graft_nearest_centroid_hier")),
+      s"graft_nearest_centroid_hier not inside a codegen stage:\n$hierPlan")
 
     // probe search: the corpus-side flat assignment is in-plan (the 8-row
     // query side legitimately keeps a zip_with, so no HOF-absence pin here)
