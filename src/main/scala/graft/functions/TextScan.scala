@@ -15,10 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * alternation — are correct but allocation-bound: each one MATERIALISES
   * an array of every token / every punctuation character just to take
   * its length, and the regex engine walks the pattern per input char.
-  * At sf10 the two document-stats queries spend ~80 s doing exactly
-  * that (`x_quality` alone is the most expensive query in the suite).
-  * This expression counts in ONE pass over the UTF-8 bytes — no arrays,
-  * no regex — and is codegen'd into the surrounding stage.
+  * Measured (one-JVM interleaved A/B, `graft.CharScanAb`, sf10
+  * documents, round 10): the four counter projections cost 46.44 s in
+  * the regex renderings vs 0.283 s here — **164×**
+  * (`CHARSCAN_AB_sf10.json`). This expression counts in ONE pass over
+  * the UTF-8 bytes — no arrays, no regex — and is codegen'd into the
+  * surrounding stage.
   *
   * Each `kind` reproduces one composable rendering EXACTLY (the oracle
   * hashes must not move), including its Unicode behaviour — both paths
