@@ -10,12 +10,17 @@ READING = {
     "x_quality": "cause #1 — linear in chars (13.28x), so sublinear",
     "x_ann_lsh_sized": "cause #2's fix, oracle-pinned: planesFor(n) holds bucket density — linear track",
     "x_dedup_embedding_sized": "cause #2's fix for the dedup twin — linear track",
-    "x_ann_ivf_probe": "cause #3 — search side probe-limited; assignment (index build) still O(N^1.5)",
+    "x_ann_ivf_probe": "probe-limited exact search at native argmin throughput — linear track (r10)",
     "x_unigram_logprob": "explode + word-keyed shuffle join; linear in tokens",
     "x_dedup_embedding": "cause #2 — fixed hyperplane count, denser buckets",
     "x_token_count": "cause #1 — char-bound regexp, well under 13.28x",
     "x_ann_lsh": "cause #2",
-    "x_ann_ivf": "cause #3 — sqrt(N) centroids: O(N^1.5) flops by design",
+    "x_ann_ivf": "cause #3 — sqrt(N) centroids: O(N^1.5) flops by design, native throughput since r10",
+    "x_ann_ivf_hier": "fused two-level build + all-pairs consumer — pays the Σpop² skew (cause #3)",
+    "x_ann_ivf_hier_probe": "fused two-level build + probe search — the prescribed pairing, flattest exact-search curve",
+    "x_ann_pq": "PQ encode+ADC — flat-coefficient linear track",
+    "x_ann_pq_lloyd": "one Lloyd pass over the PQ codebooks: same cost curve, +0.10 recall@5",
+    "x_ann_ivfpq": "probe-limited ADC atop the coarse quantizer — corpus-linear since r10",
     "set_ops": "shuffle-bound set algebra; linear-ish in shuffled bytes",
     "x_range_join": "bucket fan-out join; linear in candidate rows",
     "m9_cleaners": "regex-chain bound, narrow",
