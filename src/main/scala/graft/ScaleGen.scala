@@ -135,19 +135,22 @@ object ScaleGen {
     row.getLong(0) + 1L
   }
 
-  /** events.ts arrives as TIMESTAMP(NANOS), which Spark 4 can only read as
-    * a long (raw nanos). Writing that long back produces plain INT64
-    * parquet, and every downstream engine loses the timestamp binding —
-    * the DuckDB oracle SQL's `epoch_ms(ts)` stops resolving at scaled
-    * dirs, which is why the four event-time queries used to drop out of
-    * the engine comparison. Convert to a µs TIMESTAMP on write so scaled
-    * dirs carry a real timestamp type. Sub-µs precision is dropped
-    * (integer division) — no query observes it (they all bin to ms). */
+  /** Legacy-source repair: TIMESTAMP(NANOS)-era events.ts reads only as a
+    * long (raw nanos), and writing that long back produces plain INT64
+    * parquet — every downstream engine loses the timestamp binding (the
+    * DuckDB oracle's `epoch_ms(ts)` stops resolving), which is why the
+    * four event-time queries used to drop out of the engine comparison.
+    * Convert such a long to a µs TIMESTAMP on write; sub-µs precision is
+    * dropped (integer division) — no query observes it (they all bin to
+    * ms). A source that already carries a real timestamp type (the
+    * current driver testdata is µs TIMESTAMP_NTZ; re-scaled output may be
+    * NTZ or LTZ) passes through unchanged — scaling preserves the
+    * source's type exactly. */
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => df // already a real timestamp (e.g. re-scaling scaled output)
+      case _ => df // real timestamp (NTZ or LTZ): preserve the source type
     }
 
   /** Copy-k word salt: suffix every word with `_k` (identity for k=0). */

@@ -26,18 +26,26 @@ object QueryPack {
 
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
 
-  /** The driver's events.parquet carries TIMESTAMP(NANOS), which Spark 4
-    * rejects by default; read it as a long (nanos) and derive epoch-millis
-    * with INTEGER division (double division would lose precision at 1e18).
-    * ScaleGen-produced dirs instead carry a real µs TIMESTAMP (the nanos
-    * long round-trips to INT64 otherwise, breaking every engine's
-    * timestamp binding) — both arrive at the same ts_ms. */
+  /** events.ts has shipped in three parquet generations, all normalised
+    * here to one epoch-millis column:
+    *   - TIMESTAMP(NANOS): Spark 4 reads it only as a long (raw nanos,
+    *     via the nanosAsLong conf set below) — INTEGER division to ms
+    *     (double division would lose precision at 1e18);
+    *   - µs TIMESTAMP_NTZ (the current driver testdata) and µs TIMESTAMP
+    *     (ScaleGen output from nanos-era sources): `cast(ts as timestamp)`
+    *     is a no-op on the latter and an NTZ→LTZ reinterpretation on the
+    *     former. `unix_micros` does NOT implicitly accept TIMESTAMP_NTZ
+    *     (DATATYPE_MISMATCH), hence the explicit cast.
+    * The NTZ cast reads the wall clock in the SESSION time zone; every
+    * graft entry point (Verify, Bench, SparkSpec, SparkEntry) pins UTC,
+    * which is also what the DuckDB oracle's `epoch_ms(ts)` assumes for
+    * no-tz parquet — the epoch-ms values agree engine-to-engine. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = T(s, dir, "events")
     val tsMs = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => expr("unix_micros(ts) div 1000")
+      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000")
     }
     df.withColumn("ts_ms", tsMs)
   }

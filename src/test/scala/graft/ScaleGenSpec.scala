@@ -45,14 +45,25 @@ class ScaleGenSpec extends SparkSpec {
     assert(out("documents").select("text").distinct.count()
       == 2 * in("documents").select("text").distinct.count())
 
-    // events.ts is written as a real µs TIMESTAMP (the driver parquet's
-    // TIMESTAMP(NANOS) reads only as a long; a raw long round-trip breaks
-    // every engine's timestamp binding on scaled dirs) — and the epoch-ms
-    // values survive the conversion exactly
-    assert(out("events").schema("ts").dataType ==
-      org.apache.spark.sql.types.TimestampType, "scaled events.ts type")
-    val inMs = in("events").select(expr("ts div 1000000").as("ms"))
-    val outMs = out("events").select(expr("unix_micros(ts) div 1000").as("ms"))
+    // events.ts keeps a real timestamp binding on scaled dirs: a
+    // legacy nanos-long source is repaired to µs TIMESTAMP, and a
+    // real-timestamp source (the current driver data is µs NTZ) passes
+    // through with its type preserved — either way the scaled dir must
+    // carry a timestamp type (not a raw long, which would break every
+    // engine's `epoch_ms(ts)`) and the epoch-ms values must survive
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val srcType = in("events").schema("ts").dataType
+    val dstType = out("events").schema("ts").dataType
+    assert(dstType == TimestampType || dstType == TimestampNTZType,
+      s"scaled events.ts must be a timestamp type, got $dstType")
+    if (srcType != LongType)
+      assert(dstType == srcType, s"scaling must preserve the source's timestamp type ($srcType), got $dstType")
+    def ms(df: org.apache.spark.sql.DataFrame) = df.select((df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000")
+      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000")
+    }).as("ms"))
+    val inMs = ms(in("events"))
+    val outMs = ms(out("events"))
     assert(inMs.exceptAll(outMs).count() == 0,
       "every source epoch-ms value must survive the timestamp conversion")
 
