@@ -340,6 +340,54 @@ object Ann {
     books.map(_.map(_.toSeq))
   }
 
+  /** The IVF coarse quantizer's first-K-by-id seeding refined by `iters`
+    * deterministic Lloyd passes — [[pqCodebooksLloyd]] run with ONE
+    * subspace spanning the full dimension, so every arithmetic guarantee
+    * (dot-expansion assignment, first-minimum tie → lower seed ordinal,
+    * member means folded in id order, empty cells keeping their seed)
+    * carries over verbatim and the refinement is oracle-mirrorable with
+    * the same CTE shapes as the PQ one. Centroid ids stay the seed
+    * vectors' ids (ascending), so [[nearestCell]]'s lower-id tie rule
+    * and every probe tie-break are unchanged.
+    *
+    * Why refine the COARSE quantizer: first-K seeds sit wherever the
+    * first K corpus vectors happen to sit, so cell populations skew —
+    * and Σpop² is exactly what [[annIvf]]'s all-pairs consumer pays,
+    * while probe-limited search pays the probed cells' population
+    * variance. A Lloyd pass pulls centroids toward density and flattens
+    * both (recall and balance deltas measured in AnnRecallSpec /
+    * SCALING.md). Like the PQ refinement this runs on the DRIVER over
+    * the first `sampleN` vectors by id — k × sampleN × dim flops — and
+    * the result is a plan literal exactly like the unrefined centroids.
+    *
+    * `sampleN <= 0` (the default) sizes the sample to `32 × k` — ~32
+    * members per cell. SIZE THE SAMPLE TO K, never fix it: a
+    * sample-starved refinement is measurably WORSE than no refinement.
+    * With ~6 members per cell (256 samples, 45 cells, the PQ default
+    * transplanted verbatim) the cell means shrink toward the global
+    * mean in unlucky directions — centroid norms fell to 0.44–0.81 on
+    * the unit-norm sf0.1 embeddings, probe recall@5 halved (1.000 →
+    * 0.500) and Σpop² ROSE 1.38× — while the same pass at ~32+
+    * members per cell holds recall at 1.000 and flattens Σpop². The PQ
+    * refinement never met this trap only because its geometry differs:
+    * 16 codes over 256 8-dim subvectors is already 16 members per
+    * code. (`32 × k` keeps driver work O(N): sampleN × k × dim =
+    * 32·k²·dim ≈ 32·N·dim flops for the √N-centroid quantizer.) */
+  def centroidsLloyd(vectors: DataFrame, idCol: String, embCol: String,
+                     k: Int, iters: Int = 1,
+                     sampleN: Int = 0): Seq[(Long, Seq[Double])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sn = if (sampleN <= 0) 32 * k else sampleN
+    require(k <= sn,
+      s"k ($k) centroids need at least that many sample vectors (sampleN = $sn)")
+    val ids = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSeq
+    require(ids.length == k,
+      s"corpus has only ${ids.length} vectors for $k centroids")
+    ids.zip(pqCodebooksLloyd(vectors, idCol, embCol, m = 1, ksub = k,
+      iters = iters, sampleN = sn).head)
+  }
+
   /** PQ-encode: each vector becomes `m` small code ids (the nearest code
     * per subspace, first minimum wins). Output: idCol + `code_0..m-1`.
     * At 8×4-bit codes this is a 64× compression of a 64-float embedding —

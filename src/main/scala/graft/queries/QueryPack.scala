@@ -976,6 +976,29 @@ object QueryPack {
       twoLevel = true)
   }
 
+  /** x_ann_ivf_probe searched through a coarse quantizer refined by ONE
+    * deterministic Lloyd pass (`Ann.centroidsLloyd`, sample = first
+    * 32·K vectors by id — the K-sized sample the operator's scaladoc
+    * mandates; a fixed 256-sample is measurably WORSE than no
+    * refinement): same probe-limited search, same K, but the centroids
+    * have moved toward corpus density — recall holds at the flat
+    * seeding's level with flatter cell populations (lower Σpop², the
+    * quantity that skews every IVF consumer; measured in AnnRecallSpec
+    * and SCALING.md). The refinement is driver-side with the PQ
+    * refinement's exact arithmetic, so the DuckDB twin re-derives the
+    * refined centroids from the table (assign → id-ordered member
+    * means → empty cells keep their seed) and the hash pins quantizer
+    * TRAINING bit-for-bit, not just assignment. */
+  def xAnnIvfLloyd(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val kc = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    graft.operators.Ann.ivfSearch(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding",
+      graft.operators.Ann.centroidsLloyd(emb, "vec_id", "embedding", kc,
+        iters = 1),
+      nprobe = 3, k = 5)
+  }
+
   /** Product-quantisation ADC search (`Ann.pqSearch`): the corpus encoded
     * as 8×16-code PQ (codebooks = subvector slices of the first 16
     * vectors, the same deterministic seeding convention as the IVF
@@ -1129,13 +1152,14 @@ object QueryPack {
       |  FROM pairs)
       |SELECT vec_id, cell, neighbor, cos_sim FROM ranked WHERE rn = 1""".stripMargin
 
-  /** DuckDB mirror of Ann.ivfSearch with nprobe = 3, k = 5 over the
-    * vec_id < 8 query set — same quantizer, same tie-breaks (dist then
-    * cent_id for probe cells; cos DESC then vec_id for ranks). */
-  private val ivfProbeOracleSql: String =
-    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
-      |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
-      |assigned AS (
+  /** The probe-search tail shared by the flat and Lloyd probe oracles —
+    * everything downstream of a `cents(cent_id, cent)` CTE: corpus
+    * assignment, the vec_id < 8 query set, nprobe = 3 cell fan-out,
+    * within-cell cosine scoring, top-5 ranking. Shared verbatim so the
+    * two pipelines differ ONLY in centroid derivation (the pq /
+    * pq_lloyd precedent). */
+  private val ivfProbeTailSql: String =
+    s"""assigned AS (
       |  SELECT vec_id, embedding, cent_id AS cell FROM (
       |    SELECT e.vec_id, e.embedding, c.cent_id,
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1158,6 +1182,59 @@ object QueryPack {
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
       |SELECT q_id, rank, vec_id AS neighbor, round(cos, 4) AS cos_sim
       |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of Ann.ivfSearch with nprobe = 3, k = 5 over the
+    * vec_id < 8 query set — same quantizer, same tie-breaks (dist then
+    * cent_id for probe cells; cos DESC then vec_id for ranks). */
+  private val ivfProbeOracleSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+      |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+      |$ivfProbeTailSql""".stripMargin
+
+  /** DuckDB mirror of Ann.centroidsLloyd(iters = 1, sampleN = 32·K) +
+    * ivfSearch: the pq_lloyd oracle's one unrolled Lloyd pass with a
+    * single subspace spanning the full 64 dimensions — cents0 = the
+    * first-⌈√N⌉-by-id seeding cast element-wise to DOUBLE, asg0 = each
+    * sample vector's nearest seed under the dot expansion (ties → lower
+    * cent_id, Spark's first-minimum over seeds in id order), dims =
+    * per-(centroid, dimension) member mean with the sum folded in vec_id
+    * order (list_sum over an ORDER BY vec_id list — the driver folds
+    * members in the same order), cents = refined vectors with empty
+    * cells keeping their seed (LEFT JOIN + coalesce). The sample LIMIT
+    * derives 32·K from count(*) with the same integer rule as the Spark
+    * side (LIMIT past the row count = whole table, both engines), so
+    * the SQL adapts to any corpus size without regeneration — the
+    * sized-LSH npl precedent. The search tail is byte-identical to the
+    * flat probe oracle's. */
+  private val ivfLloydProbeOracleSql: String =
+    s"""WITH cents0 AS (
+      |  SELECT vec_id AS cent_id,
+      |    list_transform(range(1,65), t -> CAST(embedding[t] AS DOUBLE)) AS cvec
+      |  FROM embeddings
+      |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+      |svecs AS (
+      |  SELECT vec_id, list_transform(range(1,65), t -> CAST(embedding[t] AS DOUBLE)) AS svec
+      |  FROM embeddings ORDER BY vec_id
+      |  LIMIT (SELECT 32 * CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+      |asg0 AS (
+      |  SELECT vec_id, cent_id, svec FROM (
+      |    SELECT v.vec_id, c.cent_id, v.svec,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        (list_sum(list_transform(range(1,65), t -> v.svec[t] * v.svec[t]))
+      |         - 2 * list_sum(list_transform(range(1,65), t -> v.svec[t] * c.cvec[t])))
+      |         + list_sum(list_transform(range(1,65), t -> c.cvec[t] * c.cvec[t])), c.cent_id) AS rn
+      |    FROM svecs v CROSS JOIN cents0 c) WHERE rn = 1),
+      |dims AS (
+      |  SELECT a.cent_id, t.t,
+      |    list_sum(list(a.svec[t.t] ORDER BY a.vec_id)) / count(*) AS mu
+      |  FROM asg0 a CROSS JOIN (SELECT unnest(range(1, 65)) AS t) t
+      |  GROUP BY a.cent_id, t.t),
+      |refined AS (
+      |  SELECT cent_id, list(mu ORDER BY t) AS cvec FROM dims GROUP BY cent_id),
+      |cents AS (
+      |  SELECT c0.cent_id, coalesce(r.cvec, c0.cvec) AS cent
+      |  FROM cents0 c0 LEFT JOIN refined r ON r.cent_id = c0.cent_id),
+      |$ivfProbeTailSql""".stripMargin
 
   /** DuckDB mirror of Ann.ivfSearch(twoLevel = true) with nprobe = 3,
     * k = 5 over the vec_id < 8 query set: the hier oracle's assignment
@@ -1609,6 +1686,7 @@ object QueryPack {
     "x_ann_ivf" -> ((s, d) => xAnnIvf(s, d)),
     "x_ann_ivf_hier" -> (xAnnIvfHier _),
     "x_ann_ivf_hier_probe" -> (xAnnIvfHierProbe _),
+    "x_ann_ivf_lloyd" -> (xAnnIvfLloyd _),
     "x_ann_ivf_probe" -> (xAnnIvfProbe _),
     "x_ann_ivfpq" -> (xAnnIvfPq _),
     "x_ann_pq" -> (xAnnPq _),
@@ -1979,6 +2057,7 @@ object QueryPack {
     "x_ann_ivf" -> ivfOracleSql,
     "x_ann_ivf_hier" -> ivfHierOracleSql,
     "x_ann_ivf_hier_probe" -> ivfHierProbeOracleSql,
+    "x_ann_ivf_lloyd" -> ivfLloydProbeOracleSql,
     "x_ann_ivf_probe" -> ivfProbeOracleSql,
     "x_ann_ivfpq" -> ivfPqOracleSql,
     "x_ann_pq" -> pqOracleSql,

@@ -56,9 +56,16 @@ class AnnRecallSpec extends SparkSpec {
         .map { case (id, _) => (q, id) }
     }.toSet
 
+    // one Lloyd pass over the coarse quantizer (same seeding, same K,
+    // K-sized 32·k sample — the fixed-256 config is a measured trap)
+    val lloydCents = Ann.centroidsLloyd(emb, "vec_id", "embedding",
+      kCents, iters = 1)
+
     val measured = Seq(
       ("ivf_probe3", neighborSet(Ann.ivfSearch(
         emb, queries, "vec_id", "embedding", cents, nprobe = 3, k = k)), cosExact),
+      ("ivf_lloyd_probe3", neighborSet(Ann.ivfSearch(
+        emb, queries, "vec_id", "embedding", lloydCents, nprobe = 3, k = k)), cosExact),
       ("ivf_probe8", neighborSet(Ann.ivfSearch(
         emb, queries, "vec_id", "embedding", cents, nprobe = 8, k = k)), cosExact),
       ("ivf_hier_probe3", neighborSet(Ann.ivfSearch(
@@ -89,10 +96,64 @@ class AnnRecallSpec extends SparkSpec {
     val floors = Map(
       "ivf_probe3" -> 0.95, "ivf_probe8" -> 0.95, "ivf_hier_probe3" -> 0.50,
       "pq" -> 0.10, "ivfpq_probe3" -> 0.25, "ivfpq_probe8" -> 0.15,
-      "pq_lloyd" -> 0.20, "ivfpq_lloyd_probe3" -> 0.30)
+      "pq_lloyd" -> 0.20, "ivfpq_lloyd_probe3" -> 0.30,
+      "ivf_lloyd_probe3" -> 0.90)
     floors.foreach { case (name, floor) =>
       assert(recalls(name) >= floor,
         s"$name recall@5 ${recalls(name)} fell under its measured floor $floor")
     }
+  }
+
+  test("centroidsLloyd(iters = 0) is exactly the first-K-by-id seeding") {
+    // pins the seeding equivalence the oracle relies on: the Lloyd
+    // refinement starts from the SAME centroids (same ids, same vectors
+    // cast to double) as ivfCentroids' vec_id < K filter on dense ids
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val kCents = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    val seeds = emb.filter(col("vec_id") < kCents)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    val unrefined = Ann.centroidsLloyd(emb, "vec_id", "embedding",
+      kCents, iters = 0)
+    assert(unrefined == seeds)
+  }
+
+  test("the 32·k sample rule holds cell balance; a starved sample collapses it") {
+    // Σpop² is the cost an all-pairs IVF consumer pays and the variance
+    // a probe-limited one inherits. Measured on this unit-norm corpus
+    // (first-K seeds drawn from the same distribution as the data), one
+    // SIZED Lloyd pass is balance-neutral — the refinement's win here is
+    // the PQ codebooks', not the coarse quantizer's — but a SAMPLE-
+    // STARVED pass (fixed 256 ≈ 6 members/cell, the PQ default
+    // transplanted naively) shrinks cell means toward the global mean in
+    // unlucky directions and SKEWS Σpop² ~1.38× while halving probe
+    // recall. Pin both sides: the sizing rule stays within noise of the
+    // flat seeding, and the trap it guards against stays reproducible.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val kCents = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    val seeds = emb.filter(col("vec_id") < kCents)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    def sumPopSq(cents: Seq[(Long, Seq[Double])]): Long =
+      emb.withColumn("cell", graft.functions.ArrayMath.nearestCentroid(
+          col("embedding"), cents.map(_._1), cents.map(_._2)))
+        .groupBy("cell").count()
+        .agg(sum(col("count") * col("count"))).head.getLong(0)
+    val flat = sumPopSq(seeds)
+    val sized = sumPopSq(Ann.centroidsLloyd(emb, "vec_id", "embedding",
+      kCents, iters = 1))
+    val starved = sumPopSq(Ann.centroidsLloyd(emb, "vec_id", "embedding",
+      kCents, iters = 1, sampleN = 256))
+    info(f"sum(pop^2) flat = $flat%d, sized 32k sample = $sized%d " +
+      f"(${sized.toDouble / flat}%.3fx), starved 256 sample = $starved%d " +
+      f"(${starved.toDouble / flat}%.3fx)")
+    assert(sized <= (flat * 1.05).toLong,
+      s"a sized Lloyd pass must not skew cells: $sized vs flat $flat")
+    assert(starved > (flat * 1.2).toLong,
+      s"the starved-sample trap the sizing rule guards against should " +
+        s"reproduce ($starved vs flat $flat) — if it no longer does, " +
+        "re-measure and reconsider the 32x default")
   }
 }
