@@ -294,50 +294,80 @@ object Ann {
   def pqCodebooksLloyd(vectors: DataFrame, idCol: String, embCol: String,
                        m: Int, ksub: Int, iters: Int = 1,
                        sampleN: Int = 256): Seq[Seq[Seq[Double]]] = {
-    val sample = vectors.orderBy(col(idCol)).limit(sampleN)
+    val sample: Array[Array[Double]] = vectors.orderBy(col(idCol)).limit(sampleN)
       .select(col(embCol)).collect()
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d
         case x => x.toString.toDouble
-      }.toIndexedSeq).toSeq
+      }.toArray)
     require(sample.nonEmpty, "pqCodebooksLloyd needs a non-empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sd = dim / m
-    var books: Seq[Seq[IndexedSeq[Double]]] =
-      (0 until m).map(j => sample.take(ksub).map(_.slice(j * sd, j * sd + sd)))
+    // Primitive-array hot loop: the refinement is O(sampleN × ksub × dim)
+    // per iteration, and at a corpus-sized sample (centroidsLloyd's 32·k
+    // rule at sf10: 14k × 448 × 64) boxed Seq arithmetic puts SECONDS of
+    // driver time on the query path. Every sum below folds in the same
+    // left-to-right element/member order as the boxed rendering it
+    // replaced, and the per-code norm is hoisted out of the sample loop
+    // (same fold, computed once) — bit-identical results, which the
+    // x_ann_pq_lloyd / x_ann_ivf_lloyd oracle hashes pin.
+    def slice(v: Array[Double], j: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, j * sd, j * sd + sd)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => sample.take(ksub).map(slice(_, j)))
     for (_ <- 0 until iters) {
-      books = (0 until m).map { j =>
-        val subs = sample.map(_.slice(j * sd, j * sd + sd))
+      books = Array.tabulate(m) { j =>
+        val subs = sample.map(slice(_, j))
         val book = books(j)
         // the exact expansion arithmetic of sqDistances, in driver doubles
+        val norms = book.map { cvec =>
+          var a = 0.0; var t = 0
+          while (t < sd) { a += cvec(t) * cvec(t); t += 1 }
+          a
+        }
         val assigned = subs.map { s =>
-          val s2 = s.foldLeft(0.0)((a, x) => a + x * x)
+          var s2 = 0.0
+          var t = 0
+          while (t < sd) { s2 += s(t) * s(t); t += 1 }
           var best = 0
           var bestD = Double.PositiveInfinity
-          for (c <- book.indices) {
+          var c = 0
+          while (c < book.length) {
             val cvec = book(c)
             var dotv = 0.0
-            var t = 0
+            t = 0
             while (t < sd) { dotv += s(t) * cvec(t); t += 1 }
-            val n2 = cvec.foldLeft(0.0)((a, x) => a + x * x)
-            val d = (s2 - 2.0 * dotv) + n2
+            val d = (s2 - 2.0 * dotv) + norms(c)
             if (d < bestD) { bestD = d; best = c } // strict: first min wins
+            c += 1
           }
           best
         }
-        book.indices.map { c =>
-          val members = assigned.zipWithIndex.collect {
-            case (a, i) if a == c => subs(i)
+        Array.tabulate(book.length) { c =>
+          var count = 0
+          val acc = new Array[Double](sd)
+          var i = 0
+          while (i < subs.length) {
+            if (assigned(i) == c) {
+              val v = subs(i)
+              var t = 0
+              while (t < sd) { acc(t) += v(t); t += 1 }
+              count += 1
+            }
+            i += 1
           }
-          if (members.isEmpty) book(c)
-          else (0 until sd).map(t =>
-            members.foldLeft(0.0)((a, v) => a + v(t)) / members.size).toIndexedSeq
+          if (count == 0) book(c)
+          else {
+            var t = 0
+            while (t < sd) { acc(t) /= count; t += 1 }
+            acc
+          }
         }
       }
     }
-    books.map(_.map(_.toSeq))
+    books.map(_.map(_.toSeq).toSeq).toSeq
   }
 
   /** The IVF coarse quantizer's first-K-by-id seeding refined by `iters`
