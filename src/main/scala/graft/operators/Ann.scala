@@ -371,14 +371,40 @@ object Ann {
   }
 
   /** The IVF coarse quantizer's first-K-by-id seeding refined by `iters`
-    * deterministic Lloyd passes — [[pqCodebooksLloyd]] run with ONE
-    * subspace spanning the full dimension, so every arithmetic guarantee
-    * (dot-expansion assignment, first-minimum tie → lower seed ordinal,
-    * member means folded in id order, empty cells keeping their seed)
-    * carries over verbatim and the refinement is oracle-mirrorable with
-    * the same CTE shapes as the PQ one. Centroid ids stay the seed
-    * vectors' ids (ascending), so [[nearestCell]]'s lower-id tie rule
-    * and every probe tie-break are unchanged.
+    * deterministic Lloyd passes, DISTRIBUTED: the E-step is one narrow
+    * scan through the native codegen'd [[graft.functions.NearestCentroid]]
+    * argmin (the same expression every IVF search path runs), the M-step
+    * one `groupBy(cell)` aggregation whose per-cell member sum folds in
+    * `vec_id` order — so the result is bit-identical to the driver loop
+    * ([[pqCodebooksLloyd]] with one full-dimension subspace), which
+    * LloydDistributedSpec pins element-for-element. The driver holds only
+    * the k centroids between iterations (the same footprint as the
+    * returned literal matrix); the 32·k-vector sample NEVER collects —
+    * at a real 100 TB corpus (k ~ 10⁶) the old driver loop was a
+    * multi-GB collect plus O(N·dim) driver flops, the one driver-side
+    * bottleneck left in the ANN suite (round-10 verdict). The sample cut
+    * itself is distributed too: the sn-th smallest id is found
+    * executor-side over the 8-byte id column alone, then the sample is a
+    * narrow pushed-down filter (`idCol` must be unique — it is an id —
+    * for the threshold cut to equal `ORDER BY id LIMIT sn`).
+    *
+    * Arithmetic parity, engine-to-engine and path-to-path: assignment
+    * uses the dot expansion with first-minimum ties → lower seed ordinal
+    * (ids ascend, so grouping by id ≡ the driver loop's grouping by
+    * ordinal); each refined centroid is the element-wise member mean,
+    * summed member-by-member in `vec_id` order (`sort_array` over
+    * (vid, vector) structs + a left-to-right `aggregate`/`zip_with`
+    * fold — interpreted HOFs, but over k ROWS of ~32 members each, not
+    * the corpus scan) and divided by the member count last; empty cells
+    * keep their previous vector. Centroid ids stay the seed vectors' ids,
+    * so [[nearestCell]]'s lower-id tie rule and every probe tie-break are
+    * unchanged, and the `x_ann_ivf_lloyd` oracle re-derives the training
+    * in SQL and hash-matches both paths.
+    *
+    * `driverSide = true` selects the original driver loop — the sensible
+    * fast path when the sample genuinely fits (a few thousand vectors:
+    * microseconds, zero Spark jobs) and the bit-parity witness for the
+    * distributed default.
     *
     * Why refine the COARSE quantizer: first-K seeds sit wherever the
     * first K corpus vectors happen to sit, so cell populations skew —
@@ -386,9 +412,7 @@ object Ann {
     * while probe-limited search pays the probed cells' population
     * variance. A Lloyd pass pulls centroids toward density and flattens
     * both (recall and balance deltas measured in AnnRecallSpec /
-    * SCALING.md). Like the PQ refinement this runs on the DRIVER over
-    * the first `sampleN` vectors by id — k × sampleN × dim flops — and
-    * the result is a plan literal exactly like the unrefined centroids.
+    * SCALING.md).
     *
     * `sampleN <= 0` (the default) sizes the sample to `32 × k` — ~32
     * members per cell. SIZE THE SAMPLE TO K, never fix it: a
@@ -398,31 +422,86 @@ object Ann {
     * mean in unlucky directions — centroid norms fell to 0.44–0.81 on
     * the unit-norm sf0.1 embeddings, probe recall@5 halved (1.000 →
     * 0.500) and Σpop² ROSE 1.38× — while the same pass at ~32+
-    * members per cell holds recall at 1.000 and flattens Σpop². The PQ
-    * refinement never met this trap only because its geometry differs:
-    * 16 codes over 256 8-dim subvectors is already 16 members per
-    * code. (`32 × k` keeps driver work O(N): sampleN × k × dim =
-    * 32·k²·dim ≈ 32·N·dim flops for the √N-centroid quantizer.) */
+    * members per cell holds recall at 0.950 on this corpus (just under
+    * the flat probe's 1.000 — the refinement's value is on corpora whose
+    * seeds don't already cover the distribution) with Σpop² neutral. The
+    * PQ refinement never met this trap only because its geometry
+    * differs: 16 codes over 256 8-dim subvectors is already 16 members
+    * per code. (`32 × k` keeps total E-step work O(N): sampleN × k ×
+    * dim = 32·k²·dim ≈ 32·N·dim flops for the √N-centroid quantizer —
+    * now spread across the cluster instead of burning one driver core.) */
   def centroidsLloyd(vectors: DataFrame, idCol: String, embCol: String,
                      k: Int, iters: Int = 1,
-                     sampleN: Int = 0): Seq[(Long, Seq[Double])] = {
+                     sampleN: Int = 0,
+                     driverSide: Boolean = false): Seq[(Long, Seq[Double])] = {
     require(k >= 1, s"k must be >= 1, got $k")
     val sn = if (sampleN <= 0) 32 * k else sampleN
     require(k <= sn,
       s"k ($k) centroids need at least that many sample vectors (sampleN = $sn)")
-    val ids = vectors.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSeq
-    require(ids.length == k,
-      s"corpus has only ${ids.length} vectors for $k centroids")
-    ids.zip(pqCodebooksLloyd(vectors, idCol, embCol, m = 1, ksub = k,
-      iters = iters, sampleN = sn).head)
+    if (driverSide) {
+      val ids = vectors.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSeq
+      require(ids.length == k,
+        s"corpus has only ${ids.length} vectors for $k centroids")
+      return ids.zip(pqCodebooksLloyd(vectors, idCol, embCol, m = 1, ksub = k,
+        iters = iters, sampleN = sn).head)
+    }
+    // Seeds: the first k (id, vector) pairs by id — k rows, the same
+    // driver footprint as the returned centroid matrix itself.
+    val seeds: Seq[(Long, Seq[Double])] = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"), col(embCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x => x.toString.toDouble
+      }.toSeq)).sortBy(_._1).toSeq
+    require(seeds.length == k,
+      s"corpus has only ${seeds.length} vectors for $k centroids")
+    val dim = seeds.head._2.length
+    val ids = seeds.map(_._1)
+    // The sn-th smallest id, computed executor-side over ids only (the
+    // vectors never ride through the top-n); LIMIT past the row count =
+    // whole table, as in the oracle SQL.
+    val thr = vectors.select(col(idCol).cast("long").as("_vid"))
+      .orderBy(col("_vid")).limit(sn).agg(max(col("_vid"))).head.getLong(0)
+    val sample = vectors.filter(col(idCol).cast("long") <= thr)
+      .select(col(idCol).cast("long").as("_vid"), col(embCol).as("_v"))
+    val zeros = typedLit(Seq.fill(dim)(0.0))
+    var cents: Seq[Seq[Double]] = seeds.map(_._2)
+    for (_ <- 0 until iters) {
+      val assigned = sample.withColumn("_cell",
+        graft.functions.ArrayMath.nearestCentroid(col("_v"), ids, cents))
+      val agged = assigned.groupBy("_cell").agg(
+        count(lit(1)).as("_cnt"),
+        aggregate(
+          sort_array(collect_list(struct(col("_vid"), col("_v")))),
+          zeros,
+          (acc, m) => zip_with(acc, m.getField("_v"),
+            (x, y) => x + y.cast("double"))).as("_sum"))
+      val meanMap: Map[Long, Seq[Double]] = agged
+        .select(col("_cell"), transform(col("_sum"),
+          x => x / col("_cnt").cast("double")).as("_mean"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = ids.zip(cents).map { case (id, prev) => meanMap.getOrElse(id, prev) }
+    }
+    ids.zip(cents)
   }
 
   /** PQ-encode: each vector becomes `m` small code ids (the nearest code
     * per subspace, first minimum wins). Output: idCol + `code_0..m-1`.
     * At 8×4-bit codes this is a 64× compression of a 64-float embedding —
     * the index that makes 100 TB ANN memory-resident. Narrow scan, no
-    * shuffle; the codebook is a plan literal. */
+    * shuffle; the codebook is a plan literal.
+    *
+    * The per-subspace argmin is the native [[graft.functions.NearestCentroid]]
+    * (code ids 0..ksub−1), NOT the `array(dot…)` + `array_min` rendering
+    * it replaced in round 11: a ksub-wide dot array inlines ksub loop
+    * bodies into one generated method, which at the standard 8-bit
+    * operating point (ksub = 256) crosses the JIT's ~8 KB bytecode
+    * ceiling — the exact de-optimisation the flat IVF assignment hit at
+    * K ≈ 100 (SCALING.md round 10). Same expansion arithmetic, same
+    * first-minimum tie → lower code, so all oracle hashes are unchanged. */
   def pqEncode(vectors: DataFrame, idCol: String, embCol: String,
                codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = codebooks.length

@@ -981,14 +981,21 @@ object QueryPack {
     * 32·K vectors by id — the K-sized sample the operator's scaladoc
     * mandates; a fixed 256-sample is measurably WORSE than no
     * refinement): same probe-limited search, same K, but the centroids
-    * have moved toward corpus density — recall holds at the flat
-    * seeding's level with flatter cell populations (lower Σpop², the
-    * quantity that skews every IVF consumer; measured in AnnRecallSpec
-    * and SCALING.md). The refinement is driver-side with the PQ
-    * refinement's exact arithmetic, so the DuckDB twin re-derives the
-    * refined centroids from the table (assign → id-ordered member
-    * means → empty cells keep their seed) and the hash pins quantizer
-    * TRAINING bit-for-bit, not just assignment. */
+    * have moved toward corpus density — recall lands NEAR the flat
+    * seeding's level on this corpus (0.950 vs the flat probe's 1.000,
+    * AnnRecallSpec / SCALING.md — the refinement's value is on corpora
+    * whose seeds don't already cover the distribution) with Σpop²
+    * neutral. Since round 11 the refinement runs DISTRIBUTED (native
+    * `NearestCentroid` E-step over the sample scan, sort-within-cell
+    * M-step means; the driver holds only the k centroids) with the PQ
+    * driver loop's exact arithmetic — LloydDistributedSpec pins the two
+    * paths bit-equal — so the DuckDB twin re-derives the refined
+    * centroids from the table (assign → id-ordered member means → empty
+    * cells keep their seed) and the hash pins quantizer TRAINING
+    * bit-for-bit, not just assignment. Note the training cost sits on
+    * THIS query's timed path by design (plan-literal convention: the
+    * centroids must exist before the search plan does); the flat probe
+    * twin shows the search-only cost. */
   def xAnnIvfLloyd(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     val kc = math.ceil(math.sqrt(emb.count().toDouble)).toInt
