@@ -445,6 +445,261 @@ case class NearestCentroidHier(child: Expression, ids: Seq[Long],
     copy(child = newChild)
 }
 
+/** Squared-L2 distances `(v·v − 2·v·c) + ‖c‖²` to EVERY row of a
+  * driver-resident constant matrix, in matrix order, as one
+  * `array<double>` — the native rendering of the K-wide distance table
+  * that PQ/IVF query sides build (`Ann.sqDistances`).
+  *
+  * Why an expression: the `array(dot, dot, …)` rendering materialises K
+  * separate expression trees — K inlined loop bodies in the generated
+  * method — and past K ≈ 100 that crosses the JIT's ~8 KB bytecode
+  * ceiling ([[NearestCentroid]]'s scaladoc tells the measured story); at
+  * the 8-bit PQ operating point (ksub = 256, m = 8 → 2048 entries in one
+  * projection) it crosses janino's hard 64 KB METHOD limit outright and
+  * the stage falls back to interpreted eval. Here the matrix lives in a
+  * reference array and the generated code is two fixed-size loops filling
+  * a primitive array — size-independent of K, like its argmin sibling.
+  *
+  * Arithmetic parity with the array rendering is exact: same expansion,
+  * same element order (`v·v` accumulated left-to-right during the load
+  * loop, `‖c‖²` folded on the driver left-to-right), so every oracle
+  * hash is unchanged. Null array / length mismatch / null element →
+  * NULL (the array rendering's semantics). */
+case class CentroidSqDistances(child: Expression, cents: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  require(cents.nonEmpty, "centroid matrix must be non-empty")
+  require(cents.forall(_.length == cents.head.length),
+    "all centroid rows must share one dimension")
+
+  override def prettyName: String = "graft_centroid_sqdists"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val cm: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    cm.map(_.foldLeft(0.0)((a, x) => a + x * x))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if et.isInstanceOf[NumericType] =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array of numeric elements, got ${other.catalogString}")
+  }
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != cm(0).length) return null
+    val t = elemType
+    val v = new Array[Double](n)
+    var s2 = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = t match {
+        case FloatType      => a.getFloat(i).toDouble
+        case DoubleType     => a.getDouble(i)
+        case IntegerType    => a.getInt(i).toDouble
+        case LongType       => a.getLong(i).toDouble
+        case ShortType      => a.getShort(i).toDouble
+        case ByteType       => a.getByte(i).toDouble
+        case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+        case other          => throw new IllegalStateException(s"unreachable: $other")
+      }
+      v(i) = x
+      s2 += x * x
+      i += 1
+    }
+    val out = new Array[Double](cm.length)
+    var c = 0
+    while (c < cm.length) {
+      val cv = cm(c)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += v(j) * cv(j); j += 1 }
+      out(c) = (s2 - 2.0 * dot) + norms(c)
+      c += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cmRef = ctx.addReferenceObj("cm", cm, "double[][]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+    def get(a: String, i: String): String = elemType match {
+      case FloatType      => s"(double) $a.getFloat($i)"
+      case DoubleType     => s"$a.getDouble($i)"
+      case IntegerType    => s"(double) $a.getInt($i)"
+      case LongType       => s"(double) $a.getLong($i)"
+      case ShortType      => s"(double) $a.getShort($i)"
+      case ByteType       => s"(double) $a.getByte($i)"
+      case d: DecimalType => s"$a.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+      case other          => throw new IllegalStateException(s"unreachable: $other")
+    }
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val s2 = ctx.freshName("s2")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot")
+      val j = ctx.freshName("j")
+      val cv = ctx.freshName("cv")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $cmRef[0].length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $v = new double[$n];
+         |  double $s2 = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $v[$i] = ${get(a, i)};
+         |    $s2 += $v[$i] * $v[$i];
+         |  }
+         |  if (!${ev.isNull}) {
+         |    final double[] $out = new double[$cmRef.length];
+         |    for (int $c = 0; $c < $cmRef.length; $c++) {
+         |      final double[] $cv = $cmRef[$c];
+         |      double $dot = 0.0;
+         |      for (int $j = 0; $j < $n; $j++) { $dot += $v[$j] * $cv[$j]; }
+         |      $out[$c] = ($s2 - 2.0 * $dot) + $normsRef[$c];
+         |    }
+         |    ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidSqDistances =
+    copy(child = newChild)
+}
+
+/** Residual to a DRIVER-RESIDENT centroid: `v − cents[indexOf(cell)]`,
+  * element-wise in double — the narrow per-row step that makes residual
+  * IVF-PQ (`Ann.ivfPqSearch(residual = true)`) a single native scan.
+  *
+  * Why an expression: the composable renderings both fail the 100 TB
+  * posture — `zip_with(v, element_at(map_literal, cell), _-_)` is an
+  * interpreted HOF on the corpus scan (the round-8/9 disease), and
+  * `element_at` on a map LITERAL is an O(K) linear probe per row.
+  * Here the centroid matrix sits in a reference array, the cell id
+  * resolves by binary search over the (ascending) id array — O(log K),
+  * no boxing — and the subtraction is one fused loop emitting a
+  * primitive `UnsafeArrayData`.
+  *
+  * Parity: each element is `double(v[j]) − c[j]` — a single IEEE op,
+  * no fold order to preserve — so DuckDB's `list_transform(range…,
+  * j -> CAST(v[j] AS DOUBLE) - c[j])` reproduces it bit-for-bit. Null
+  * array / unknown cell / length mismatch / null element → NULL. */
+case class CentroidResidual(vec: Expression, cell: Expression,
+                            ids: Seq[Long], cents: Seq[Seq[Double]])
+    extends BinaryExpression {
+
+  require(ids.nonEmpty && ids.length == cents.length,
+    s"ids (${ids.length}) and centroid rows (${cents.length}) must match and be non-empty")
+  require(cents.forall(_.length == cents.head.length),
+    "all centroid rows must share one dimension")
+  require(ids == ids.sorted,
+    "centroid ids must ascend (binary-search lookup + tie parity)")
+
+  override def left: Expression = vec
+  override def right: Expression = cell
+  override def prettyName: String = "graft_centroid_residual"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val cm: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, cell.dataType) match {
+    case (ArrayType(et, _), LongType) if et.isInstanceOf[NumericType] =>
+      TypeCheckResult.TypeCheckSuccess
+    case (v, c) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array of numeric, bigint), got " +
+        s"${v.catalogString} and ${c.catalogString}")
+  }
+
+  private def elemType: DataType =
+    vec.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(v: Any, c: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val ci = java.util.Arrays.binarySearch(idArr, c.asInstanceOf[Long])
+    if (ci < 0 || n != cm(0).length) return null
+    val t = elemType
+    val cv = cm(ci)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = t match {
+        case FloatType      => a.getFloat(i).toDouble
+        case DoubleType     => a.getDouble(i)
+        case IntegerType    => a.getInt(i).toDouble
+        case LongType       => a.getLong(i).toDouble
+        case ShortType      => a.getShort(i).toDouble
+        case ByteType       => a.getByte(i).toDouble
+        case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+        case other          => throw new IllegalStateException(s"unreachable: $other")
+      }
+      out(i) = x - cv(i)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cmRef = ctx.addReferenceObj("cm", cm, "double[][]")
+    val idsRef = ctx.addReferenceObj("ids", idArr, "long[]")
+    def get(a: String, i: String): String = elemType match {
+      case FloatType      => s"(double) $a.getFloat($i)"
+      case DoubleType     => s"$a.getDouble($i)"
+      case IntegerType    => s"(double) $a.getInt($i)"
+      case LongType       => s"(double) $a.getLong($i)"
+      case ShortType      => s"(double) $a.getShort($i)"
+      case ByteType       => s"(double) $a.getByte($i)"
+      case d: DecimalType => s"$a.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+      case other          => throw new IllegalStateException(s"unreachable: $other")
+    }
+    nullSafeCodeGen(ctx, ev, (a, c) => {
+      val n = ctx.freshName("n")
+      val ci = ctx.freshName("ci")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |final int $n = $a.numElements();
+         |final int $ci = java.util.Arrays.binarySearch($idsRef, $c);
+         |if ($ci < 0 || $n != $cmRef[0].length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $out[$i] = ${get(a, i)} - $cmRef[$ci][$i];
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidResidual =
+    copy(vec = newLeft, cell = newRight)
+}
+
 object ArrayMath {
   /** Column-level dot product backed by [[DotProduct]]. */
   def dot(a: Column, b: Column): Column =
@@ -463,4 +718,18 @@ object ArrayMath {
                           blockSize: Int): Column =
     GraftColumnBridge.column(
       NearestCentroidHier(GraftColumnBridge.expression(a), ids, cents, blockSize))
+
+  /** Column-level K-wide squared-distance table backed by
+    * [[CentroidSqDistances]] (entries in `cents` order). */
+  def centroidSqDistances(a: Column, cents: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(
+      CentroidSqDistances(GraftColumnBridge.expression(a), cents))
+
+  /** Column-level residual to the `cell`-identified centroid, backed by
+    * [[CentroidResidual]]. `ids` must be ascending. */
+  def centroidResidual(vec: Column, cell: Column, ids: Seq[Long],
+                       cents: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(
+      CentroidResidual(GraftColumnBridge.expression(vec),
+        GraftColumnBridge.expression(cell), ids, cents))
 }
