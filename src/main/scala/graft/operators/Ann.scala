@@ -134,24 +134,18 @@ object Ann {
     * re-reads the index instead of killing the query). */
   /** Squared-L2 distances from vector column `v` to each driver-resident
     * constant vector in `cents`, in order, via the dot expansion
-    * `(v·v − 2·v·c) + ‖c‖²` — each dot the native codegen'd [[dot]], the
-    * constant's norm folded on the driver in the same left-to-right
-    * order, so an oracle engine computing the expansion element-wise
-    * gets bit-identical doubles and therefore the same argmin. The
-    * previous rendering — `transform(typedLit(cents), c =>
-    * aggregate(zip_with(v, c, (x,y) => (x−y)²), 0, _+_))` — ran
-    * INTERPRETED (Spark higher-order functions never enter codegen) and
-    * was the measured dominant cost of all four sf10 IVF queries; the
-    * expansion is the same fix that took the PQ encode path to 1.69×
-    * for 100× the corpus (SCALING.md). The `v·v` term is one common
-    * subexpression across all K entries (codegen CSE hoists it). */
-  private def sqDistances(v: Column, cents: Seq[Seq[Double]]): Column = {
-    val s2 = dot(v, v)
-    array(cents.map { c =>
-      val n2 = c.foldLeft(0.0)((a, x) => a + x * x)
-      (s2 - lit(2.0) * dotLit(v, c)) + lit(n2)
-    }: _*)
-  }
+    * `(v·v − 2·v·c) + ‖c‖²` — since round 11 one native
+    * [[graft.functions.CentroidSqDistances]] expression (two fixed-size
+    * loops over a reference-array matrix). The previous renderings both
+    * failed a size axis: interpreted HOFs carried the r9 sf10 cost, and
+    * the K-wide `array(dot…)` expansion that replaced them grows
+    * generated code linearly in K — past K ≈ 100 it crosses the JIT's
+    * ~8 KB ceiling, and at the 8-bit PQ point (ksub = 256 → 2048 array
+    * entries per projection) janino's hard 64 KB method limit, dropping
+    * the stage to interpreted eval. Same expansion arithmetic and entry
+    * order as both, so every oracle hash is unchanged. */
+  private def sqDistances(v: Column, cents: Seq[Seq[Double]]): Column =
+    graft.functions.ArrayMath.centroidSqDistances(v, cents)
 
   /** [[sqDistances]] over a named column — an array aligned with the
     * centroid order (driver-resident literal matrix — a narrow per-row
@@ -510,11 +504,71 @@ object Ann {
       (df, j) => df.withColumn(s"_sub_$j", slice(col(embCol), j * sd + 1, sd))
     }
     val withCodes = (0 until m).foldLeft(withSubs) { (df, j) =>
-      val ds = sqDistances(col(s"_sub_$j"), codebooks(j))
       df.withColumn(s"code_$j",
-        (array_position(ds, array_min(ds)) - 1).cast("int"))
+        graft.functions.ArrayMath.nearestCentroid(col(s"_sub_$j"),
+          codebooks(j).indices.map(_.toLong), codebooks(j)).cast("int"))
     }
     withCodes.select(col(idCol) +: (0 until m).map(j => col(s"code_$j")): _*)
+  }
+
+  /** Deterministic codebooks in RESIDUAL space for
+    * [[ivfPqSearch]]`(residual = true)`: the first `ksub` corpus vectors
+    * by id, each replaced by its residual to its nearest centroid
+    * (driver argmin — same dot-expansion arithmetic and first-minimum
+    * tie as [[graft.functions.NearestCentroid]], so another engine
+    * re-derives the same seeds), then sliced into `m` subspaces exactly
+    * like [[pqCodebooks]]. Residual-encoded corpora need residual-space
+    * codes: raw-vector seeds sit on the unit sphere while residuals
+    * cluster near the origin, so encoding one against the other wastes
+    * the whole code range.
+    *
+    * Seeds start at the first id PAST the largest centroid id — not at
+    * id 0 like [[pqCodebooks]] — because under the shared first-K-by-id
+    * seeding convention the first vectors ARE the centroids, and a
+    * centroid's residual to itself is the zero vector: seeding from id 0
+    * yields ksub copies of ~0 and a degenerate one-code codebook
+    * (measured: recall@5 0.150, WORSE than non-residual 0.275, before
+    * this rule). `vec_id > max(cent_id)` is one pushed-down predicate in
+    * either engine — no id-set membership test to ship. */
+  def pqResidualCodebooks(vectors: DataFrame, idCol: String, embCol: String,
+                          centroids: Seq[(Long, Seq[Double])],
+                          m: Int, ksub: Int): Seq[Seq[Seq[Double]]] = {
+    val maxCid = centroids.map(_._1).max
+    val seeds = vectors.filter(col(idCol).cast("long") > maxCid)
+      .orderBy(col(idCol)).limit(ksub)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x => x.toString.toDouble
+      }.toArray)
+    require(seeds.nonEmpty, "pqResidualCodebooks needs a non-empty corpus")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sd = dim / m
+    val cm = centroids.map(_._2.toArray).toArray
+    val norms = cm.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    val residuals = seeds.map { v =>
+      var s2 = 0.0
+      var i = 0
+      while (i < dim) { s2 += v(i) * v(i); i += 1 }
+      var best = Double.PositiveInfinity
+      var bi = 0
+      var c = 0
+      while (c < cm.length) {
+        val cv = cm(c)
+        var dotv = 0.0
+        i = 0
+        while (i < dim) { dotv += v(i) * cv(i); i += 1 }
+        val d = (s2 - 2.0 * dotv) + norms(c)
+        if (d < best) { best = d; bi = c }
+        c += 1
+      }
+      val cv = cm(bi)
+      Array.tabulate(dim)(t => v(t) - cv(t))
+    }
+    (0 until m).map(j => residuals.toSeq.map(
+      _.slice(j * sd, j * sd + sd).toSeq))
   }
 
   /** PQ ANN search by asymmetric distance computation: the corpus is
@@ -621,18 +675,55 @@ object Ann {
     * once — a corpus vector lives in exactly one cell), which
     * OperatorsSpec pins rank-for-rank.
     *
+    * `residual = true` selects the classic IVF-PQ formulation: each
+    * corpus vector is PQ-encoded as its residual `v − centroid(cell)`
+    * (the native [[graft.functions.CentroidResidual]] — still one narrow
+    * scan, no join), and each query builds its ADC tables PER PROBED
+    * CELL from `q − centroid(cell)` (the query side is nprobe× bigger —
+    * still broadcast-sized). Codebooks must then live in residual space
+    * ([[pqResidualCodebooks]]).
+    *
+    * MEASURED CAVEAT (AnnRecallSpec / SCALING.md round 11): the textbook
+    * residual win did NOT materialise under this repo's one-shot
+    * deterministic seeding on the cluster-structured unit-norm test
+    * corpus — recall@5 0.200 vs the raw encoding's 0.275 at ksub = 16,
+    * and residual-space Lloyd made it WORSE (0.125–0.150), because raw
+    * first-k seeds inherit the corpus's cluster directions while
+    * residual seeds are within-cell noise samples whose member means
+    * collapse toward zero. The classic result presumes codebooks trained
+    * to convergence. With `rerank` on, both encodings land at the same
+    * 0.600 — the exact pass absorbs the difference. The operator and its
+    * oracle row (`x_ann_ivfpq_res`) pin the machinery for corpora where
+    * residual geometry does pay; on one like the test corpus, prefer raw
+    * codes + rerank.
+    *
+    * `rerank = R > 0` re-scores the ADC top-R candidates per query by
+    * EXACT squared L2 against the raw embeddings and ranks on that —
+    * the standard cure for ADC's quantisation-error inversion (more
+    * probes admit more false candidates, so recall can FALL as nprobe
+    * rises: measured `ivfpq_probe8` 0.200 < `ivfpq_probe3` 0.275,
+    * AnnRecallSpec). The candidate set is R·|Q| rows — broadcast-sized
+    * by construction — so the exact pass is one broadcast-hash join back
+    * into the raw vectors (the corpus still never shuffles) costing
+    * R·|Q| dot expansions. Output then carries `l2_dist` (exact) instead
+    * of `adc_dist`.
+    *
     * Output: `q_id, rank, neighbor, adc_dist` (ascending approximate
-    * squared L2, ties on the lower neighbor id). */
+    * squared L2, ties on the lower neighbor id); with re-ranking,
+    * `q_id, rank, neighbor, l2_dist`. */
   def ivfPqSearch(vectors: DataFrame, queries: DataFrame,
                   idCol: String, embCol: String,
                   centroids: Seq[(Long, Seq[Double])],
                   codebooks: Seq[Seq[Seq[Double]]],
-                  nprobe: Int, k: Int, twoLevel: Boolean = false): DataFrame = {
+                  nprobe: Int, k: Int, twoLevel: Boolean = false,
+                  residual: Boolean = false, rerank: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe must be in [1, ${centroids.size}], got $nprobe")
     val m = codebooks.length
     val sd = codebooks.head.head.length
+    val cids = centroids.map(_._1)
+    val cvecs = centroids.map(_._2)
     // Corpus index: cell + codes in one pass (`twoLevel` swaps the flat
     // argmin for the hier assignment — see [[ivfSearch]]). Subvectors
     // materialise via withColumn first — referencing a slice() inside the
@@ -642,42 +733,89 @@ object Ann {
       (if (twoLevel) assignCellsHier(vectors, embCol, centroids)
        else vectors.withColumn("cell", nearestCell(embCol, centroids)))
         .select(col(idCol), col(embCol), col("cell"))
-    val withSubs = (0 until m).foldLeft(withCell) { (df, j) =>
-      df.withColumn(s"_sub_$j", slice(col(embCol), j * sd + 1, sd))
+    val encBase =
+      if (residual) withCell.withColumn("_enc",
+        graft.functions.ArrayMath.centroidResidual(
+          col(embCol), col("cell"), cids, cvecs))
+      else withCell.withColumn("_enc", col(embCol))
+    val withSubs = (0 until m).foldLeft(encBase) { (df, j) =>
+      df.withColumn(s"_sub_$j", slice(col("_enc"), j * sd + 1, sd))
     }
     val encoded = (0 until m).foldLeft(withSubs) { (df, j) =>
-      val ds = sqDistances(col(s"_sub_$j"), codebooks(j))
       df.withColumn(s"code_$j",
-        (array_position(ds, array_min(ds)) - 1).cast("int"))
+        graft.functions.ArrayMath.nearestCentroid(col(s"_sub_$j"),
+          codebooks(j).indices.map(_.toLong), codebooks(j)).cast("int"))
     }.select(col(idCol) +: col("cell") +:
       (0 until m).map(j => col(s"code_$j")): _*)
-    // Query side: ADC tables once per query, THEN the probe fan-out
-    // (explode after the tables so they aren't recomputed per probed cell).
-    val qSubs = (0 until m).foldLeft(
-      queries.select(col(idCol).as("q_id"), col(embCol).as("_q_emb"))) {
-      (df, j) => df.withColumn(s"_qsub_$j", slice(col("_q_emb"), j * sd + 1, sd))
-    }
-    val qTables = (0 until m).foldLeft(qSubs) { (df, j) =>
-      df.withColumn(s"_tbl_$j", sqDistances(col(s"_qsub_$j"), codebooks(j)))
-    }
     val probe = zip_with(
-      sqDistances("_q_emb", centroids.map(_._2)),
-      typedLit(centroids.map(_._1)),
+      sqDistances("_q_emb", cvecs),
+      typedLit(cids),
       (d, id) => struct(d.as("dist"), id.as("cid")))
-    val qSide = qTables.withColumn("cell",
-      explode(transform(slice(array_sort(probe), 1, nprobe),
-        s => s.getField("cid"))))
-      .select(col("q_id") +: col("cell") +:
-        (0 until m).map(j => col(s"_tbl_$j")): _*)
+    val qBase = queries.select(col(idCol).as("q_id"), col(embCol).as("_q_emb"))
+    val qSide =
+      if (residual) {
+        // residual tables depend on the probed cell, so the fan-out comes
+        // FIRST and each (query, cell) row builds its own tables from
+        // q − centroid(cell) — nprobe× the rows, still broadcast-sized
+        val exploded = qBase.withColumn("cell",
+          explode(transform(slice(array_sort(probe), 1, nprobe),
+            s => s.getField("cid"))))
+          .withColumn("_q_res", graft.functions.ArrayMath.centroidResidual(
+            col("_q_emb"), col("cell"), cids, cvecs))
+        val qSubs = (0 until m).foldLeft(exploded) { (df, j) =>
+          df.withColumn(s"_qsub_$j", slice(col("_q_res"), j * sd + 1, sd))
+        }
+        (0 until m).foldLeft(qSubs) { (df, j) =>
+          df.withColumn(s"_tbl_$j", sqDistances(col(s"_qsub_$j"), codebooks(j)))
+        }.select(col("q_id") +: col("cell") +:
+          (0 until m).map(j => col(s"_tbl_$j")): _*)
+      } else {
+        // ADC tables once per query, THEN the probe fan-out (explode
+        // after the tables so they aren't recomputed per probed cell)
+        val qSubs = (0 until m).foldLeft(qBase) {
+          (df, j) => df.withColumn(s"_qsub_$j", slice(col("_q_emb"), j * sd + 1, sd))
+        }
+        val qTables = (0 until m).foldLeft(qSubs) { (df, j) =>
+          df.withColumn(s"_tbl_$j", sqDistances(col(s"_qsub_$j"), codebooks(j)))
+        }
+        qTables.withColumn("cell",
+          explode(transform(slice(array_sort(probe), 1, nprobe),
+            s => s.getField("cid"))))
+          .select(col("q_id") +: col("cell") +:
+            (0 until m).map(j => col(s"_tbl_$j")): _*)
+      }
     val adc = (0 until m).map(j =>
       element_at(col(s"_tbl_$j"), col(s"code_$j") + 1)).reduce(_ + _)
     val scored = broadcast(qSide).join(encoded, Seq("cell"))
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol), adc.as("_adc"))
-    val w = Window.partitionBy("q_id").orderBy(col("_adc").asc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col(idCol).as("neighbor"),
-        round(col("_adc"), 4).as("adc_dist"))
+    if (rerank <= 0) {
+      val w = Window.partitionBy("q_id").orderBy(col("_adc").asc, col(idCol))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col(idCol).as("neighbor"),
+          round(col("_adc"), 4).as("adc_dist"))
+    } else {
+      val wAdc = Window.partitionBy("q_id").orderBy(col("_adc").asc, col(idCol))
+      val cands = scored.withColumn("_arank", row_number().over(wAdc))
+        .filter(col("_arank") <= rerank)
+        .select(col("q_id"), col(idCol))
+      // exact re-score: (v·v − 2·v·q) + q·q, every dot the native
+      // codegen'd [[dot]] in the oracle's operand order — bit parity
+      // with duckSqDist(candidate, query); corpus side re-aliased (the
+      // candidate set descends from the same base relation)
+      val corpus = vectors.select(col(idCol).as("_r_id"), col(embCol).as("_r_emb"))
+      val exact = broadcast(cands.join(qBase, Seq("q_id")))
+        .join(corpus, col(idCol) === col("_r_id"))
+        .select(col("q_id"), col(idCol),
+          ((dot(col("_r_emb"), col("_r_emb"))
+            - lit(2.0) * dot(col("_r_emb"), col("_q_emb")))
+            + dot(col("_q_emb"), col("_q_emb"))).as("_l2"))
+      val w = Window.partitionBy("q_id").orderBy(col("_l2").asc, col(idCol))
+      exact.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col(idCol).as("neighbor"),
+          round(col("_l2"), 4).as("l2_dist"))
+    }
   }
 }

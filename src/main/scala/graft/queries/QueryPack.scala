@@ -1052,6 +1052,70 @@ object QueryPack {
       nprobe = 3, k = 5)
   }
 
+  /** IVF-PQ at nprobe = 8 with EXACT re-ranking of the ADC top-20
+    * (`Ann.ivfPqSearch(rerank = 20)`): the mitigation for the measured
+    * recall INVERSION — ivfpq_probe8 recall@5 (0.200) < ivfpq_probe3
+    * (0.275), because ADC quantisation error admits false candidates as
+    * the probe set grows and they displace true neighbours in the
+    * approximate order. Re-scoring the ADC top-R (R = 4k) by exact
+    * squared L2 restores monotonicity (AnnRecallSpec pins
+    * probe8+rerank ≥ probe3); the exact pass is one broadcast-hash join
+    * of R·|Q| candidates back into the raw vectors — the corpus still
+    * never shuffles. The DuckDB twin appends the same top-R cut and
+    * exact-expansion re-rank to the ivfpq oracle's CTEs. */
+  def xAnnIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Ann.ivfPqSearch(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", ivfCentroids(emb),
+      graft.operators.Ann.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16),
+      nprobe = 8, k = 5, rerank = 20)
+  }
+
+  /** IVF-PQ with RESIDUAL encoding (`Ann.ivfPqSearch(residual = true)`,
+    * the classic formulation): each corpus vector is PQ-encoded as
+    * `v − centroid(cell)` via the native `CentroidResidual` expression
+    * (still one narrow scan), codebooks live in residual space
+    * (`Ann.pqResidualCodebooks` — first-16 seeds, each replaced by its
+    * residual to its nearest centroid), and each query builds its ADC
+    * tables per probed cell from `q − centroid(cell)`. Measured on the
+    * test corpus the classic formulation LOSES to raw encoding at equal
+    * code budget (recall@5 0.200 vs 0.275 — one-shot residual seeds are
+    * within-cell noise; see `Ann.ivfPqSearch`'s measured caveat), so
+    * this row is the machinery pin and the honest negative result, not
+    * a recommendation. The DuckDB twin re-derives residual seeds, corpus
+    * residuals and per-cell query tables with the same element-wise
+    * `CAST(… AS DOUBLE) − CAST(… AS DOUBLE)` arithmetic, so the hash
+    * pins the whole residual pipeline bit-for-bit. */
+  def xAnnIvfPqRes(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val cents = ivfCentroids(emb)
+    graft.operators.Ann.ivfPqSearch(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", cents,
+      graft.operators.Ann.pqResidualCodebooks(emb, "vec_id", "embedding",
+        cents, m = 8, ksub = 16),
+      nprobe = 3, k = 5, residual = true)
+  }
+
+  /** x_ann_pq_lloyd at the STANDARD 8-bit PQ operating point: ksub = 256
+    * codes per subspace (one Lloyd pass over a 32-per-code sized sample,
+    * the `centroidsLloyd` sizing law applied to codebooks) instead of
+    * the 4-bit ksub = 16. 16× the codebook, same m = 8 table-lookup
+    * search cost per candidate — the recall/compression point a real
+    * 100 TB deployment would run (codes are 8 bytes/vector either way
+    * here; the 4-bit variant exists for the compression-floor end).
+    * The encode argmin is the native `NearestCentroid` per subspace —
+    * at ksub = 256 the old `array(dot…)` rendering would cross the JIT
+    * bytecode ceiling (SCALING.md round 10's measured failure mode).
+    * Oracle: the pq_lloyd SQL with parameterised seed/sample LIMITs. */
+  def xAnnPq256(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Ann.pqSearch(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding",
+      graft.operators.Ann.pqCodebooksLloyd(emb, "vec_id", "embedding",
+        m = 8, ksub = 256, iters = 1, sampleN = 8192),
+      k = 5)
+  }
+
   /** DuckDB rendering of [[graft.operators.Ann.lshBucket]] over `planes`.
     * When `sized`, every plane term i is additionally masked by
     * `i < np`, where the `npl` CTE derives np from `count(*)` with the
@@ -1212,7 +1276,9 @@ object QueryPack {
     * side (LIMIT past the row count = whole table, both engines), so
     * the SQL adapts to any corpus size without regeneration — the
     * sized-LSH npl precedent. The search tail is byte-identical to the
-    * flat probe oracle's. */
+    * flat probe oracle's. (Same DuckDB-version caveat as the pq_lloyd
+    * oracle: the id-ordered member sum leans on `list_sum(list(… ORDER
+    * BY …))` folding in list order — empirical, not contractual.) */
   private val ivfLloydProbeOracleSql: String =
     s"""WITH cents0 AS (
       |  SELECT vec_id AS cent_id,
@@ -1357,13 +1423,20 @@ object QueryPack {
     * (list_sum over an ORDER BY vec_id list — the driver folds members
     * in the same order), books = refined vectors with empty cells
     * keeping their seed (LEFT JOIN + coalesce). The search tail is
-    * byte-identical to the plain pq oracle's. */
-  private val pqLloydOracleSql: String =
+    * byte-identical to the plain pq oracle's.
+    *
+    * DuckDB-version caveat: the bit-for-bit claim leans on
+    * `list_sum(list(x ORDER BY …))` summing in list order — empirically
+    * true on the pinned DuckDB (every hash green) but not a documented
+    * contract. If a DuckDB upgrade ever breaks ONLY the `*_lloyd`
+    * hashes on FP-sensitive data, suspect a vectorised/reordered
+    * list_sum before suspecting this code. */
+  private def pqLloydOracleSqlFor(ksub: Int, sampleN: Int): String =
     s"""WITH sample AS (
-      |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
+      |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $sampleN),
       |seeds AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
-      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |  FROM embeddings ORDER BY vec_id LIMIT $ksub),
       |subs AS (SELECT unnest(range(0, 8)) AS sub),
       |books0 AS (
       |  SELECT s.sub AS sub, d.code AS code,
@@ -1393,69 +1466,169 @@ object QueryPack {
       |  FROM books0 b0 LEFT JOIN refined r ON r.sub = b0.sub AND r.code = b0.code),
       |$pqSearchTailSql""".stripMargin
 
-  /** DuckDB mirror of Ann.ivfPqSearch (nprobe = 3, m = 8, ksub = 16,
-    * k = 5, queries vec_id < 8): the ivf_probe oracle's quantizer CTEs
-    * (cents / assigned / qcells) composed with the pq oracle's codebook
-    * CTEs (seeds / books / codes / qtab), candidates restricted to the
-    * probed cells before the ADC group-by. Every arithmetic expression is
-    * verbatim from one of the two parents, so bit parity carries over. */
+  private val pqLloydOracleSql: String = pqLloydOracleSqlFor(ksub = 16, sampleN = 256)
+
+  /** DuckDB mirror of Ann.ivfPqSearch (m = 8, ksub = 16, k = 5, queries
+    * vec_id < 8), parameterised exactly like the operator: the ivf_probe
+    * oracle's quantizer CTEs (cents / assigned / qcells at `nprobe`)
+    * composed with the pq oracle's codebook CTEs (seeds / books / codes /
+    * qtab), candidates restricted to the probed cells before the ADC
+    * group-by. Every arithmetic expression is verbatim from one of the
+    * two parents, so bit parity carries over.
+    *
+    * `residual = true` swaps in residual space end to end: seeds become
+    * their residuals to their assigned cell (seedr — the same assignment
+    * CTE the corpus uses, so the cell choice is the operator's driver
+    * argmin verbatim), the corpus encodes `v − cent(cell)` (rcorp) and
+    * each query's ADC tables derive from `q − cent(cell)` PER PROBED
+    * CELL (qres/qtab carry the cell key). Every residual element is
+    * `CAST(v[t] AS DOUBLE) − CAST(c[t] AS DOUBLE)` — one IEEE op, no
+    * fold — matching the native CentroidResidual bit-for-bit.
+    *
+    * `rerank = R > 0` appends the operator's exact re-rank: top-R by
+    * (adc, vec_id) per query, re-scored with the exact dot expansion
+    * duckSqDist(candidate, query), re-ranked by (l2, vec_id) — output
+    * carries `l2_dist` instead of `adc_dist`. */
+  private def ivfPqOracleSqlFor(nprobe: Int, residual: Boolean,
+                                rerank: Int): String = {
+    val head =
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+        |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+        |assigned AS (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        ${duckSqDist("e.embedding", "c.cent")}, c.cent_id) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |qcells AS (
+        |  SELECT q_id, cent_id AS cell FROM (
+        |    SELECT q.vec_id AS q_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        ${duckSqDist("q.embedding", "c.cent")}, c.cent_id) AS rn
+        |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8) WHERE rn <= $nprobe),""".stripMargin
+    val mid = if (!residual)
+      s"""seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |subs AS (SELECT unnest(range(0, 8)) AS sub),
+        |books AS (
+        |  SELECT s.sub AS sub, d.code AS code,
+        |    list_transform(range(1, 9), t -> CAST(d.embedding[s.sub*8 + t] AS DOUBLE)) AS cvec
+        |  FROM seeds d CROSS JOIN subs s),
+        |enc0 AS (
+        |  SELECT e.vec_id, b.sub, b.code,
+        |    (list_sum(list_transform(range(1, 9), t ->
+        |       CAST(e.embedding[b.sub*8 + t] AS DOUBLE) * CAST(e.embedding[b.sub*8 + t] AS DOUBLE)))
+        |     - 2 * list_sum(list_transform(range(1, 9), t ->
+        |       CAST(e.embedding[b.sub*8 + t] AS DOUBLE) * b.cvec[t])))
+        |     + list_sum(list_transform(range(1, 9), t -> b.cvec[t] * b.cvec[t])) AS dist
+        |  FROM embeddings e CROSS JOIN books b),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |    FROM enc0) WHERE rn = 1),
+        |qtab AS (
+        |  SELECT q.vec_id AS q_id, b.sub, b.code,
+        |    (list_sum(list_transform(range(1, 9), t ->
+        |       CAST(q.embedding[b.sub*8 + t] AS DOUBLE) * CAST(q.embedding[b.sub*8 + t] AS DOUBLE)))
+        |     - 2 * list_sum(list_transform(range(1, 9), t ->
+        |       CAST(q.embedding[b.sub*8 + t] AS DOUBLE) * b.cvec[t])))
+        |     + list_sum(list_transform(range(1, 9), t -> b.cvec[t] * b.cvec[t])) AS qdist
+        |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 8),
+        |scored AS (
+        |  SELECT t.q_id, c.vec_id, list_sum(list(t.qdist ORDER BY t.sub)) AS adc
+        |  FROM codes c
+        |  JOIN assigned a ON a.vec_id = c.vec_id
+        |  JOIN qcells qc ON qc.cell = a.cell
+        |  JOIN qtab t ON t.q_id = qc.q_id AND t.sub = c.sub AND t.code = c.code
+        |  WHERE c.vec_id != qc.q_id
+        |  GROUP BY t.q_id, c.vec_id),""".stripMargin
+    else
+      s"""seedr AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(1, 65), t ->
+        |      CAST(e.embedding[t] AS DOUBLE) - CAST(c.cent[t] AS DOUBLE)) AS rvec
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE vec_id > (SELECT max(cent_id) FROM cents)
+        |        ORDER BY vec_id LIMIT 16) e
+        |  JOIN assigned a ON a.vec_id = e.vec_id
+        |  JOIN cents c ON c.cent_id = a.cell),
+        |subs AS (SELECT unnest(range(0, 8)) AS sub),
+        |books AS (
+        |  SELECT s.sub AS sub, d.code AS code,
+        |    list_transform(range(1, 9), t -> d.rvec[s.sub*8 + t]) AS cvec
+        |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rvec
+        |        FROM seedr) d CROSS JOIN subs s),
+        |rcorp AS (
+        |  SELECT a.vec_id, a.cell,
+        |    list_transform(range(1, 65), t ->
+        |      CAST(e.embedding[t] AS DOUBLE) - CAST(c.cent[t] AS DOUBLE)) AS rvec
+        |  FROM assigned a
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |  JOIN cents c ON c.cent_id = a.cell),
+        |enc0 AS (
+        |  SELECT r.vec_id, b.sub, b.code,
+        |    (list_sum(list_transform(range(1, 9), t ->
+        |       r.rvec[b.sub*8 + t] * r.rvec[b.sub*8 + t]))
+        |     - 2 * list_sum(list_transform(range(1, 9), t ->
+        |       r.rvec[b.sub*8 + t] * b.cvec[t])))
+        |     + list_sum(list_transform(range(1, 9), t -> b.cvec[t] * b.cvec[t])) AS dist
+        |  FROM rcorp r CROSS JOIN books b),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |    FROM enc0) WHERE rn = 1),
+        |qres AS (
+        |  SELECT qc.q_id, qc.cell,
+        |    list_transform(range(1, 65), t ->
+        |      CAST(q.embedding[t] AS DOUBLE) - CAST(c.cent[t] AS DOUBLE)) AS rvec
+        |  FROM qcells qc
+        |  JOIN embeddings q ON q.vec_id = qc.q_id
+        |  JOIN cents c ON c.cent_id = qc.cell),
+        |qtab AS (
+        |  SELECT r.q_id, r.cell, b.sub, b.code,
+        |    (list_sum(list_transform(range(1, 9), t ->
+        |       r.rvec[b.sub*8 + t] * r.rvec[b.sub*8 + t]))
+        |     - 2 * list_sum(list_transform(range(1, 9), t ->
+        |       r.rvec[b.sub*8 + t] * b.cvec[t])))
+        |     + list_sum(list_transform(range(1, 9), t -> b.cvec[t] * b.cvec[t])) AS qdist
+        |  FROM qres r CROSS JOIN books b),
+        |scored AS (
+        |  SELECT t.q_id, c.vec_id, list_sum(list(t.qdist ORDER BY t.sub)) AS adc
+        |  FROM codes c
+        |  JOIN assigned a ON a.vec_id = c.vec_id
+        |  JOIN qtab t ON t.cell = a.cell AND t.sub = c.sub AND t.code = c.code
+        |  WHERE c.vec_id != t.q_id
+        |  GROUP BY t.q_id, c.vec_id),""".stripMargin
+    val tail = if (rerank <= 0)
+      """ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id AS neighbor, round(adc, 4) AS adc_dist
+        |FROM ranked WHERE rank <= 5""".stripMargin
+    else
+      s"""adcranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS arank
+        |  FROM scored),
+        |cand AS (SELECT q_id, vec_id FROM adcranked WHERE arank <= $rerank),
+        |exact AS (
+        |  SELECT cd.q_id, cd.vec_id,
+        |    ${duckSqDist("e.embedding", "q.embedding")} AS l2
+        |  FROM cand cd
+        |  JOIN embeddings e ON e.vec_id = cd.vec_id
+        |  JOIN embeddings q ON q.vec_id = cd.q_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY l2, vec_id) AS rank
+        |  FROM exact)
+        |SELECT q_id, rank, vec_id AS neighbor, round(l2, 4) AS l2_dist
+        |FROM ranked WHERE rank <= 5""".stripMargin
+    s"$head\n$mid\n$tail"
+  }
+
   private val ivfPqOracleSql: String =
-    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
-      |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
-      |assigned AS (
-      |  SELECT vec_id, cent_id AS cell FROM (
-      |    SELECT e.vec_id, c.cent_id,
-      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |        ${duckSqDist("e.embedding", "c.cent")}, c.cent_id) AS rn
-      |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
-      |qcells AS (
-      |  SELECT q_id, cent_id AS cell FROM (
-      |    SELECT q.vec_id AS q_id, c.cent_id,
-      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-      |        ${duckSqDist("q.embedding", "c.cent")}, c.cent_id) AS rn
-      |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8) WHERE rn <= 3),
-      |seeds AS (
-      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
-      |  FROM embeddings ORDER BY vec_id LIMIT 16),
-      |subs AS (SELECT unnest(range(0, 8)) AS sub),
-      |books AS (
-      |  SELECT s.sub AS sub, d.code AS code,
-      |    list_transform(range(1, 9), t -> CAST(d.embedding[s.sub*8 + t] AS DOUBLE)) AS cvec
-      |  FROM seeds d CROSS JOIN subs s),
-      |enc0 AS (
-      |  SELECT e.vec_id, b.sub, b.code,
-      |    (list_sum(list_transform(range(1, 9), t ->
-      |       CAST(e.embedding[b.sub*8 + t] AS DOUBLE) * CAST(e.embedding[b.sub*8 + t] AS DOUBLE)))
-      |     - 2 * list_sum(list_transform(range(1, 9), t ->
-      |       CAST(e.embedding[b.sub*8 + t] AS DOUBLE) * b.cvec[t])))
-      |     + list_sum(list_transform(range(1, 9), t -> b.cvec[t] * b.cvec[t])) AS dist
-      |  FROM embeddings e CROSS JOIN books b),
-      |codes AS (
-      |  SELECT vec_id, sub, code FROM (
-      |    SELECT vec_id, sub, code,
-      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
-      |    FROM enc0) WHERE rn = 1),
-      |qtab AS (
-      |  SELECT q.vec_id AS q_id, b.sub, b.code,
-      |    (list_sum(list_transform(range(1, 9), t ->
-      |       CAST(q.embedding[b.sub*8 + t] AS DOUBLE) * CAST(q.embedding[b.sub*8 + t] AS DOUBLE)))
-      |     - 2 * list_sum(list_transform(range(1, 9), t ->
-      |       CAST(q.embedding[b.sub*8 + t] AS DOUBLE) * b.cvec[t])))
-      |     + list_sum(list_transform(range(1, 9), t -> b.cvec[t] * b.cvec[t])) AS qdist
-      |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 8),
-      |scored AS (
-      |  SELECT t.q_id, c.vec_id, list_sum(list(t.qdist ORDER BY t.sub)) AS adc
-      |  FROM codes c
-      |  JOIN assigned a ON a.vec_id = c.vec_id
-      |  JOIN qcells qc ON qc.cell = a.cell
-      |  JOIN qtab t ON t.q_id = qc.q_id AND t.sub = c.sub AND t.code = c.code
-      |  WHERE c.vec_id != qc.q_id
-      |  GROUP BY t.q_id, c.vec_id),
-      |ranked AS (
-      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
-      |  FROM scored)
-      |SELECT q_id, rank, vec_id AS neighbor, round(adc, 4) AS adc_dist
-      |FROM ranked WHERE rank <= 5""".stripMargin
+    ivfPqOracleSqlFor(nprobe = 3, residual = false, rerank = 0)
 
   /** Sliding (hopping) event-time window: 2-hour windows every hour. */
   def w3Sliding(s: SparkSession, dir: String): DataFrame =
@@ -1696,7 +1869,10 @@ object QueryPack {
     "x_ann_ivf_lloyd" -> (xAnnIvfLloyd _),
     "x_ann_ivf_probe" -> (xAnnIvfProbe _),
     "x_ann_ivfpq" -> (xAnnIvfPq _),
+    "x_ann_ivfpq_rerank" -> (xAnnIvfPqRerank _),
+    "x_ann_ivfpq_res" -> (xAnnIvfPqRes _),
     "x_ann_pq" -> (xAnnPq _),
+    "x_ann_pq256" -> (xAnnPq256 _),
     "x_ann_pq_lloyd" -> (xAnnPqLloyd _),
     "x_dedup_embedding" -> (xDedupEmbedding _),
     "x_dedup_embedding_sized" -> (xDedupEmbeddingSized _),
@@ -2067,7 +2243,10 @@ object QueryPack {
     "x_ann_ivf_lloyd" -> ivfLloydProbeOracleSql,
     "x_ann_ivf_probe" -> ivfProbeOracleSql,
     "x_ann_ivfpq" -> ivfPqOracleSql,
+    "x_ann_ivfpq_rerank" -> ivfPqOracleSqlFor(nprobe = 8, residual = false, rerank = 20),
+    "x_ann_ivfpq_res" -> ivfPqOracleSqlFor(nprobe = 3, residual = true, rerank = 0),
     "x_ann_pq" -> pqOracleSql,
+    "x_ann_pq256" -> pqLloydOracleSqlFor(ksub = 256, sampleN = 8192),
     "x_ann_pq_lloyd" -> pqLloydOracleSql,
     "x_dedup_embedding" -> dedupEmbeddingOracleSqlFor(lshPlanes, sized = false),
     "x_dedup_embedding_sized" -> dedupEmbeddingOracleSqlFor(sizedPlanes, sized = true),

@@ -83,7 +83,19 @@ class AnnRecallSpec extends SparkSpec {
         nprobe = 3, k = k)), l2Exact),
       ("ivfpq_probe8", neighborSet(Ann.ivfPqSearch(
         emb, queries, "vec_id", "embedding", cents, books,
-        nprobe = 8, k = k)), l2Exact))
+        nprobe = 8, k = k)), l2Exact),
+      ("ivfpq_probe8_rerank", neighborSet(Ann.ivfPqSearch(
+        emb, queries, "vec_id", "embedding", cents, books,
+        nprobe = 8, k = k, rerank = 20)), l2Exact),
+      ("ivfpq_res_probe3", neighborSet(Ann.ivfPqSearch(
+        emb, queries, "vec_id", "embedding", cents,
+        Ann.pqResidualCodebooks(emb, "vec_id", "embedding", cents,
+          m = 8, ksub = 16),
+        nprobe = 3, k = k, residual = true)), l2Exact),
+      ("pq256_lloyd", neighborSet(Ann.pqSearch(
+        emb, queries, "vec_id", "embedding",
+        Ann.pqCodebooksLloyd(emb, "vec_id", "embedding", m = 8, ksub = 256,
+          iters = 1, sampleN = 8192), k = k)), l2Exact))
     val recalls = measured.map { case (name, approx, exact) =>
       assert(approx.size == 8 * k, s"$name must return k results per query")
       name -> recall(approx, exact)
@@ -92,16 +104,28 @@ class AnnRecallSpec extends SparkSpec {
       info(f"recall@5 $name%-16s = $r%.3f")
     }
 
-    // floors: just under round 10's measured values (SCALING.md table)
+    // floors: just under the measured values (SCALING.md table; r10 for
+    // the carried configs, r11 for rerank/residual/pq256)
     val floors = Map(
       "ivf_probe3" -> 0.95, "ivf_probe8" -> 0.95, "ivf_hier_probe3" -> 0.50,
       "pq" -> 0.10, "ivfpq_probe3" -> 0.25, "ivfpq_probe8" -> 0.15,
       "pq_lloyd" -> 0.20, "ivfpq_lloyd_probe3" -> 0.30,
-      "ivf_lloyd_probe3" -> 0.90)
+      "ivf_lloyd_probe3" -> 0.90,
+      "ivfpq_probe8_rerank" -> 0.55, "ivfpq_res_probe3" -> 0.15,
+      "pq256_lloyd" -> 0.25)
     floors.foreach { case (name, floor) =>
       assert(recalls(name) >= floor,
         s"$name recall@5 ${recalls(name)} fell under its measured floor $floor")
     }
+    // the ADC recall INVERSION and its cure: more probes admit more
+    // quantisation-error false candidates, so raw ivfpq recall can FALL
+    // as nprobe rises (probe8 0.200 < probe3 0.275, round 10); exact
+    // re-ranking of the ADC top-R must restore monotonicity — a user
+    // turning nprobe up with rerank on gets at least probe3's quality
+    assert(recalls("ivfpq_probe8_rerank") >= recalls("ivfpq_probe3"),
+      s"exact re-ranking no longer cures the ADC inversion: " +
+        s"probe8+rerank ${recalls("ivfpq_probe8_rerank")} < " +
+        s"probe3 ${recalls("ivfpq_probe3")}")
   }
 
   test("centroidsLloyd(iters = 0) is exactly the first-K-by-id seeding") {
@@ -151,9 +175,17 @@ class AnnRecallSpec extends SparkSpec {
       f"(${starved.toDouble / flat}%.3fx)")
     assert(sized <= (flat * 1.05).toLong,
       s"a sized Lloyd pass must not skew cells: $sized vs flat $flat")
-    assert(starved > (flat * 1.2).toLong,
-      s"the starved-sample trap the sizing rule guards against should " +
-        s"reproduce ($starved vs flat $flat) — if it no longer does, " +
-        "re-measure and reconsider the 32x default")
+    // DATA CHARACTERIZATION, not a regression gate (round-10 ADVICE): the
+    // starved trap is a property of this corpus's distribution — a
+    // testdata regeneration or jitter change can legitimately stop
+    // reproducing it without any code regression. The sized upper bound
+    // above stays hard; the trap's reproduction is reported, so the day
+    // it vanishes is visible without failing CI.
+    if (starved > (flat * 1.2).toLong)
+      info("starved-sample trap reproduces (as measured in round 10)")
+    else
+      info(s"NOTE: the starved-sample trap no longer reproduces on this " +
+        s"corpus ($starved vs flat $flat) — re-measure and reconsider " +
+        "the 32x default sizing rule")
   }
 }
