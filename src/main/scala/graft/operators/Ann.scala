@@ -708,6 +708,16 @@ object Ann {
     * R·|Q| dot expansions. Output then carries `l2_dist` (exact) instead
     * of `adc_dist`.
     *
+    * SIZE `ksub` AND `R` TO THE CORPUS — the same lesson as
+    * [[planesFor]] and [[centroidsLloyd]]'s 32-per-cell rule, measured
+    * at sf1 (SCALING.md round 11): a FIXED 16-code/top-20 configuration
+    * collapses as the corpus grows 10× (recall@5 0.600 → 0.200, raw ADC
+    * 0.275 → 0.025 — tighter true-neighbour gaps meet more
+    * quantisation-error candidates), while growing the budget restores
+    * it (ksub 256 + R 100 → 0.850 at sf1). Rerank cost is R·|Q| exact
+    * dots — linear in R, independent of corpus size — so R is the cheap
+    * axis to grow.
+    *
     * Output: `q_id, rank, neighbor, adc_dist` (ascending approximate
     * squared L2, ties on the lower neighbor id); with re-ranking,
     * `q_id, rank, neighbor, l2_dist`. */

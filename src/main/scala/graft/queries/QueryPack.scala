@@ -967,6 +967,11 @@ object QueryPack {
     * instead of prose. Probe-limited cost is linear in the probed cells'
     * populations, so the hier assignment's measured Σpop² skew (which
     * sinks its all-pairs pairing `x_ann_ivf_hier`) does not bite here.
+    * Recall caveat (measured at two scales, SCALING.md round 11): the
+    * hier assignment's inexactness WIDENS as cells multiply — recall@5
+    * 0.575 at sf0.1 (K = 45) but 0.275 at sf1 (K = 142) at nprobe = 3 —
+    * so the ~2√K flop saving buys progressively less quality at larger
+    * K; budget nprobe accordingly.
     * The DuckDB twin composes the hier oracle's assignment CTEs with the
     * probe oracle's search CTEs verbatim. */
   def xAnnIvfHierProbe(s: SparkSession, dir: String): DataFrame = {
