@@ -80,6 +80,92 @@ class ArrayMathSpec extends SparkSpec {
     }
   }
 
+  test("centroidSqDistances: values, entry order, argmin agreement, null semantics") {
+    val rnd = new scala.util.Random(11)
+    val cents = Seq.fill(7)(Seq.fill(16)(rnd.nextDouble()))
+    val ids = (0L until 7L).toSeq
+    val rows = (1 to 100).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat())))
+    val df = rows.toDF("id", "v")
+    val got = df.select(col("id"),
+        ArrayMath.centroidSqDistances(col("v"), cents).as("ds"),
+        ArrayMath.nearestCentroid(col("v"), ids, cents).as("cell"))
+      .collect()
+    val byId = rows.toMap
+    got.foreach { r =>
+      val v = byId(r.getLong(0)).map(_.toDouble)
+      // the reference arithmetic: s2 accumulated left-to-right over the
+      // loaded values, each norm a left fold, (s2 - 2*dot) + n2
+      val s2 = v.foldLeft(0.0)((a, x) => a + x * x)
+      val want = cents.map { c =>
+        val dot = v.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+        val n2 = c.foldLeft(0.0)((a, x) => a + x * x)
+        (s2 - 2.0 * dot) + n2
+      }
+      val ds = r.getSeq[Double](1)
+      assert(ds == want, s"distance-table divergence for id ${r.getLong(0)}")
+      // first minimum of the table IS the argmin expression's choice
+      val first = ds.indexOf(ds.min)
+      assert(r.getLong(2) == ids(first), "table argmin != NearestCentroid")
+    }
+    // interpreted eval agrees
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(ArrayMath.centroidSqDistances(col("v"), cents)).collect()
+      val gen = got.map(_.getSeq[Double](1))
+      assert(interp.map(_.getSeq[Double](0)).toSeq == gen.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // null semantics: null array / null element / length mismatch → null
+    val bad = Seq(
+      (1L, Option(Seq[Option[Float]](Some(1f), None) ++ Seq.fill(14)(Option(0f)))),
+      (2L, None),
+      (3L, Option(Seq[Option[Float]](Some(1f), Some(2f))))) // wrong dim
+      .toDF("id", "v")
+    val nulls = bad.select(col("id"),
+        ArrayMath.centroidSqDistances(col("v"), cents).as("ds")).collect()
+    nulls.foreach(r => assert(r.isNullAt(1), s"expected null for id ${r.getLong(0)}"))
+  }
+
+  test("centroidResidual: subtraction, sparse-id lookup, null semantics, id-order guard") {
+    val cents = Seq(Seq(1.0, 2.0, 3.0), Seq(-1.0, 0.0, 1.0))
+    val ids = Seq(10L, 40L) // non-contiguous ascending — binary search path
+    val df = Seq(
+      (1L, Option(Seq(4f, 4f, 4f)), Option(10L)),
+      (2L, Option(Seq(4f, 4f, 4f)), Option(40L)),
+      (3L, Option(Seq(4f, 4f, 4f)), Option(11L)), // unknown cell
+      (4L, None: Option[Seq[Float]], Option(10L)), // null vector
+      (5L, Option(Seq(4f, 4f)), Option(10L)))      // length mismatch
+      .toDF("id", "v", "cell")
+    val got = df.select(col("id"),
+        ArrayMath.centroidResidual(col("v"), col("cell"), ids, cents).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Double](1)))).toMap
+    assert(got(1L).contains(Seq(3.0, 2.0, 1.0)))
+    assert(got(2L).contains(Seq(5.0, 4.0, 3.0)))
+    assert(got(3L).isEmpty && got(4L).isEmpty && got(5L).isEmpty)
+    // interpreted eval agrees
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(col("id"),
+          ArrayMath.centroidResidual(col("v"), col("cell"), ids, cents).as("r"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getSeq[Double](1)))).toMap
+      assert(interp == got)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // descending ids must be rejected up front (binary search + tie parity)
+    intercept[IllegalArgumentException] {
+      df.select(ArrayMath.centroidResidual(col("v"), col("cell"),
+        Seq(40L, 10L), cents)).collect()
+    }
+  }
+
   test("mixed float/double (literal side) and interpreted eval agree") {
     val df = Seq((1L, Seq(0.5f, -1.5f))).toDF("id", "a")
     val v = Seq(2.0, 4.0)

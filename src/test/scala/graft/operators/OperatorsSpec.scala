@@ -582,6 +582,61 @@ class OperatorsSpec extends SparkSpec {
       Ann.ivfPqSearch(vecs, queries, "id", "emb", cents, books, nprobe = 0, k = 5))
   }
 
+  test("ann: rerank with nprobe = K and R >= N IS exact L2 search; residual seeds are nonzero") {
+    import graft.operators.Ann
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val vecs = (0L until 150L).map(i => (i, Seq.fill(16)(rnd.nextFloat()))).toDF("id", "emb")
+    val queries = vecs.filter(col("id") < 4)
+    val cents = vecs.filter(col("id") < 12).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    val books = Ann.pqCodebooks(vecs, "id", "emb", m = 4, ksub = 8)
+    // every cell probed + every candidate re-ranked exactly == the exact
+    // L2 top-k, regardless of how bad the ADC ordering was: the ADC tier
+    // only PRE-FILTERS, and with R >= N it filters nothing. The driver
+    // oracle folds the same expansion arithmetic.
+    val data = vecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq))
+    def l2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      val s2 = a.foldLeft(0.0)((acc, x) => acc + x * x)
+      val dot = a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+      val n2 = b.foldLeft(0.0)((acc, x) => acc + x * x)
+      (s2 - 2.0 * dot) + n2
+    }
+    val expect = data.filter(_._1 < 4).flatMap { case (q, qv) =>
+      data.filter(_._1 != q)
+        .map { case (id, v) => (id, l2(v, qv)) }
+        .sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex
+        .map { case ((id, d), i) => (q, i + 1, id,
+          BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.toSet
+    val got = Ann.ivfPqSearch(vecs, queries, "id", "emb", cents, books,
+        nprobe = cents.size, k = 5, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect, "nprobe=K + rerank>=N must reproduce exact L2 top-k")
+    // a probe-limited rerank still returns k rows per query with exact
+    // distances (l2_dist column, ascending per query)
+    val probed = Ann.ivfPqSearch(vecs, queries, "id", "emb", cents, books,
+      nprobe = 3, k = 5, rerank = 20)
+    assert(probed.columns.toSeq == Seq("q_id", "rank", "neighbor", "l2_dist"))
+    assert(probed.count() == 4 * 5)
+    // residual codebooks: seeds start past the quantizer's own rows, so
+    // no code is the zero vector (the degenerate codebook this rule
+    // exists to prevent — seeding from id 0 would subtract each centroid
+    // from itself)
+    val rbooks = Ann.pqResidualCodebooks(vecs, "id", "emb", cents, m = 4, ksub = 8)
+    assert(rbooks.length == 4 && rbooks.forall(_.length == 8))
+    rbooks.flatten.foreach { code =>
+      assert(code.exists(x => math.abs(x) > 1e-12),
+        "a residual code collapsed to the zero vector")
+    }
+    // and the residual pipeline keeps the output contract
+    val res = Ann.ivfPqSearch(vecs, queries, "id", "emb", cents, rbooks,
+      nprobe = 3, k = 5, residual = true)
+    assert(res.columns.toSeq == Seq("q_id", "rank", "neighbor", "adc_dist"))
+    assert(res.count() == 4 * 5)
+  }
+
   test("ann: two-level assignment follows the documented block rule exactly") {
     import graft.operators.Ann
     import spark.implicits._

@@ -132,6 +132,47 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"unbroadcast product:\n$plan")
   }
 
+  test("ivfpq rerank: exact pass broadcasts candidates into the corpus; no corpus shuffle-join") {
+    val plan = formattedPlan(QueryPack.xAnnIvfPqRerank(spark, sf))
+    // the re-rank tier joins the (R·|Q|-row) candidate set back into the
+    // raw vectors — that side must broadcast; the corpus must never
+    // sort-merge or product for either the ADC or the exact pass
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rerank candidate join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus must not shuffle-sort or product for re-ranking:\n$plan")
+  }
+
+  test("ivfpq residual: corpus scan carries the native residual, tables native, no dot-array") {
+    val res = QueryPack.xAnnIvfPqRes(spark, sf)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_centroid_residual"),
+      s"native residual missing from the corpus scan:\n$plan")
+    assert(plan.contains("graft_nearest_centroid"),
+      s"native encode argmin missing:\n$plan")
+    assert(!plan.contains("array(graft_dot"),
+      s"K-wide dot-array expansion (JIT/janino-ceiling risk) crept back:\n$plan")
+  }
+
+  test("pq256: 8-bit encode and tables stay native (the janino 64 KB guard)") {
+    // at ksub = 256 the dot-array rendering of the tables crosses
+    // janino's hard 64 KB method limit and the encode argmin the JIT's
+    // ~8 KB ceiling — both measured; the executed plan must carry the
+    // two native expressions and neither banned rendering
+    val q = QueryPack.xAnnPq256(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_nearest_centroid"),
+      s"native encode argmin missing from the pq256 plan:\n$plan")
+    assert(plan.contains("graft_centroid_sqdists"),
+      s"native distance tables missing from the pq256 plan:\n$plan")
+    assert(!plan.contains("array(graft_dot"),
+      s"K-wide dot-array expansion back in the pq256 plan:\n$plan")
+  }
+
   test("lsh: bucket join is a shuffle join (never a single-partition broadcast)") {
     val plan = formattedPlan(QueryPack.xAnnLsh(spark, sf))
     assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
