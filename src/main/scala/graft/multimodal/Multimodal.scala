@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   * the JDK) — actual pixel dimensions and Rec. 601 mean luma. AUDIO decode
   * is REAL for PCM WAV/AIFF/AU via `javax.sound.sampled` (also JDK) —
   * actual sample rate, frame count and RMS amplitude. VIDEO decode is REAL
-  * for MJPEG-in-AVI (`mjpegAviFrames`: RIFF chunk walk + per-frame JPEG
-  * via imageio — the one video format the bare JVM can handle); every
-  * other codec falls back to a deterministic content-hash STUB, the
+  * for MJPEG in both common containers — AVI (`mjpegAviFrames`: RIFF chunk
+  * walk) and MP4 ([[Mp4]]: ISO-BMFF box walk + stsc×stco×stsz sample-table
+  * resolution) — with per-frame JPEG via imageio; for other codecs the MP4
+  * METADATA pass is still real (codec fourcc, coded dimensions, timescale,
+  * per-sample byte ranges — the planning half of a 100 TB video pipeline)
+  * while the decode falls back to a deterministic content-hash STUB, the
   * permanent extension point where a deployment drops an ffmpeg binding
   * into the per-partition codec context without touching the Spark
   * plumbing. Embeddings are likewise content-hash stubs (a real pipeline
@@ -246,14 +249,17 @@ object Multimodal {
   }
 
   /** Frame sampling for video rows → one output row per sampled frame.
-    * MJPEG-in-AVI is decoded for REAL (k evenly-spaced JPEG frames from
-    * the container); every other codec falls back to the deterministic
-    * stub — the documented extension point for an ffmpeg binding. */
+    * MJPEG is decoded for REAL from both containers the bare JVM can
+    * walk — AVI (RIFF chunks) and MP4 (ISO-BMFF sample tables, [[Mp4]]) —
+    * as k evenly-spaced JPEG frames; every other codec falls back to the
+    * deterministic stub — the documented extension point for an ffmpeg
+    * binding. */
   def sampleFrames(media: Dataset[MediaRow], k: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video")
       .flatMap { r =>
-        val real = mjpegAviFrames(r.bytes)
+        val avi = mjpegAviFrames(r.bytes)
+        val real = if (avi.nonEmpty) avi else Mp4.mjpegMp4Frames(r.bytes)
         val frames =
           if (real.isEmpty) sampleFramesStub(r.bytes, r.meta, k)
           else if (real.length <= k) real

@@ -131,6 +131,125 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.collect().length == 3)
   }
 
+  /** A minimal but structurally complete ISO-BMFF MP4: ftyp + mdat
+    * (frames concatenated, split across `chunks`) + moov/trak/mdia with
+    * real tkhd/mdhd/hdlr and full stbl sample tables (stsd/stts/stsc/
+    * stsz/stco) — exactly the layout [[Mp4]] resolves. `chunks` gives the
+    * samples-per-chunk split so the stsc×stco walk is exercised on
+    * non-uniform chunking, not just one-sample-per-chunk. */
+  private def mp4(frames: Seq[Array[Byte]], codec: String,
+                  chunks: Seq[Int]): Array[Byte] = {
+    require(chunks.sum == frames.length)
+    def be16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+                              ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val payload = parts.flatten.toArray
+      be32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+    }
+    val ftyp = box("ftyp", "isom".getBytes, be32(0), "isom".getBytes)
+    val mdat = box("mdat", frames.flatten.toArray)
+    val mdatPayloadAt = ftyp.length + 8L
+    // chunk offsets: absolute file positions of each chunk's first sample
+    val sampleSizes = frames.map(_.length)
+    val chunkFirstSample = chunks.scanLeft(0)(_ + _).init
+    val chunkOffsets = chunkFirstSample.map(fs =>
+      mdatPayloadAt + sampleSizes.take(fs).sum)
+    val stsd = box("stsd", be32(0), be32(1),
+      // one VisualSampleEntry (86 bytes): codec fourcc, dims at +32/+34
+      be32(86), codec.getBytes("ISO-8859-1"), new Array[Byte](6), be16(1),
+      be16(0), be16(0), new Array[Byte](12), be16(8), be16(8),
+      be32(0x00480000), be32(0x00480000), be32(0), be16(1),
+      new Array[Byte](32), be16(24), be16(0xFFFF))
+    val stts = box("stts", be32(0), be32(1), be32(frames.length.toLong), be32(100))
+    // stsc runs: collapse consecutive equal samples-per-chunk
+    val runs = chunks.zipWithIndex.filter { case (spc, i) =>
+      i == 0 || chunks(i - 1) != spc }
+    val stsc = box("stsc", be32(0), be32(runs.length.toLong),
+      runs.flatMap { case (spc, i) =>
+        be32(i + 1L) ++ be32(spc.toLong) ++ be32(1) }.toArray)
+    val stsz = box("stsz", be32(0), be32(0), be32(frames.length.toLong),
+      sampleSizes.flatMap(s => be32(s.toLong)).toArray)
+    val stco = box("stco", be32(0), be32(chunkOffsets.length.toLong),
+      chunkOffsets.flatMap(be32).toArray)
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = box("minf", stbl)
+    val hdlr = box("hdlr", be32(0), be32(0), "vide".getBytes,
+      new Array[Byte](12), Array(0.toByte))
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(600),
+      be32(frames.length * 100L), be16(0x55C4), be16(0))
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val tkhd = box("tkhd", be32(0x00000007), be32(0), be32(0), be32(1),
+      new Array[Byte](84 - 16))
+    val trak = box("trak", tkhd, mdia)
+    val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(600),
+      be32(frames.length * 100L), new Array[Byte](80))
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  private def jpegFrames(n: Int): Seq[Array[Byte]] = (0 until n).map { i =>
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val v = 200 - 40 * i
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    val b = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", b)
+    b.toByteArray
+  }
+
+  test("MP4 metadata: track id, handler, codec, dims, timescale from the box tree") {
+    val bytes = mp4(jpegFrames(5), "jpeg", Seq(3, 2))
+    val ts = Mp4.tracks(bytes)
+    assert(ts.length == 1)
+    val t = ts.head
+    assert(t.trackId == 1 && t.handler == "vide" && t.codec == "jpeg")
+    assert(t.width == 8 && t.height == 8)
+    assert(t.timescale == 600 && t.duration == 500 && t.nSamples == 5)
+  }
+
+  test("MP4 sample-table resolution: stsc×stco×stsz yields exact byte ranges") {
+    val frames = jpegFrames(5)
+    val bytes = mp4(frames, "jpeg", Seq(3, 2)) // non-uniform chunking
+    val ranges = Mp4.videoSampleRanges(bytes)
+    assert(ranges.length == 5)
+    assert(ranges.map(_._2).toSeq == frames.map(_.length.toLong))
+    val recovered = ranges.map { case (off, sz) =>
+      java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt).toSeq }
+    assert(recovered == frames.map(_.toSeq), "byte-exact recovery from planned ranges")
+  }
+
+  test("real MJPEG-MP4 decode: frames out bit-exact; sampleFrames routes the container") {
+    import spark.implicits._
+    val frames = jpegFrames(5)
+    val bytes = mp4(frames, "jpeg", Seq(2, 2, 1))
+    assert(Mp4.mjpegMp4Frames(bytes).map(_.toSeq) == frames.map(_.toSeq))
+    val ds = Seq(MediaRow(11, "video", bytes, MediaMeta("mp4", 8, 8, 5, 0))).toDS()
+    val sampled = sampleFrames(ds, 2).collect().sortBy(_.getInt(1))
+    assert(sampled.map(_.getInt(2)).toSeq ==
+      Seq(frames(0).length, frames(2).length), "real frame sizes, evenly sampled")
+  }
+
+  test("MP4 non-MJPEG codec: metadata and ranges still real, decode falls back to stub") {
+    import spark.implicits._
+    // same sample layout, but the stsd entry claims avc1 — h264 NALs, not JPEGs
+    val fake = (0 until 3).map(i => Array.fill(32 + i)(i.toByte))
+    val bytes = mp4(fake, "avc1", Seq(3))
+    assert(Mp4.tracks(bytes).head.codec == "avc1")
+    assert(Mp4.videoSampleRanges(bytes).length == 3, "planning pass is codec-agnostic")
+    assert(Mp4.mjpegMp4Frames(bytes).isEmpty, "no JPEG decode claimed for h264")
+    val ds = Seq(MediaRow(12, "video", bytes, MediaMeta("mp4", 8, 8, 3, 0))).toDS()
+    assert(sampleFrames(ds, 2).collect().length == 2, "stub keeps the pipeline runnable")
+  }
+
+  test("MP4 parser: corrupt / truncated / non-BMFF bytes degrade to empty, never throw") {
+    assert(Mp4.tracks("not an mp4 at all".getBytes).isEmpty)
+    assert(Mp4.videoSampleRanges(Array[Byte](0, 0, 0, 9)).isEmpty)
+    val good = mp4(jpegFrames(2), "jpeg", Seq(2))
+    val truncated = java.util.Arrays.copyOfRange(good, 0, good.length / 2)
+    assert(Mp4.mjpegMp4Frames(truncated).isEmpty)
+  }
+
   test("real WAV decode: sample rate, frames and RMS from actual PCM") {
     import javax.sound.sampled._
     import spark.implicits._
