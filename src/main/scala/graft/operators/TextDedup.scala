@@ -292,4 +292,45 @@ object TextDedup {
           size(array_union(col("a._grams"), col("b._grams"))), 4).as("jaccard"))
       .filter(col("jaccard") > threshold)
   }
+
+  /** Paragraph-level dedup (the CCNet/RefinedWeb boilerplate-removal
+    * shape): documents are split into `sep`-separated paragraphs, each
+    * paragraph's corpus-wide document frequency is counted, and
+    * paragraphs appearing in more than `maxDocs` DISTINCT documents
+    * (navigation chrome, cookie banners, licence footers) are dropped
+    * from every document while the survivors are reassembled in their
+    * original order. This removes the repeated-boilerplate mass that
+    * document-level dedup cannot see — near-identical pages differ, but
+    * their shared chrome is byte-identical per paragraph.
+    *
+    * Scale shape: one narrow explode, then three keyed shuffles and
+    * nothing else — the frequency groupBy (map-side-combined
+    * count-distinct on the paragraph key), the paragraphs⋈frequency hash
+    * join (both sides partitioned by the same paragraph key), and the
+    * per-document reassembly groupBy. No all-pairs stage anywhere; a
+    * viral boilerplate paragraph makes one hot KEY, which is one freq
+    * row on the build side and AQE-skew-join territory on the probe
+    * side, never a row explosion. Reassembly order rides a
+    * `sort_array(collect_list(struct(pos, …)))` — sorting each doc's own
+    * paragraphs, never a global sort. Every document survives to the
+    * output (an all-boilerplate doc yields `clean_text = ""`), so the
+    * operator composes with downstream length/quality filters instead of
+    * silently dropping rows. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     maxDocs: Long, sep: String = "\n"): DataFrame = {
+    val paras = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val freq = paras.groupBy("para")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    paras.join(freq.hint("shuffle_hash"), "para")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          sort_array(collect_list(when(col("n_docs") <= maxDocs,
+            struct(col("pos"), col("para"))))).getField("para"), sep)
+          .as("clean_text"),
+        count(lit(1)).as("n_paras"),
+        sum((col("n_docs") > maxDocs).cast("long")).as("n_dropped"))
+  }
 }

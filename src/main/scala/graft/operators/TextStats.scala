@@ -260,6 +260,51 @@ object TextStats {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Bigram LM quality scoring — the KenLM-shaped upgrade of
+    * [[unigramLogProb]]: each document is scored by the mean add-one-
+    * smoothed conditional log-probability of its word bigrams,
+    * `log10((c(w1,w2) + 1) / (c(w1) + V))`, against counts from the whole
+    * corpus. A unigram score cannot see word ORDER — "the cat sat" and
+    * "sat the cat" score identically — while shuffled or
+    * machine-mangled text drops sharply under a bigram model, which is
+    * why perplexity-style filters are standard in pretraining pipelines.
+    *
+    * Scale shape: tokens are filtered ("" from consecutive separators
+    * would pollute both numerator and denominator) and paired INSIDE the
+    * row (a per-row `transform` over the materialised word array — no
+    * (id, pos)⋈(id, pos+1) self-join, no per-document window shuffle);
+    * then two count tables (bigram, unigram) and two keyed hash joins,
+    * both sides co-partitioned on their join key, with the two scalar
+    * totals broadcast. Documents with fewer than two tokens have no
+    * bigrams and are absent from the output, mirroring
+    * [[unigramLogProb]]'s NULL-text contract. */
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val ws = docs
+      .withColumn("_ws0", split(col(textCol), " "))
+      .withColumn("_ws", filter(col("_ws0"), w => length(w) > 0))
+      .select(col(idCol), col("_ws"))
+    val words = ws.select(col(idCol), explode(col("_ws")).as("_w"))
+    val uni = words.groupBy(col("_w").as("_uw")).agg(count(lit(1)).as("_c1"))
+    val v = uni.agg(count(lit(1)).as("_v"))
+    val bg = ws.filter(size(col("_ws")) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("_ws")) - 1),
+        i => struct(element_at(col("_ws"), i).as("w1"),
+                    element_at(col("_ws"), i + 1).as("w2")))).as("_b"))
+      .select(col(idCol), col("_b.w1").as("_w1"), col("_b.w2").as("_w2"))
+    val big = bg.groupBy(col("_w1").as("_bw1"), col("_w2").as("_bw2"))
+      .agg(count(lit(1)).as("_c12"))
+    bg.join(big.hint("shuffle_hash"),
+        col("_w1") === col("_bw1") && col("_w2") === col("_bw2"))
+      .join(uni.hint("shuffle_hash"), col("_w1") === col("_uw"))
+      .crossJoin(broadcast(v))
+      .withColumn("_lp",
+        log10((col("_c12") + 1).cast("double") / (col("_c1") + col("_v"))))
+      .groupBy(idCol)
+      .agg(round(avg(col("_lp")), 4).as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Temperature-based corpus mixing (the multilingual-pretraining
     * resampler): per-stratum target shares ∝ share^alpha, alpha in (0, 1]
     * — alpha = 1 keeps the natural mix, smaller alpha flattens it toward

@@ -1798,6 +1798,38 @@ object QueryPack {
   def xUnigramLogprob(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextStats.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
 
+  /** Bigram upgrade of [[xUnigramLogprob]]: mean add-one-smoothed
+    * conditional log-prob of each doc's word bigrams under the corpus's
+    * own bigram counts — the order-sensitive KenLM-shaped quality signal.
+    * Pairing happens inside the row (no self-join, no per-doc window);
+    * both count joins are shuffle-hash on co-partitioned keys. */
+  def xBigramLogprob(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.bigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+
+  /** Paragraph-level boilerplate removal (the CCNet/RefinedWeb shape) over
+    * a paragraph-structured rendering of the corpus: each document gains a
+    * per-source boilerplate header paragraph plus its own text re-chunked
+    * into 10-word paragraphs (a deterministic, narrow per-row construction
+    * — the `\n` structure the flat testdata lacks, built the same way
+    * n3_segments renders order blocks). [[graft.operators.TextDedup.paragraphDedup]]
+    * then counts each paragraph's corpus-wide document frequency and
+    * strips those present in more than 8 distinct documents: the
+    * 25-docs-per-source headers vanish from every document, the unique
+    * content chunks survive in order, and per-doc drop counts come back
+    * for auditability. */
+  def xParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "documents")
+      .withColumn("_ws", split(col("text"), " "))
+      .withColumn("_chunks", transform(
+        sequence(lit(0), (ceil(size(col("_ws")) / 10.0) - 1).cast("int")),
+        i => array_join(slice(col("_ws"), i * 10 + 1, lit(10)), " ")))
+      .select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("SRC "), col("source"), lit(" standard boilerplate notice")),
+          array_join(col("_chunks"), "\n")).as("ptext"))
+    graft.operators.TextDedup.paragraphDedup(base, "doc_id", "ptext", maxDocs = 8)
+  }
+
   /** Temperature resampling rates per language (alpha = 0.5): the
     * multilingual-pretraining mix flattener, downsample-only, composable
     * with stratifiedSample. */
@@ -1893,6 +1925,8 @@ object QueryPack {
     "x_pack" -> (xPack _),
     "x_pack_salted" -> (xPackSalted _),
     "x_unigram_logprob" -> (xUnigramLogprob _),
+    "x_bigram_logprob" -> (xBigramLogprob _),
+    "x_paragraph_dedup" -> (xParagraphDedup _),
     "x_temperature_mix" -> (xTemperatureMix _),
     "x_profile" -> (xProfile _),
     "x_redact" -> (xRedact _),
@@ -2100,6 +2134,36 @@ object QueryPack {
         |  round(avg(log10((c + 1)::DOUBLE / (n + vsz))), 4) AS avg_logprob,
         |  count(*) AS n_tokens
         |FROM w JOIN v USING (w) CROSS JOIN t
+        |GROUP BY 1""".stripMargin,
+    "x_bigram_logprob" ->
+      """WITH w0 AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws FROM documents),
+        |uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(ws) AS w FROM w0) GROUP BY 1),
+        |t AS (SELECT count(*) AS vsz FROM uni),
+        |bg AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |       FROM w0 WHERE len(ws) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  round(avg(log10((c12 + 1)::DOUBLE / (c1 + vsz))), 4) AS avg_logprob,
+        |  count(*) AS n_bigrams
+        |FROM bg JOIN bc USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN t
+        |GROUP BY 1""".stripMargin,
+    "x_paragraph_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |p0 AS (
+        |  SELECT doc_id,
+        |    ['SRC ' || source || ' standard boilerplate notice'] ||
+        |    list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+        |      i -> array_to_string(ws[i*10+1:i*10+10], ' ')) AS ps
+        |  FROM base),
+        |paras AS (
+        |  SELECT doc_id, unnest(range(1, len(ps)+1)) AS pos, unnest(ps) AS para FROM p0),
+        |f AS (SELECT para, count(DISTINCT doc_id) AS n_docs FROM paras GROUP BY 1)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list(para ORDER BY pos) FILTER (WHERE n_docs <= 8), chr(10)), '') AS clean_text,
+        |  count(*) AS n_paras,
+        |  CAST(count(*) FILTER (WHERE n_docs > 8) AS BIGINT) AS n_dropped
+        |FROM paras JOIN f USING (para)
         |GROUP BY 1""".stripMargin,
     "x_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

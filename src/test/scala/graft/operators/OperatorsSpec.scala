@@ -225,6 +225,57 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L)._1 > out(2L)._1)
   }
 
+  test("bigramLogProb: hand-computed smoothing, order sensitivity, short-doc contract") {
+    // corpus: both docs carry bigram (a,b); doc 2 also (b,a). Unigram
+    // counts include the bigram-less doc 3: a:3 b:2 x:1, V=3;
+    // c(a b)=2, c(b a)=1
+    val docs = Seq((1L, "a b"), (2L, "a b a"), (3L, "x"), (4L, "")).toDF("id", "t")
+    val out = TextStats.bigramLogProb(docs, "id", "t")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // docs with < 2 tokens have no bigrams and are absent (the
+    // unigramLogProb NULL-text contract, extended)
+    assert(out.keySet == Set(1L, 2L))
+    val lpAB = math.log10(3.0 / 6) // (2+1)/(c(a)=3 + V=3)
+    val lpBA = math.log10(2.0 / 5) // (1+1)/(c(b)=2 + V=3)
+    assert(out(1L)._2 == 1 && math.abs(out(1L)._1 - (math.rint(lpAB * 1e4) / 1e4)) < 1e-9)
+    assert(out(2L)._2 == 2 && math.abs(out(2L)._1 - (math.rint((lpAB + lpBA) / 2 * 1e4) / 1e4)) < 1e-4)
+    // ORDER sensitivity — the whole point over the unigram score: same
+    // multiset of words, different order, different score
+    val pair = Seq((1L, "a a b"), (2L, "a b a")).toDF("id", "t")
+    val sc = TextStats.bigramLogProb(pair, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sc(1L) != sc(2L), "reordered words must score differently")
+    // whitespace noise: "" tokens filtered BEFORE pairing, so "a  b"
+    // still forms the (a, b) bigram rather than (a, "") + ("", b)
+    val noisy = TextStats.bigramLogProb(Seq((9L, "a  b")).toDF("id", "t"), "id", "t")
+      .collect().head
+    assert(noisy.getLong(2) == 1)
+  }
+
+  test("paragraphDedup: corpus-frequent paragraphs dropped, order kept, all docs survive") {
+    // "HDR" is in 3 distinct docs (boilerplate at maxDocs=2); "mid" in 2
+    // (kept); content unique. Doc 4 is ALL boilerplate. Doc 2 repeats its
+    // own content paragraph 3 times — within-doc repetition is NOT
+    // corpus frequency and must survive intact.
+    val docs = Seq(
+      (1L, "HDR\nalpha\nmid\nomega"),
+      (2L, "HDR\nbeta\nbeta\nbeta"),
+      (3L, "mid\nHDR\ngamma"),
+      (4L, "HDR")).toDF("id", "t")
+    val out = TextDedup.paragraphDedup(docs, "id", "t", maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("alpha\nmid\nomega", 4L, 1L)))
+    assert(out(2L) == (("beta\nbeta\nbeta", 4L, 1L)), "within-doc repeats kept")
+    assert(out(3L) == (("mid\ngamma", 3L, 1L)), "order of survivors preserved")
+    assert(out(4L) == (("", 1L, 1L)), "all-boilerplate doc survives, empty")
+    // regex-metacharacter separator splits literally
+    val dotted = TextDedup.paragraphDedup(
+      Seq((1L, "x.y"), (2L, "x.z")).toDF("id", "t"), "id", "t",
+      maxDocs = 1, sep = ".")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dotted == Map(1L -> "y", 2L -> "z"))
+  }
+
   test("unigramLogProb: pre-tokenised form agrees; empty tokens never enter the vocab") {
     // whitespace-noisy corpus: leading / double / trailing separators
     val docs = Seq((1L, " a  a b"), (2L, "b c "), (3L, "a")).toDF("id", "t")
