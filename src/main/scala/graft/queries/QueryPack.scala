@@ -109,6 +109,38 @@ object QueryPack {
       .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
         .cast("double").as("revenue"), count(lit(1)).as("n"))
 
+  /** §2.6 extension — co-located fact⋈fact join via bucketing
+    * ([[graft.runtime.Bucketing]]): lineitem and orders are materialised
+    * once per session as external parquet tables bucketed AND
+    * per-bucket-sorted on the join key (8 buckets here; at 100 TB the
+    * count follows the ~128–256 MB-per-bucket rule), after which the
+    * join's executed plan carries ZERO Exchange — both scans report the
+    * bucket partitioning, so neither fact table ever re-shuffles
+    * (PlanQualitySpec pins the no-Exchange claim with broadcast
+    * disabled). The shuffle is paid once at write time and amortised
+    * over every later join/agg on the same key; the min-of-2 bench
+    * protocol's second run measures that steady state. The oracle is the
+    * identical join computed by DuckDB straight off the raw parquet —
+    * bucketing must never change answers, only plans. */
+  def xBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode).toString
+    cachedFixture("x_bucketed", dir) {
+      val base = java.nio.file.Files.createTempDirectory("graft_bucketed")
+      graft.runtime.Bucketing.ensureBucketed(s, s"g_li_$tag",
+        base.resolve("li").toString, Seq("l_orderkey"), 8)(
+        T(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
+      graft.runtime.Bucketing.ensureBucketed(s, s"g_ord_$tag",
+        base.resolve("ord").toString, Seq("o_orderkey"), 8)(
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")))
+      base.toString
+    }
+    s.table(s"g_li_$tag").join(s.table(s"g_ord_$tag"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"), count(lit(1)).as("n_items"))
+  }
+
   /** Rollup aggregation (grouping sets). */
   def aggRollup(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
@@ -1892,6 +1924,7 @@ object QueryPack {
     "m16_priority" -> (m16Priority _),
     "m17_join" -> (m17Join _),
     "m9_cleaners" -> (m9Cleaners _),
+    "x_bucketed_join" -> (xBucketedJoin _),
     "x_dedup_exact" -> (xDedupExact _),
     "x_minhash" -> (xMinhash _),
     "x_minhash_pairs" -> (xMinhashPairs _),
@@ -1993,6 +2026,12 @@ object QueryPack {
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "x_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty

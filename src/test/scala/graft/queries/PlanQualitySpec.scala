@@ -234,6 +234,79 @@ class PlanQualitySpec extends SparkSpec {
       s"corpus must never sort or product for the stitch:\n$plan")
   }
 
+  test("bucketed join: co-located scans — the only shuffle is the final tiny agg") {
+    // bucketing must remove BOTH pre-join shuffles; broadcast is disabled
+    // so the small side can't hide a missing co-location behind a
+    // BroadcastExchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevOrd = spark.conf.get(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = formattedPlan(QueryPack.xBucketedJoin(spark, sf))
+      assert(plan.contains("Bucketed: true"), s"scans not bucketed:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+      val shuffles = """\(\d+\) Exchange""".r.findAllIn(plan).length
+      assert(shuffles == 1,
+        s"expected exactly one Exchange (the 5-group priority agg), got $shuffles:\n$plan")
+      // Sort elision needs BOTH one file per bucket (Bucketing's
+      // pre-partitioning guarantees it) AND the opt-in conf Spark gates
+      // the file-count check behind — pin that the conf is sufficient,
+      // so a deployment knows exactly what to set to harvest the
+      // per-bucket sort order
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val sorted = formattedPlan(QueryPack.xBucketedJoin(spark, sf))
+      assert(!"""\(\d+\) Sort\b""".r.findAllIn(sorted).hasNext,
+        s"with outputOrdering on, Sort must elide below the merge join:\n$sorted")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrd)
+    }
+  }
+
+  test("bucketing helper: aggregation on the bucket key needs zero exchange") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bucketing_test")
+    graft.runtime.Bucketing.ensureBucketed(spark, "pq_bkt_agg",
+      tmp.resolve("a").toString, Seq("k"), 4)(
+      Seq((1L, 2.0), (2L, 3.0), (1L, 4.0)).toDF("k", "v"))
+    val agg = spark.table("pq_bkt_agg").groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("v").as("s"))
+    val plan = formattedPlan(agg)
+    assert(!"""\(\d+\) Exchange""".r.findAllIn(plan).hasNext,
+      s"groupBy on the bucket key must reuse the bucket partitioning:\n$plan")
+    assert(agg.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 6.0), (2L, 3.0)), "bucketing must never change answers")
+  }
+
+  test("paragraph dedup: frequency join shuffle-hash, reassembly one keyed group-by") {
+    val plan = formattedPlan(QueryPack.xParagraphDedup(spark, sf))
+    // the paragraph-frequency table is corpus-derived — at 100 TB it is
+    // itself huge, so the join must build a shuffle-hash table on the
+    // co-partitioned paragraph key, never broadcast
+    assert(plan.contains("ShuffledHashJoin"),
+      s"freq join lost its shuffle-hash shape:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"corpus-sized freq table must not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"unexpected join shape:\n$plan")
+    assert(!plan.contains("Window"),
+      s"reassembly must be a group-by, not a window pass:\n$plan")
+  }
+
+  test("bigram log-prob: in-row pairing (no window), count joins shuffle-hash") {
+    val plan = formattedPlan(QueryPack.xBigramLogprob(spark, sf))
+    assert(!plan.contains("Window"),
+      s"bigrams must pair inside the row, not via a per-doc window:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"count joins lost their shuffle-hash shape:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"unexpected join shape:\n$plan")
+    // the single-row vocab-size total is the only broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"1-row totals should broadcast:\n$plan")
+  }
+
   test("unigram log-prob: vocab joins by shuffle-hash, never broadcast or product") {
     val plan = formattedPlan(QueryPack.xUnigramLogprob(spark, sf))
     // the vocabulary is corpus-derived — at 100 TB it is itself huge, so
