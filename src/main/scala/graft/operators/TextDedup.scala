@@ -293,6 +293,61 @@ object TextDedup {
       .filter(col("jaccard") > threshold)
   }
 
+  /** Exact-substring duplicated-span detection (the "Deduplicating
+    * Training Data Makes Language Models Better" shape, discretised to
+    * strided windows): every `n`-token window starting at token
+    * `1, 1+stride, 1+2·stride, …` is hashed, and windows whose exact
+    * content occurs in at least `minDocs` DISTINCT documents are
+    * returned as (doc_id, start, gram_h, n_docs) span markers — the
+    * input for span excision or doc-level down-weighting. Paragraph
+    * dedup only sees duplication that respects paragraph boundaries;
+    * this catches verbatim reuse at ANY alignment (quotes, licence
+    * blocks, templated sentences) to within `stride` tokens.
+    *
+    * A suffix-array build (the paper's exact formulation) is a global
+    * sort of every suffix — O(corpus) rows of O(doc) width, hostile at
+    * 100 TB. The windowed relaxation keeps ~tokens/stride rows of hash
+    * width and is two keyed shuffles: the per-window hash groupBy
+    * (map-side combined count-distinct) and the spans⋈frequency hash
+    * join on the hash key — candidate generation never leaves the
+    * window-hash buckets, the same never-all-pairs contract as the LSH
+    * operators.
+    *
+    * Stride semantics — be precise, because the obvious reading is
+    * wrong: `stride = 1` (the default) hashes EVERY window and detects
+    * every exact duplicated run of ≥ n tokens at ANY alignment; its row
+    * count (one per token) is the same explode cardinality the unigram
+    * passes already pay. `stride > 1` divides that cost by `stride` but
+    * windows exist only at starts ≡ 1 (mod stride) in BOTH documents,
+    * so a duplicated run is caught only when the two occurrences agree
+    * on alignment modulo stride — however long the run is. That makes
+    * strided mode a cheap screen for START-ALIGNED reuse (prefixed
+    * boilerplate, templated records), not a detector of
+    * arbitrary-offset quotation. Tokens are ""-filtered before
+    * windowing (the [[TextStats.bigramLogProb]] convention) and
+    * sub-`n`-token docs contribute no windows. */
+  def sharedNgramSpans(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, stride: Int = 1, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && stride >= 1, "window and stride must be positive")
+    val ws = docs.withColumn("_ws0", split(col(textCol), " "))
+      .withColumn("_ws", filter(col("_ws0"), w => length(w) > 0))
+      .select(col(idCol).as("doc_id"), col("_ws"))
+      .filter(size(col("_ws")) >= n)
+    val spans = ws.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), floor((size(col("_ws")) - n) / lit(stride)).cast("int")),
+          k => struct((k * stride + 1).as("start"),
+            array_join(slice(col("_ws"), k * stride + 1, lit(n)), " ").as("_g"))))
+          .as("_s"))
+      .select(col("doc_id"), col("_s.start").as("start"),
+        h32(col("_s._g")).as("gram_h"))
+    val freq = spans.groupBy("gram_h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    spans.join(freq.hint("shuffle_hash"), "gram_h")
+      .select(col("doc_id"), col("start"), col("gram_h"), col("n_docs"))
+  }
+
   /** Paragraph-level dedup (the CCNet/RefinedWeb boilerplate-removal
     * shape): documents are split into `sep`-separated paragraphs, each
     * paragraph's corpus-wide document frequency is counted, and

@@ -1862,6 +1862,27 @@ object QueryPack {
     graft.operators.TextDedup.paragraphDedup(base, "doc_id", "ptext", maxDocs = 8)
   }
 
+  /** Exact-substring duplicated-span detection
+    * ([[graft.operators.TextDedup.sharedNgramSpans]]) over a corpus with
+    * injected verbatim reuse: every document gains a 20-token per-source
+    * header (the same narrow construction trick as x_paragraph_dedup),
+    * then EVERY 10-token window (stride 1 — the any-alignment
+    * guarantee) is hashed corpus-wide. The eleven fully-header-contained
+    * windows per document (starts 1..11) are flagged as shared across
+    * each source's documents; every header/content straddle and every
+    * content window stays unique. Catches verbatim reuse at any
+    * alignment, which paragraph-level dedup structurally cannot. */
+  def xSubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    val hdr = array_join(transform(sequence(lit(1), lit(20)),
+      i => concat(lit("hdr"), i.cast("string"), lit("_"), col("source"))), " ")
+    val base = T(s, dir, "documents")
+      .select(col("doc_id"), concat(hdr, lit(" "), col("text")).as("ptext"))
+    graft.operators.TextDedup.sharedNgramSpans(base, "doc_id", "ptext",
+        n = 10, stride = 1)
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        col("gram_h"), col("n_docs"))
+  }
+
   /** Temperature resampling rates per language (alpha = 0.5): the
     * multilingual-pretraining mix flattener, downsample-only, composable
     * with stratifiedSample. */
@@ -1960,6 +1981,7 @@ object QueryPack {
     "x_unigram_logprob" -> (xUnigramLogprob _),
     "x_bigram_logprob" -> (xBigramLogprob _),
     "x_paragraph_dedup" -> (xParagraphDedup _),
+    "x_substring_spans" -> (xSubstringSpans _),
     "x_temperature_mix" -> (xTemperatureMix _),
     "x_profile" -> (xProfile _),
     "x_redact" -> (xRedact _),
@@ -2204,6 +2226,23 @@ object QueryPack {
         |  CAST(count(*) FILTER (WHERE n_docs > 8) AS BIGINT) AS n_dropped
         |FROM paras JOIN f USING (para)
         |GROUP BY 1""".stripMargin,
+    "x_substring_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(1, 21),
+        |      i -> 'hdr' || CAST(i AS VARCHAR) || '_' || source), ' ') || ' ' || text AS ptext
+        |  FROM documents),
+        |w0 AS (SELECT doc_id, list_filter(string_split(ptext, ' '), w -> w != '') AS ws FROM base),
+        |w AS (SELECT doc_id, ws FROM w0 WHERE len(ws) >= 10),
+        |spans AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, len(ws) - 10 + 1), k -> k + 1)) AS start,
+        |    unnest(list_transform(range(0, len(ws) - 10 + 1),
+        |      k -> ('0x' || substr(md5(array_to_string(ws[k+1:k+10], ' ')), 1, 8))::BIGINT)) AS gram_h
+        |  FROM w),
+        |f AS (SELECT gram_h, count(DISTINCT doc_id) AS n_docs FROM spans
+        |      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, start, gram_h, n_docs FROM spans JOIN f USING (gram_h)""".stripMargin,
     "x_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |s AS (SELECT lang, n, n::DOUBLE / SUM(n) OVER () AS share FROM c),

@@ -252,6 +252,30 @@ class OperatorsSpec extends SparkSpec {
     assert(noisy.getLong(2) == 1)
   }
 
+  test("sharedNgramSpans: stride-1 catches any alignment; strided mode provably cannot") {
+    // docs 1 and 2 share the exact 5-token run "p q r s t" at DIFFERENT
+    // alignments (run starts at token 1 vs token 2); doc 3 unique; doc 4
+    // shorter than the window
+    val docs = Seq(
+      (1L, "p q r s t u1 v1 w1"),
+      (2L, "z2 p q r s t u2 v2"),
+      (3L, "a3 b3 c3 d3 e3 f3"),
+      (4L, "p q")).toDF("id", "t")
+    val got = TextDedup.sharedNgramSpans(docs, "id", "t", n = 4)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(3))).toMap
+    // the run's two full 4-token windows, flagged in both docs, n_docs=2
+    assert(got.keySet == Set((1L, 1), (1L, 2), (2L, 2), (2L, 3)))
+    assert(got.values.forall(_ == 2L))
+    // the documented stride caveat is REAL: at stride 2 the same 5-token
+    // run is invisible because its two occurrences disagree modulo 2 —
+    // windows sample different content offsets in each doc
+    assert(TextDedup.sharedNgramSpans(docs, "id", "t", n = 4, stride = 2)
+      .collect().isEmpty)
+    // minDocs above the duplication level silences the report
+    assert(TextDedup.sharedNgramSpans(docs, "id", "t", n = 4, minDocs = 3)
+      .collect().isEmpty)
+  }
+
   test("paragraphDedup: corpus-frequent paragraphs dropped, order kept, all docs survive") {
     // "HDR" is in 3 distinct docs (boilerplate at maxDocs=2); "mid" in 2
     // (kept); content unique. Doc 4 is ALL boilerplate. Doc 2 repeats its
