@@ -1838,6 +1838,52 @@ object QueryPack {
   def xBigramLogprob(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextStats.bigramLogProb(T(s, dir, "documents"), "doc_id", "text")
 
+  /** Inverted-index statistics over the corpus: per-term document
+    * frequency, collection frequency, BM25 idf and a bounded posting-list
+    * sample. The sample is row_number-bounded BEFORE aggregation so no
+    * buffer ever holds a stopword's full posting list (see
+    * [[graft.operators.Retrieval.termStats]]'s scale contract). */
+  def xInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.termStats(T(s, dir, "documents"), "doc_id", "text")
+
+  /** The lexical query set shared by `x_bm25` and `x_rrf_hybrid`: the
+    * first 8 documents, each querying with its own first 8 whitespace
+    * tokens — deterministic, and id-aligned with `x_ann_cosine`'s dense
+    * query set (vec_id < 8) so the two rankings fuse per query. */
+  private def bm25Queries(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").filter(col("doc_id") < 8)
+      .select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("q_text"))
+
+  /** BM25 top-5 lexical search (k1=1.2, b=0.75, Lucene idf). The corpus
+    * is tokenised in one narrow pass and semi-joined down to the
+    * broadcast query-term set before ANY aggregation — every shuffle
+    * downstream is proportional to the matched postings, not the corpus
+    * (the 100 TB contract; see [[graft.operators.Retrieval.bm25TopK]]). */
+  def xBm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25TopK(
+      T(s, dir, "documents"), bm25Queries(s, dir),
+      "doc_id", "text", "doc_id", "q_text", k = 5)
+
+  /** Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 top-20
+    * with the dense cosine top-20 over the SAME eight queries (doc_id ≡
+    * vec_id in the testdata). Both rankers exclude the query's own id,
+    * so they fuse over one candidate universe; the fusion join touches
+    * only the two 20·8-row rankings — trivially small at any corpus
+    * scale. */
+  def xRrfHybrid(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.operators.Retrieval.bm25TopK(
+        T(s, dir, "documents"), bm25Queries(s, dir),
+        "doc_id", "text", "doc_id", "q_text", k = 20)
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val emb = T(s, dir, "embeddings")
+    val dense = graft.operators.Ann.cosineTopK(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 20)
+      .select(col("q_id"), col("neighbor").as("doc_id"), col("rank"))
+    graft.operators.Retrieval.rrfFuse(lex, dense, "q_id", "doc_id", "rank", k = 5)
+      .select(col("q_id"), col("rank"), col("doc").as("doc_id"), col("rrf"))
+  }
+
   /** Paragraph-level boilerplate removal (the CCNet/RefinedWeb shape) over
     * a paragraph-structured rendering of the corpus: each document gains a
     * per-source boilerplate header paragraph plus its own text re-chunked
@@ -1980,6 +2026,9 @@ object QueryPack {
     "x_pack_salted" -> (xPackSalted _),
     "x_unigram_logprob" -> (xUnigramLogprob _),
     "x_bigram_logprob" -> (xBigramLogprob _),
+    "x_inverted_index" -> (xInvertedIndex _),
+    "x_bm25" -> (xBm25 _),
+    "x_rrf_hybrid" -> (xRrfHybrid _),
     "x_paragraph_dedup" -> (xParagraphDedup _),
     "x_substring_spans" -> (xSubstringSpans _),
     "x_temperature_mix" -> (xTemperatureMix _),
@@ -2017,6 +2066,44 @@ object QueryPack {
       |  WHERE mh0 IS NOT NULL)
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+
+  /** BM25 oracle (k1=1.2, b=0.75, Lucene idf), parameterised on k so
+    * `x_bm25` (k=5) and `x_rrf_hybrid`'s lexical leg (k=20) share one
+    * SQL rendering. Mirrors [[graft.operators.Retrieval.bm25TopK]]:
+    * same tokenisation (space split, "" dropped), same query-term
+    * pre-filter before df counting (exact, because the filter is
+    * per-term), same round-then-rank determinism contract. */
+  private def bm25OracleSqlFor(k: Int): String =
+    s"""WITH qterms AS (
+       |  SELECT doc_id AS q_id, unnest(list_distinct(string_split(text, ' ')[1:8])) AS term
+       |  FROM documents WHERE doc_id < 8),
+       |dl AS (
+       |  SELECT doc_id, len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS dl
+       |  FROM documents),
+       |bstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |btoks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |btf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM btoks
+       |  WHERE len(term) > 0 AND term IN (SELECT term FROM qterms WHERE len(term) > 0)
+       |  GROUP BY 1, 2),
+       |bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY 1),
+       |bscored AS (
+       |  SELECT q.q_id, t.doc_id,
+       |    round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1) *
+       |        t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 4) AS score
+       |  FROM qterms q
+       |  JOIN btf t ON t.term = q.term
+       |  JOIN bdf d ON d.term = t.term
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN bstats s
+       |  WHERE t.doc_id != q.q_id
+       |  GROUP BY 1, 2),
+       |branked AS (
+       |  SELECT q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM bscored)
+       |SELECT q_id, rank, doc_id, score FROM branked WHERE rank <= $k""".stripMargin
 
   /** DuckDB equivalents. Shared md5-prefix hash:
     * `('0x'||substr(md5(x),1,8))::BIGINT` == Spark `conv(substr(md5(x),1,8),16,10)`. */
@@ -2208,6 +2295,42 @@ object QueryPack {
         |  count(*) AS n_bigrams
         |FROM bg JOIN bc USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN t
         |GROUP BY 1""".stripMargin,
+    "x_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf,
+        |  round(ln((n.n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1), 4) AS idf,
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',') AS postings_sample
+        |FROM tf CROSS JOIN n
+        |GROUP BY term, n.n_docs""".stripMargin,
+    "x_bm25" -> bm25OracleSqlFor(k = 5),
+    "x_rrf_hybrid" ->
+      s"""WITH lex AS (${bm25OracleSqlFor(k = 20)}),
+         |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |cs AS (
+         |  SELECT qv.q_id, e.vec_id,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(qv.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+         |    (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qv.q_emb[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE)))) *
+         |     sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+         |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id != qv.q_id),
+         |dense AS (
+         |  SELECT q_id, vec_id AS doc_id, rank FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |    FROM cs) WHERE rank <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.q_id, d.q_id) AS q_id,
+         |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |    round(coalesce(1.0 / (60 + l.rank), 0) + coalesce(1.0 / (60 + d.rank), 0), 6) AS rrf
+         |  FROM lex l FULL JOIN dense d ON l.q_id = d.q_id AND l.doc_id = d.doc_id),
+         |ranked AS (
+         |  SELECT q_id, doc_id, rrf,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fused)
+         |SELECT q_id, rank, doc_id, rrf FROM ranked WHERE rank <= 5""".stripMargin,
     "x_paragraph_dedup" ->
       """WITH base AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),

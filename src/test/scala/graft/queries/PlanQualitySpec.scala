@@ -319,6 +319,40 @@ class PlanQualitySpec extends SparkSpec {
       s"1-row totals should broadcast:\n$plan")
   }
 
+  test("bm25: query-term semi-join broadcasts; the corpus never shuffle-joins") {
+    val plan = formattedPlan(QueryPack.xBm25(spark, sf))
+    // every join side except the corpus is query-derived (terms, 1-row
+    // stats) — all must broadcast; a corpus-side shuffle JOIN would mean
+    // the token stream leaked past the semi-join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term filter lost its broadcast shape:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join crept in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"product crept in:\n$plan")
+    // the corpus is read exactly twice (token pass + narrow dl/avgdl
+    // pass) and the tiny pushdown-filtered query frame twice; a fifth
+    // scan means a tf/df branch re-planned the token pipeline (the
+    // duplicated-subtree trap this operator's scaladoc documents).
+    // (formatted explain's details section lists each physical scan
+    // once as "(n) Scan parquet")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).size
+    assert(scans <= 4, s"corpus pipeline duplicated: $scans scans\n$plan")
+  }
+
+  test("inverted index: one corpus scan; posting sample bounded by a window") {
+    val plan = formattedPlan(QueryPack.xInvertedIndex(spark, sf))
+    // df/cf are window aggregates sharing the sample's term partitioning
+    // — a stats groupBy branch joined back would duplicate the token
+    // pipeline (second corpus scan) and a collect_set sample would
+    // buffer a stopword's full posting list
+    assert(!plan.contains("collect_set"),
+      s"unbounded posting collection crept in:\n$plan")
+    assert(plan.contains("Window"), s"posting-sample window missing:\n$plan")
+    // 2 physical scans: the token pipeline + the count-only nDocs scan
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).size
+    assert(scans <= 2, s"token pipeline duplicated: $scans scans\n$plan")
+  }
+
   test("temperature mix: one corpus aggregate, tiny sides broadcast") {
     val plan = formattedPlan(QueryPack.xTemperatureMix(spark, sf))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
