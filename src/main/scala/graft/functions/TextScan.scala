@@ -78,6 +78,14 @@ case class CharScan(child: Expression, kind: String) extends UnaryExpression {
           prevWs = ws
           i += 1
         }
+      case TextScan.SpaceToks =>
+        var prevTok = false
+        while (i < n) {
+          val tok = s.getByte(i) != ' '
+          if (tok && !prevTok) count += 1
+          prevTok = tok
+          i += 1
+        }
       case TextScan.Bpe =>
         var state = 0 // 0 = none, 1 = in letter run, 2 = in digit run
         while (i < n) {
@@ -124,6 +132,14 @@ case class CharScan(child: Expression, kind: String) extends UnaryExpression {
              |  if (${prev}_now && !$prev) $cnt++;
              |  $prev = ${prev}_now;
              |}""".stripMargin
+        case TextScan.SpaceToks =>
+          val prev = ctx.freshName("prevTok")
+          s"""boolean $prev = false;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  final boolean ${prev}_now = $s.getByte($i) != 32;
+             |  if (${prev}_now && !$prev) $cnt++;
+             |  $prev = ${prev}_now;
+             |}""".stripMargin
         case TextScan.Bpe =>
           val st = ctx.freshName("state")
           s"""int $st = 0;
@@ -165,7 +181,8 @@ object TextScan {
   val Punct = "punct"
   val WsRuns = "wsruns"
   val Bpe = "bpe"
-  val Kinds: Set[String] = Set(Spaces, Punct, WsRuns, Bpe)
+  val SpaceToks = "spacetoks"
+  val Kinds: Set[String] = Set(Spaces, Punct, WsRuns, Bpe, SpaceToks)
 
   private def scan(c: Column, kind: String): Column =
     GraftColumnBridge.column(CharScan(GraftColumnBridge.expression(c), kind))
@@ -178,4 +195,11 @@ object TextScan {
   def wsRuns(c: Column): Column = scan(c, WsRuns)
   /** Count of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` matches. */
   def bpeTokens(c: Column): Column = scan(c, Bpe)
+  /** Count of maximal runs of non-' ' bytes — value-identical to
+    * `size(filter(split(s, " "), t => length(t) > 0))` (non-empty
+    * single-space tokens) for ANY leading/trailing/consecutive spaces,
+    * without the per-row array + interpreted-lambda cost. Continuation
+    * bytes are never 0x20, so multi-byte code points stay inside their
+    * run. */
+  def spaceToks(c: Column): Column = scan(c, SpaceToks)
 }

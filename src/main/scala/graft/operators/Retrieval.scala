@@ -41,12 +41,20 @@ import org.apache.spark.sql.functions._
   * schema and value hash). */
 object Retrieval {
 
-  /** One row per (doc, term) occurrence; empty tokens dropped (the same
-    * guard as [[TextStats]]/`unigramLogProbOfWords` — consecutive
-    * separators must not mint "" terms). */
-  private def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .filter(length(col("term")) > 0)
+  /** One PRE-AGGREGATED row per (doc, term) with its in-document
+    * frequency; empty tokens dropped (the same guard as
+    * [[TextStats]]/`unigramLogProbOfWords` — consecutive separators must
+    * not mint "" terms). The reduction happens inside the row pipeline
+    * via the native [[graft.functions.TermCounts]] map expression, so
+    * the first shuffle moves one row per distinct (doc, term) instead of
+    * one row per token occurrence — at sf10 that exchange was 2.9 s of
+    * termStats's 3.0 s (`graft.Probe` measurement in TermCounts's
+    * scaladoc). */
+  private def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.functions.TermCounts.termCounts(col(textCol)))
+          .as(Seq("term", "_tf")))
+      .select(col(idCol), col("term"), col("_tf").cast("long").as("_tf"))
 
   /** BM25's document-frequency idf (the Lucene formulation —
     * `ln((N - df + 0.5) / (df + 0.5) + 1)` — positive for every df,
@@ -67,12 +75,11 @@ object Retrieval {
     * independent pipeline re-scanning and re-tokenising the corpus
     * (DataFrame reuse is re-execution; the two branches prune different
     * columns, so not even exchange reuse saves the second scan). One
-    * corpus scan, one (term, doc) aggregation, one term-keyed sort. */
+    * corpus scan, zero (term, doc) exchanges (the per-doc reduction is
+    * the native TermCounts map), one term-keyed sort. */
   def termStats(docs: DataFrame, idCol: String, textCol: String,
                 sampleK: Int = 5): DataFrame = {
-    val tf = tokens(docs, idCol, textCol)
-      .groupBy(col("term"), col(idCol))
-      .agg(count(lit(1)).as("_tf"))
+    val tf = termFreqs(docs, idCol, textCol)
     val byTerm = Window.partitionBy(col("term"))
     val full = byTerm.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
@@ -112,18 +119,24 @@ object Retrieval {
 
     // Document length is a narrow per-row expression — no explode, no
     // shuffle — and rides along with the tokens so the scoring join
-    // never has to re-join a corpus-sized length table.
+    // never has to re-join a corpus-sized length table. Counted by the
+    // native single-pass CharScan (non-space runs ≡ non-empty space
+    // tokens) — the size(filter(split)) rendering is an interpreted
+    // lambda materialising a token array per row.
     val withDl = docs.withColumn("_dl",
-      size(filter(split(col(textCol), " "), t => length(t) > 0)))
+      graft.functions.TextScan.spaceToks(col(textCol)))
     val stats = withDl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
 
-    val matched = withDl
+    // Pre-aggregated per-row term counts (native TermCounts map — no
+    // (id, term) exchange), semi-joined to the query terms while still
+    // inside the scan stage.
+    val tf = withDl
       .select(col(idCol), col("_dl"),
-        explode(split(col(textCol), " ")).as("term"))
-      .filter(length(col("term")) > 0)
+        explode(graft.functions.TermCounts.termCounts(col(textCol)))
+          .as(Seq("term", "_tf")))
       .join(broadcast(qTermSet), col("term") === col("_fterm"))
-    val tf = matched.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("_tf"), max(col("_dl")).as("_dl"))
+      .select(col(idCol), col("term"), col("_tf").cast("long").as("_tf"),
+        col("_dl"))
     // df as a window over the matched tf frame, NOT tf.groupBy(term)
     // joined back: a second reference to tf plans as an independent
     // pipeline (different column pruning → no exchange reuse) and

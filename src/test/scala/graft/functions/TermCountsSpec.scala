@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the native per-row term-frequency map against the composable
+  * rendering (`explode(split)` → filter → groupBy) it replaces, in both
+  * codegen and interpreted evaluation. */
+class TermCountsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    (1L, "cat sat cat"),
+    (2L, " leading  double  and trailing "),
+    (3L, ""),
+    (4L, "solo"),
+    (5L, "héllo wörld héllo 中文 中文 中文"))
+
+  test("term_counts ≡ explode(split)+filter+groupBy on every pathology") {
+    val docs = texts.toDF("id", "t")
+    val native = docs
+      .select(col("id"), explode(TermCounts.termCounts(col("t"))).as(Seq("term", "tf")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val composed = docs
+      .select(col("id"), explode(split(col("t"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("id", "term").agg(count(lit(1)).cast("int").as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(native === composed)
+    // the empty doc contributes an empty map, not a null/empty-string term
+    assert(!native.exists(_._1 == 3L))
+  }
+
+  test("term_counts: first-occurrence key order, null in → null out") {
+    val m = TermCounts.count(org.apache.spark.unsafe.types.UTF8String
+      .fromString("b a b c a b"))
+    val keys = (0 until m.numElements()).map(i =>
+      m.keyArray().getUTF8String(i).toString)
+    val vals = (0 until m.numElements()).map(i => m.valueArray().getInt(i))
+    assert(keys === Seq("b", "a", "c") && vals === Seq(3, 2, 1))
+
+    val out = Seq((1L, null: String)).toDF("id", "t")
+      .select(TermCounts.termCounts(col("t"))).collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("term_counts interpreted eval agrees with codegen") {
+    val docs = texts.toDF("id", "t")
+    def run() = docs
+      .select(col("id"), explode(TermCounts.termCounts(col("t"))).as(Seq("term", "tf")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() === gen)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}

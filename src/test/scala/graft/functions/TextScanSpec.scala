@@ -48,7 +48,7 @@ class TextScanSpec extends SparkSpec {
     (interesting ++ samples).distinct
   }
 
-  test("all four scan kinds match their regex/split references (codegen path)") {
+  test("all five scan kinds match their regex/split references (codegen path)") {
     val df = inputs.toDF("t").cache()
     val got = df.select(
       col("t"),
@@ -59,13 +59,16 @@ class TextScanSpec extends SparkSpec {
       (TextScan.wsRuns(trim(col("t"))) + lit(1)).as("n_ws"),
       refWsTokens(col("t")).as("r_ws"),
       TextScan.bpeTokens(col("t")).as("n_bpe"),
-      refBpe(col("t")).as("r_bpe")).collect()
+      refBpe(col("t")).as("r_bpe"),
+      TextScan.spaceToks(col("t")).as("n_st"),
+      size(filter(split(col("t"), " "), x => length(x) > 0)).as("r_st")).collect()
     got.foreach { r =>
       val t = r.getString(0)
       assert(r.getInt(1) == r.getInt(2), s"spaceTokens diverged on '$t'")
       assert(r.getInt(3) == r.getInt(4), s"punct diverged on '$t'")
       assert(r.getInt(5) == r.getInt(6), s"wsTokens diverged on '$t'")
       assert(r.getInt(7) == r.getInt(8), s"bpeTokens diverged on '$t'")
+      assert(r.getInt(9) == r.getInt(10), s"spaceToks diverged on '$t'")
     }
   }
 
@@ -73,7 +76,8 @@ class TextScanSpec extends SparkSpec {
     val df = inputs.take(120).toDF("t")
     val sel = df.select(
       TextScan.spaces(col("t")), TextScan.punct(col("t")),
-      TextScan.wsRuns(col("t")), TextScan.bpeTokens(col("t")))
+      TextScan.wsRuns(col("t")), TextScan.bpeTokens(col("t")),
+      TextScan.spaceToks(col("t")))
     val codegen = sel.collect().map(_.toSeq)
     // restore whatever the suite was running with, not hardcoded defaults
     val keys = Seq("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode")
