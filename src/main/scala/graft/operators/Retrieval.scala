@@ -163,6 +163,31 @@ object Retrieval {
       .select(col("q_id"), col("rank"), col(idCol), col("score"))
   }
 
+  /** TF-IDF keyword extraction: the top `k` terms of every document by
+    * `tf · ln(N / (1 + df))`, ties broken by ascending term on the
+    * ROUNDED score (the cross-engine determinism contract). Built
+    * entirely on the pre-aggregated [[graft.functions.TermCounts]]
+    * frame: one corpus scan, df as a window over the term key (never a
+    * vocab groupBy joined back — the duplicated-subtree trap), then a
+    * per-document ranking window. Two keyed exchanges total (term,
+    * then doc), both over one row per distinct (doc, term). */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    val withDf = tf.withColumn("_df",
+      count(lit(1)).over(Window.partitionBy(col("term")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+    val scored = withDf.crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("_tf") * log(col("_n") / (col("_df") + lit(1))), 4))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+
   /** Reciprocal-rank fusion of two rankings (`1/(kConst + rank)` summed
     * over the systems that ranked the doc; Cormack et al.'s k=60
     * default). Inputs are (qCol, docCol, rankCol) frames — top-k

@@ -339,6 +339,38 @@ object TextStats {
     * language, keep the tail) with no RNG, so re-runs, backfills and
     * joins against a previous sample all agree row-for-row. A narrow
     * filter: no shuffle, no per-stratum pass, pushdown-friendly. */
+  /** Deterministic weighted sampling without replacement — the
+    * Efraimidis–Spirakis A-ES shape: every row gets the key
+    * `ln(u) / w` (u a hash-derived uniform in (0, 1], w the row's
+    * positive weight — e.g. a quality score) and the global top-k keys
+    * are the sample. `ln(u)/w` is a strictly monotone transform of the
+    * textbook `u^(1/w)`, so it selects the SAME rows while staying in
+    * one libm call; heavier rows get keys closer to 0 and win more
+    * often, and the whole draw is reproducible — no RNG, identical
+    * sample on every run/backfill (the same contract as [[trainSplit]]
+    * and [[stratifiedSample]]).
+    *
+    * Scale shape: the key is a narrow per-row expression; the top-k is
+    * `orderBy(...).limit(k)`, which Spark executes as TakeOrdered —
+    * per-partition heaps of size k merged on the driver, O(k) driver
+    * state, never a global sort shuffle. Selection compares UNROUNDED
+    * keys (two engines' libm `ln` may differ in the last ulp — a
+    * decision flip needs two keys within ~1e-16, vanishing at any
+    * corpus size); the emitted key is rounded for the oracle hash. */
+  def weightedSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                     weight: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    // u in (0, 1]: (h + 1) / 2^32 over the house md5-prefix hash
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    // + 0.0 canonicalises IEEE −0.0 (round of a tiny negative key) to
+    // +0.0 — engines disagree on the sign rendering, not the value
+    df.withColumn("_wkey", log(u) / weight)
+      .orderBy(col("_wkey").desc, col(keyCol))
+      .limit(k)
+      .withColumn("sample_key", round(col("_wkey"), 4) + 0.0)
+      .drop("_wkey")
+  }
+
   def stratifiedSample(df: org.apache.spark.sql.DataFrame, strataCol: String,
                        keyCol: String, fractions: Map[String, Double],
                        defaultFraction: Double = 1.0): org.apache.spark.sql.DataFrame = {

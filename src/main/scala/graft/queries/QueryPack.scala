@@ -1865,6 +1865,23 @@ object QueryPack {
       T(s, dir, "documents"), bm25Queries(s, dir),
       "doc_id", "text", "doc_id", "q_text", k = 5)
 
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf·ln(N/(1+df)). One corpus scan over the native TermCounts frame;
+    * df by window, never a vocab groupBy joined back (see
+    * [[graft.operators.Retrieval.tfidfTopK]]). */
+  def xTfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.tfidfTopK(T(s, dir, "documents"), "doc_id", "text", k = 3)
+
+  /** Deterministic weighted sampling without replacement (A-ES with the
+    * house md5-prefix uniform): the 50 documents drawn with probability
+    * proportional to length — the quality-weighted subset selection a
+    * curation pipeline runs, reproducible across runs and backfills.
+    * TakeOrdered top-k: O(k) driver state, no global sort shuffle. */
+  def xWeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.weightedSample(
+        T(s, dir, "documents"), "doc_id", col("n_chars"), k = 50)
+      .select(col("doc_id"), col("n_chars"), col("sample_key"))
+
   /** Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 top-20
     * with the dense cosine top-20 over the SAME eight queries (doc_id ≡
     * vec_id in the testdata). Both rankers exclude the query's own id,
@@ -2029,6 +2046,8 @@ object QueryPack {
     "x_inverted_index" -> (xInvertedIndex _),
     "x_bm25" -> (xBm25 _),
     "x_rrf_hybrid" -> (xRrfHybrid _),
+    "x_tfidf_keywords" -> (xTfidfKeywords _),
+    "x_weighted_sample" -> (xWeightedSample _),
     "x_paragraph_dedup" -> (xParagraphDedup _),
     "x_substring_spans" -> (xSubstringSpans _),
     "x_temperature_mix" -> (xTemperatureMix _),
@@ -2307,6 +2326,31 @@ object QueryPack {
         |FROM tf CROSS JOIN n
         |GROUP BY term, n.n_docs""".stripMargin,
     "x_bm25" -> bm25OracleSqlFor(k = 5),
+    "x_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |wdf AS (
+        |  SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln(n.n_docs::DOUBLE / (df + 1)), 4) AS score
+        |  FROM wdf CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3""".stripMargin,
+    "x_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((('0x'||substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1.0) / 4294967296.0)
+        |      / n_chars AS wkey
+        |  FROM documents)
+        |SELECT doc_id, n_chars, round(wkey, 4) + 0.0 AS sample_key
+        |FROM keyed ORDER BY wkey DESC, doc_id LIMIT 50""".stripMargin,
     "x_rrf_hybrid" ->
       s"""WITH lex AS (${bm25OracleSqlFor(k = 20)}),
          |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),

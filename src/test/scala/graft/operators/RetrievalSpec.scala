@@ -60,6 +60,38 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 0.096), (1L, 0.0729)))
   }
 
+  test("tfidfTopK: hand-computed scores, tie-break by term, short docs keep < k rows") {
+    // N=4; idf' = ln(4/(df+1)): df=1 → ln2 = 0.6931, df=2 → ln(4/3) = 0.2877
+    val out = Retrieval.tfidfTopK(corpus, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getDouble(3))))
+      .toMap
+    assert(out((1L, 1)) === (("mat", 0.6931)))  // mat/sat tie at ln2 — term asc
+    assert(out((1L, 2)) === (("sat", 0.6931)))
+    assert(out((1L, 3)) === (("cat", 0.2877)))
+    assert(out((2L, 1)) === (("cat", 0.5754)))  // tf=2 doubles the df=2 idf
+    assert(out((2L, 2)) === (("dog", 0.2877)))
+    assert(!out.contains((2L, 3)), "2-term doc must emit 2 rows, not a padded 3rd")
+    assert(out((4L, 1)) === (("bird", 0.6931))) // 4-way tie resolved lexically
+    assert(out((4L, 2)) === (("loud", 0.6931)))
+    assert(out((4L, 3)) === (("sings", 0.6931)))
+  }
+
+  test("weightedSample: reproducible, scale-invariant in the weights, heavy rows win") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = spark.range(0, 200).toDF("doc_id")
+      .withColumn("w", (col("doc_id") % 7 + 1).cast("double"))
+    def ids(weight: org.apache.spark.sql.Column) =
+      TextStats.weightedSample(docs, "doc_id", weight, k = 20)
+        .select("doc_id").as[Long].collect().toSet
+    val a = ids(col("w"))
+    assert(a === ids(col("w")), "same weights must draw the same sample")
+    assert(a === ids(col("w") * 1000), "A-ES selection is weight-scale invariant")
+    // an overwhelming weight forces selection (key = ln(u)/w → 0⁻, the max)
+    val heavy = ids(org.apache.spark.sql.functions
+      .when(col("doc_id") === 13, lit(1e9)).otherwise(col("w")))
+    assert(heavy.contains(13L), "a near-infinite weight must be drawn")
+  }
+
   test("rrfFuse: shared docs sum both reciprocals; singletons keep one; ties break by doc") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q", "d", "r")
     val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("q", "d", "r")
