@@ -271,38 +271,53 @@ object TextStats {
     *
     * Scale shape: tokens are filtered ("" from consecutive separators
     * would pollute both numerator and denominator) and paired INSIDE the
-    * row (a per-row `transform` over the materialised word array — no
-    * (id, pos)⋈(id, pos+1) self-join, no per-document window shuffle);
-    * then two count tables (bigram, unigram) and two keyed hash joins,
-    * both sides co-partitioned on their join key, with the two scalar
-    * totals broadcast. Documents with fewer than two tokens have no
-    * bigrams and are absent from the output, mirroring
+    * row by the native [[graft.functions.PairCounts]] map — no
+    * (id, pos)⋈(id, pos+1) self-join, no per-document window shuffle,
+    * and no interpreted `transform` HOF on the hot path (the pairing
+    * lambda was the dominant per-row cost AND was re-planned per
+    * reference — the first cut evaluated it over the corpus twice:
+    * once under the bigram-count aggregate and once under the scoring
+    * join). The corpus-wide bigram count is a window over the
+    * pre-aggregated pair frame (one (w1,w2)-keyed exchange of ~one row
+    * per distinct in-doc pair — never a count table joined back, which
+    * would re-plan the whole pair pipeline); the unigram table comes
+    * from one [[graft.functions.TermCounts]] pass and hash-joins
+    * co-partitioned on w1. Per-doc means are the exact tf-weighted
+    * form `Σ c·lp / Σ c` — identical values to the per-instance mean,
+    * one row per distinct pair instead of one per occurrence.
+    * Measured at sf10: 21.9 s → 7.8 s (min-of-2; the residual cost is
+    * the (w1, w2) exchange+sort itself — bigrams rarely repeat within a
+    * document, so the in-row pre-aggregation shrinks rows little and
+    * the win comes from deleting the HOF and the duplicated pipeline).
+    * Documents with fewer than two
+    * tokens have no bigrams and are absent from the output, mirroring
     * [[unigramLogProb]]'s NULL-text contract. */
   def bigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {
-    val ws = docs
-      .withColumn("_ws0", split(col(textCol), " "))
-      .withColumn("_ws", filter(col("_ws0"), w => length(w) > 0))
-      .select(col(idCol), col("_ws"))
-    val words = ws.select(col(idCol), explode(col("_ws")).as("_w"))
-    val uni = words.groupBy(col("_w").as("_uw")).agg(count(lit(1)).as("_c1"))
+    import org.apache.spark.sql.expressions.Window
+    val pre = docs
+      .select(col(idCol),
+        explode(graft.functions.PairCounts.pairCounts(col(textCol)))
+          .as(Seq("_bg", "_c")))
+      .select(col(idCol),
+        substring_index(col("_bg"), " ", 1).as("_w1"),
+        substring_index(col("_bg"), " ", -1).as("_w2"),
+        col("_c").cast("long").as("_c"))
+    val withC12 = pre.withColumn("_c12",
+      sum(col("_c")).over(Window.partitionBy(col("_w1"), col("_w2")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+    val uni = docs
+      .select(explode(graft.functions.TermCounts.termCounts(col(textCol)))
+        .as(Seq("_uw", "_utf")))
+      .groupBy(col("_uw")).agg(sum(col("_utf")).as("_c1"))
     val v = uni.agg(count(lit(1)).as("_v"))
-    val bg = ws.filter(size(col("_ws")) >= 2)
-      .select(col(idCol), explode(transform(sequence(lit(1), size(col("_ws")) - 1),
-        i => struct(element_at(col("_ws"), i).as("w1"),
-                    element_at(col("_ws"), i + 1).as("w2")))).as("_b"))
-      .select(col(idCol), col("_b.w1").as("_w1"), col("_b.w2").as("_w2"))
-    val big = bg.groupBy(col("_w1").as("_bw1"), col("_w2").as("_bw2"))
-      .agg(count(lit(1)).as("_c12"))
-    bg.join(big.hint("shuffle_hash"),
-        col("_w1") === col("_bw1") && col("_w2") === col("_bw2"))
-      .join(uni.hint("shuffle_hash"), col("_w1") === col("_uw"))
+    withC12.join(uni.hint("shuffle_hash"), col("_w1") === col("_uw"))
       .crossJoin(broadcast(v))
       .withColumn("_lp",
         log10((col("_c12") + 1).cast("double") / (col("_c1") + col("_v"))))
       .groupBy(idCol)
-      .agg(round(avg(col("_lp")), 4).as("avg_logprob"),
-        count(lit(1)).as("n_bigrams"))
+      .agg(round(sum(col("_c") * col("_lp")) / sum(col("_c")), 4).as("avg_logprob"),
+        sum(col("_c")).as("n_bigrams"))
   }
 
   /** Temperature-based corpus mixing (the multilingual-pretraining

@@ -44,6 +44,28 @@ class TermCountsSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("pair_counts ≡ the transform-HOF pairing on every pathology") {
+    val docs = (texts :+ (6L, "a b a b a")).toDF("id", "t")
+    val native = docs
+      .select(col("id"), explode(PairCounts.pairCounts(col("t"))).as(Seq("bg", "c")))
+      .select(col("id"), substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    val ws = docs.withColumn("_ws", filter(split(col("t"), " "), w => length(w) > 0))
+    val composed = ws.filter(size(col("_ws")) >= 2)
+      .select(col("id"), explode(transform(sequence(lit(1), size(col("_ws")) - 1),
+        i => struct(element_at(col("_ws"), i).as("w1"),
+                    element_at(col("_ws"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("id"), col("b.w1"), col("b.w2")).agg(count(lit(1)).cast("int").as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(native === composed)
+    // repeated pair counted, multi-space gap canonicalised to one space
+    assert(native.contains((6L, "a", "b", 2)) && native.contains((6L, "b", "a", 2)))
+    assert(native.contains((2L, "leading", "double", 1)))
+    // single-token and empty docs emit nothing (absent, not zero)
+    assert(!native.exists(t => t._1 == 3L || t._1 == 4L))
+  }
+
   test("term_counts interpreted eval agrees with codegen") {
     val docs = texts.toDF("id", "t")
     def run() = docs

@@ -294,17 +294,32 @@ class PlanQualitySpec extends SparkSpec {
       s"reassembly must be a group-by, not a window pass:\n$plan")
   }
 
-  test("bigram log-prob: in-row pairing (no window), count joins shuffle-hash") {
+  test("bigram log-prob: native in-row pairing, pair-keyed window, uni join shuffle-hash") {
     val plan = formattedPlan(QueryPack.xBigramLogprob(spark, sf))
-    assert(!plan.contains("Window"),
-      s"bigrams must pair inside the row, not via a per-doc window:\n$plan")
+    // pairing happens inside the row via the native PairCounts map — the
+    // interpreted transform-HOF rendering (re-planned per reference,
+    // lambda dispatch per token) must never come back
+    assert(plan.contains("graft_pair_counts"),
+      s"native pair map missing — HOF pairing crept back:\n$plan")
+    assert(!plan.contains("transform("),
+      s"interpreted pairing HOF crept back:\n$plan")
+    // the corpus bigram count is a window over the PAIR key (never a
+    // per-doc window, and never a count table joined back — that
+    // re-plans the pair pipeline and re-scans the corpus)
+    assert(plan.contains("Window"), s"pair-count window missing:\n$plan")
+    assert(!"""windowspecdefinition\(doc_id""".r.findFirstIn(plan).isDefined,
+      s"window must partition by the pair, not the doc:\n$plan")
     assert(plan.contains("ShuffledHashJoin"),
-      s"count joins lost their shuffle-hash shape:\n$plan")
+      s"uni join lost its shuffle-hash shape:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"unexpected join shape:\n$plan")
     // the single-row vocab-size total is the only broadcast
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"1-row totals should broadcast:\n$plan")
+    // 3 physical scans: pair pass, unigram pass, and the count-pruned
+    // vocab-size duplicate (a 1-number re-derivation, not a data path)
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).size
+    assert(scans <= 3, s"pair pipeline duplicated: $scans scans\n$plan")
   }
 
   test("unigram log-prob: vocab joins by shuffle-hash, never broadcast or product") {
