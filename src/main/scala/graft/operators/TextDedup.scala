@@ -307,11 +307,17 @@ object TextDedup {
     * A suffix-array build (the paper's exact formulation) is a global
     * sort of every suffix — O(corpus) rows of O(doc) width, hostile at
     * 100 TB. The windowed relaxation keeps ~tokens/stride rows of hash
-    * width and is two keyed shuffles: the per-window hash groupBy
-    * (map-side combined count-distinct) and the spans⋈frequency hash
-    * join on the hash key — candidate generation never leaves the
-    * window-hash buckets, the same never-all-pairs contract as the LSH
-    * operators.
+    * width and ONE keyed shuffle: windows are hashed in-row by the
+    * native [[graft.functions.NgramSpanHashes]] expression (zero-copy
+    * off the row's bytes on canonically-spaced text — the
+    * transform/slice/array_join rendering paid an interpreted lambda
+    * plus two allocations per token position, and was re-evaluated
+    * over the corpus twice because the frequency aggregate and the
+    * scoring join each referenced the span frame), then the distinct-
+    * document count rides a dense_rank + max window pair over the
+    * gram-hash key — never a count table joined back. Candidate
+    * generation never leaves the window-hash buckets, the same
+    * never-all-pairs contract as the LSH operators.
     *
     * Stride semantics — be precise, because the obvious reading is
     * wrong: `stride = 1` (the default) hashes EVERY window and detects
@@ -329,22 +335,21 @@ object TextDedup {
   def sharedNgramSpans(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, stride: Int = 1, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && stride >= 1, "window and stride must be positive")
-    val ws = docs.withColumn("_ws0", split(col(textCol), " "))
-      .withColumn("_ws", filter(col("_ws0"), w => length(w) > 0))
-      .select(col(idCol).as("doc_id"), col("_ws"))
-      .filter(size(col("_ws")) >= n)
-    val spans = ws.select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), floor((size(col("_ws")) - n) / lit(stride)).cast("int")),
-          k => struct((k * stride + 1).as("start"),
-            array_join(slice(col("_ws"), k * stride + 1, lit(n)), " ").as("_g"))))
-          .as("_s"))
+    import org.apache.spark.sql.expressions.Window
+    val spans = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.NgramSpanHashes
+          .ngramSpanHashes(col(textCol), n, stride)).as("_s"))
       .select(col("doc_id"), col("_s.start").as("start"),
-        h32(col("_s._g")).as("gram_h"))
-    val freq = spans.groupBy("gram_h")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+        col("_s.gram_h").as("gram_h"))
+    // count DISTINCT docs per gram without a count-table join-back:
+    // dense_rank over doc_id within the gram partition rises once per
+    // distinct doc, so its partition max IS the distinct count — one
+    // gram-keyed exchange+sort over the span frame, evaluated once
+    val byGram = Window.partitionBy(col("gram_h"))
+    val nDocs = max(dense_rank().over(byGram.orderBy(col("doc_id"))))
+      .over(byGram.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    spans.withColumn("n_docs", nDocs.cast("long"))
       .filter(col("n_docs") >= minDocs)
-    spans.join(freq.hint("shuffle_hash"), "gram_h")
       .select(col("doc_id"), col("start"), col("gram_h"), col("n_docs"))
   }
 

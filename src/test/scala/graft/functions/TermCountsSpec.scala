@@ -66,6 +66,31 @@ class TermCountsSpec extends SparkSpec {
     assert(!native.exists(t => t._1 == 3L || t._1 == 4L))
   }
 
+  test("ngram_span_hashes ≡ the transform/slice/array_join + h32 rendering") {
+    val docs = (texts ++ Seq(
+      (6L, "a b c d e f g"),
+      (7L, " x  y z  w v "))).toDF("id", "t")
+    for ((n, stride) <- Seq((3, 1), (3, 2), (2, 3), (1, 1))) {
+      val native = docs
+        .select(col("id"),
+          explode(NgramSpanHashes.ngramSpanHashes(col("t"), n, stride)).as("_s"))
+        .select(col("id"), col("_s.start"), col("_s.gram_h"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val composed = docs
+        .withColumn("_ws", filter(split(col("t"), " "), w => length(w) > 0))
+        .filter(size(col("_ws")) >= n)
+        .select(col("id"),
+          explode(transform(
+            sequence(lit(0), floor((size(col("_ws")) - n) / lit(stride)).cast("int")),
+            k => struct((k * stride + 1).as("start"),
+              array_join(slice(col("_ws"), k * stride + 1, lit(n)), " ").as("g")))).as("_s"))
+        .select(col("id"), col("_s.start"),
+          conv(substring(md5(col("_s.g")), 1, 8), 16, 10).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(native === composed, s"divergence at n=$n stride=$stride")
+    }
+  }
+
   test("term_counts interpreted eval agrees with codegen") {
     val docs = texts.toDF("id", "t")
     def run() = docs

@@ -368,6 +368,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans <= 2, s"token pipeline duplicated: $scans scans\n$plan")
   }
 
+  test("substring spans: native in-row hashing, one scan, dense_rank not a join-back") {
+    val plan = formattedPlan(QueryPack.xSubstringSpans(spark, sf))
+    assert(plan.contains("graft_ngram_span_hashes"),
+      s"native span hashing missing — HOF rendering crept back:\n$plan")
+    // the Generate must explode the native expression, not a per-token
+    // transform/slice/array_join chain (the query-side ptext rendering
+    // legitimately uses one transform over a 3-element LITERAL array —
+    // constant per row, not token-proportional, so no blanket HOF ban)
+    val gen = plan.linesIterator.filter(_.contains("explode")).mkString("\n")
+    assert(!gen.contains("transform("),
+      s"interpreted windowing HOF crept back into the explode:\n$plan")
+    // distinct-doc counts ride the gram-key window; a frequency table
+    // joined back would re-plan the span pipeline (second corpus scan)
+    assert(plan.contains("dense_rank"), s"dense_rank window missing:\n$plan")
+    assert(!plan.contains("ShuffledHashJoin") && !plan.contains("SortMergeJoin"),
+      s"count join-back crept in:\n$plan")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).size
+    assert(scans <= 1, s"span pipeline duplicated: $scans scans\n$plan")
+  }
+
   test("temperature mix: one corpus aggregate, tiny sides broadcast") {
     val plan = formattedPlan(QueryPack.xTemperatureMix(spark, sf))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
