@@ -378,12 +378,19 @@ object TextDedup {
     * silently dropping rows. */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      maxDocs: Long, sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val paras = docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
-    val freq = paras.groupBy("para")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    paras.join(freq.hint("shuffle_hash"), "para")
+    // distinct-doc frequency as a dense_rank+max window pair over the
+    // paragraph key — the count-table join-back it replaces re-planned
+    // the explode pipeline (second corpus scan) and paid the para-keyed
+    // exchange TWICE (once under the aggregate, once under the join),
+    // with the full paragraph string as the key both times
+    val byPara = Window.partitionBy(col("para"))
+    val nDocs = max(dense_rank().over(byPara.orderBy(col("doc_id"))))
+      .over(byPara.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    paras.withColumn("n_docs", nDocs.cast("long"))
       .groupBy("doc_id")
       .agg(
         array_join(

@@ -279,19 +279,18 @@ class PlanQualitySpec extends SparkSpec {
       Set((1L, 6.0), (2L, 3.0)), "bucketing must never change answers")
   }
 
-  test("paragraph dedup: frequency join shuffle-hash, reassembly one keyed group-by") {
+  test("paragraph dedup: one scan, dense_rank frequency window, keyed reassembly") {
     val plan = formattedPlan(QueryPack.xParagraphDedup(spark, sf))
-    // the paragraph-frequency table is corpus-derived — at 100 TB it is
-    // itself huge, so the join must build a shuffle-hash table on the
-    // co-partitioned paragraph key, never broadcast
-    assert(plan.contains("ShuffledHashJoin"),
-      s"freq join lost its shuffle-hash shape:\n$plan")
-    assert(!plan.contains("BroadcastHashJoin"),
-      s"corpus-sized freq table must not broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
-      s"unexpected join shape:\n$plan")
-    assert(!plan.contains("Window"),
-      s"reassembly must be a group-by, not a window pass:\n$plan")
+    // distinct-doc frequency rides a dense_rank+max window on the
+    // paragraph key — the former count-table join-back re-planned the
+    // explode pipeline (second corpus scan) and shuffled the full
+    // paragraph strings twice
+    assert(plan.contains("dense_rank"), s"frequency window missing:\n$plan")
+    assert(!plan.contains("ShuffledHashJoin") && !plan.contains("SortMergeJoin")
+      && !plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"),
+      s"count join-back crept in:\n$plan")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).size
+    assert(scans <= 1, s"explode pipeline duplicated: $scans scans\n$plan")
   }
 
   test("bigram log-prob: native in-row pairing, pair-keyed window, uni join shuffle-hash") {
