@@ -166,6 +166,20 @@ object Ann {
     graft.functions.ArrayMath.nearestCentroid(
       col(embCol), centroids.map(_._1), centroids.map(_._2))
 
+  /** Flat nearest-centroid assignment — adds `out` (the id of the
+    * nearest centroid, first minimum wins) to `vectors`. A narrow
+    * per-row native argmin over the literal centroid matrix
+    * ([[graft.functions.NearestCentroid]]): no join, no shuffle, no
+    * state — the same scan [[annIvf]] and the probe searchers build
+    * on, exposed for consumers that need only the assignment (topic
+    * clustering, cluster-balanced sampling, mixture bucketing). Cost
+    * is O(K·dim) flops per row; for K past ~10³ prefer
+    * [[assignCellsHier]]'s ~2√K-flop two-level pass. */
+  def assignCells(vectors: DataFrame, embCol: String,
+                  centroids: Seq[(Long, Seq[Double])],
+                  out: String = "cell"): DataFrame =
+    vectors.withColumn(out, nearestCell(embCol, centroids))
+
   /** Two-level (coarse → fine) nearest-centroid assignment — the
     * sub-O(N·K) index build. Centroids are grouped into ⌈√K⌉-sized
     * blocks in id order; each block's FIRST centroid is its coarse

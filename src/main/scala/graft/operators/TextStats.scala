@@ -402,4 +402,79 @@ object TextStats {
       conv(substring(md5(concat(coalesce(col(strataCol), lit("")), lit(":"),
         col(keyCol).cast("string"))), 1, 8), 16, 10).cast("bigint") % 10000 < bps)
   }
+
+  /** Corpus-relative quality gate: keep rows whose (pre-rounded) quality
+    * score clears the corpus MEAN — the self-calibrating filter a
+    * pipeline runs when no absolute threshold is known for the corpus.
+    * The threshold is one O(1)-row aggregate broadcast back over the
+    * corpus (the [[temperatureRates]] shape), then a narrow filter: two
+    * scans, no wide shuffle, no driver state. The mean — not a
+    * percentile — is deliberate: Spark's exact `percentile` buffers
+    * every value per aggregation state, which is driver-hostile at
+    * 100 TB, while a mean is a constant-size accumulator. Both the
+    * per-row score and the threshold must already be rounded (4 dp
+    * house convention) so the boundary comparison is engine-portable.
+    * Emits the threshold as `q_threshold` for auditability. */
+  def qualityFilter(df: org.apache.spark.sql.DataFrame,
+                    quality: Column): org.apache.spark.sql.DataFrame =
+    df.withColumn("_q", quality)
+      .crossJoin(broadcast(
+        df.agg(round(avg(quality), 4).as("q_threshold"))))
+      .filter(col("_q") >= col("q_threshold"))
+      .drop("_q")
+
+  /** Per-group document cap: keep at most `cap` rows per group in
+    * `order` (ties MUST be broken by a unique column for a deterministic
+    * kept-set). The classic crawl-pipeline guard against a single
+    * domain/source flooding the corpus.
+    *
+    * Scale shape: the rank-filter pair compiles to Spark's
+    * `WindowGroupLimit` physical node (pinned by PlanQualitySpec) — each
+    * map task keeps a per-group top-`cap` heap BEFORE the exchange, so
+    * the shuffle carries O(groups · cap) rows, not the corpus. A flooded
+    * source at 100 TB is exactly the skew case this matters for: the
+    * window partition never materialises the flood, only its first
+    * `cap` survivors per input partition. */
+  def capPerGroup(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                  order: Seq[Column], cap: Int,
+                  out: String = "rk"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(out,
+        row_number().over(Window.partitionBy(groupCol).orderBy(order: _*)))
+      .filter(col(out) <= cap)
+  }
+
+  /** Greedy token-budget selection: per group, take rows in `order`
+    * (best first; ties MUST be broken unique) until their cumulative
+    * `tokens` reaches `fraction` of the group's total — "the best 30% of
+    * tokens per language", the data-mixing selection step between
+    * scoring and packing. The group total rides the SAME window
+    * partition as the running sum (an unbounded frame over an already
+    * shuffled+sorted partition), so the whole operator is ONE exchange.
+    * A row is kept iff the budget still has room BEFORE it is added
+    * (`cum − tokens < fraction·total`), so selection always admits at
+    * least one row per group and never stalls on an oversized head.
+    * Token counts are integral: the running sum is exact long
+    * arithmetic, and the only FP is the fraction·total product — the
+    * same double in any engine.
+    *
+    * Scale shape: one hash exchange on `groupCol` + per-partition sort.
+    * For a dominant group whose partition would serialise, shard it with
+    * the [[packSequences]] `shards` stitching — same two-phase running
+    * sum, measured there at 3.6× for 100×. */
+  def tokenBudgetSelect(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                        tokens: Column, order: Seq[Column],
+                        fraction: Double): org.apache.spark.sql.DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction must be in (0, 1], got $fraction")
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(groupCol)
+    val run = part.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_tok", tokens.cast("long"))
+      .withColumn("cum_tokens", sum(col("_tok")).over(run))
+      .withColumn("_total", sum(col("_tok")).over(part))
+      .filter((col("cum_tokens") - col("_tok")).cast("double") <
+        lit(fraction) * col("_total").cast("double"))
+      .drop("_tok", "_total")
+  }
 }

@@ -112,8 +112,12 @@ object QueryPack {
   /** §2.6 extension — co-located fact⋈fact join via bucketing
     * ([[graft.runtime.Bucketing]]): lineitem and orders are materialised
     * once per session as external parquet tables bucketed AND
-    * per-bucket-sorted on the join key (8 buckets here; at 100 TB the
-    * count follows the ~128–256 MB-per-bucket rule), after which the
+    * per-bucket-sorted on the join key (32 buckets here — one per
+    * local[32] core, since bucketed-scan parallelism is CAPPED at the
+    * bucket count; the round-11 session-3 campaign measured the original
+    * 8-bucket layout at 14.6 s at sf10 purely from the 8-way cap. At
+    * 100 TB the count instead follows the ~128–256 MB-per-bucket rule),
+    * after which the
     * join's executed plan carries ZERO Exchange — both scans report the
     * bucket partitioning, so neither fact table ever re-shuffles
     * (PlanQualitySpec pins the no-Exchange claim with broadcast
@@ -127,10 +131,10 @@ object QueryPack {
     cachedFixture("x_bucketed", dir) {
       val base = java.nio.file.Files.createTempDirectory("graft_bucketed")
       graft.runtime.Bucketing.ensureBucketed(s, s"g_li_$tag",
-        base.resolve("li").toString, Seq("l_orderkey"), 8)(
+        base.resolve("li").toString, Seq("l_orderkey"), 32)(
         T(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
       graft.runtime.Bucketing.ensureBucketed(s, s"g_ord_$tag",
-        base.resolve("ord").toString, Seq("o_orderkey"), 8)(
+        base.resolve("ord").toString, Seq("o_orderkey"), 32)(
         T(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")))
       base.toString
     }
@@ -1198,6 +1202,14 @@ object QueryPack {
       s" - 2 * list_sum(list_transform(range(1,65), j -> CAST($v[j] AS DOUBLE) * CAST($c[j] AS DOUBLE))))" +
       s" + list_sum(list_transform(range(1,65), j -> CAST($c[j] AS DOUBLE) * CAST($c[j] AS DOUBLE)))"
 
+  /** DuckDB rendering of [[graft.operators.TextStats.quality]] (4 dp) —
+    * verbatim from the green `x_quality` oracle row, shared by the
+    * selection oracles (quality_filter / source_cap / token_budget) so
+    * the per-doc scores are bit-identical across all four. */
+  private val duckQualityExpr: String =
+    "round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * " +
+      "(1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)), 4)"
+
   private val ivfOracleSql: String =
     s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
       |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
@@ -1824,6 +1836,72 @@ object QueryPack {
         budget = 2000, shards = 4)
       .select(col("doc_id"), col("seq_id"), col("seq_offset"))
 
+  /** Topic bucketing for data mixing ([[graft.operators.Ann.assignCells]]):
+    * every embedding lands in one of 16 deterministic clusters (first-16-
+    * by-id k-means seeding, the house convention), then one tiny aggregate
+    * reports each topic's size, corpus share and mean label — the table a
+    * mixing pipeline feeds into [[graft.operators.TextStats.temperatureRates]].
+    * The assignment is the same narrow native argmin scan the IVF family
+    * builds on (no join, no wide shuffle); everything downstream operates
+    * on the 16-row aggregate. */
+  def xClusterTopics(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val agg = graft.operators.Ann.assignCells(emb, "embedding",
+        ivfCentroids(emb, Some(16)), out = "topic")
+      .groupBy("topic")
+      .agg(count(lit(1)).as("n"), round(avg(col("label")), 4).as("mean_label"))
+    agg.crossJoin(broadcast(agg.agg(sum(col("n")).as("_tot"))))
+      .select(col("topic"), col("n"),
+        round(col("n") / col("_tot"), 4).as("pct"), col("mean_label"))
+  }
+
+  /** Corpus-relative quality gate
+    * ([[graft.operators.TextStats.qualityFilter]]): keep documents whose
+    * quality score clears the corpus mean, then report the surviving mix
+    * per language. The threshold is one O(1) aggregate broadcast back —
+    * never a percentile (Spark's exact percentile buffers every value;
+    * see the operator scaladoc) — and the gate itself is a narrow
+    * filter. */
+  def xQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .withColumn("q", graft.operators.TextStats.quality(col("text"), fullTokens = 50))
+    graft.operators.TextStats.qualityFilter(docs, col("q"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), round(avg(col("q")), 4).as("mean_q"),
+        max(col("q_threshold")).as("q_threshold"))
+  }
+
+  /** Per-source document cap ([[graft.operators.TextStats.capPerGroup]]):
+    * at most 10 documents per source, best quality first (ties → lower
+    * doc_id) — the anti-flooding guard every crawl pipeline runs. The
+    * rank-filter pair compiles to `WindowGroupLimit` (PlanQualitySpec
+    * pins it): map-side per-group top-10 heaps BEFORE the exchange, so
+    * the shuffle carries O(sources · 10) rows however large the corpus —
+    * this is the 100 TB shape, not an optimisation detail. */
+  def xSourceCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .withColumn("q", graft.operators.TextStats.quality(col("text"), fullTokens = 50))
+    graft.operators.TextStats.capPerGroup(docs, "source",
+        Seq(col("q").desc, col("doc_id")), cap = 10)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  /** Greedy token-budget selection
+    * ([[graft.operators.TextStats.tokenBudgetSelect]]): per language, the
+    * best-quality documents until 30% of that language's token mass is
+    * spent — the selection step between scoring and packing in a
+    * training-data mix. Self-scaling (the budget is a fraction of the
+    * observed total), so the query binds at every SF; one exchange (the
+    * group total rides the running sum's window partition). */
+  def xTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .withColumn("q", graft.operators.TextStats.quality(col("text"), fullTokens = 50))
+    graft.operators.TextStats.tokenBudgetSelect(docs, "lang",
+        graft.operators.TextStats.spaceTokens(col("text")),
+        Seq(col("q").desc, col("doc_id")), fraction = 0.3)
+      .select(col("doc_id"), col("lang"), col("cum_tokens"))
+  }
+
   /** Cheap LM-quality signal: mean unigram log-prob of each doc's words
     * under the corpus's own smoothed unigram distribution. Vocab joins by
     * shuffle-hash (never broadcast — corpus-sized at 100 TB). */
@@ -2048,6 +2126,10 @@ object QueryPack {
     "x_rrf_hybrid" -> (xRrfHybrid _),
     "x_tfidf_keywords" -> (xTfidfKeywords _),
     "x_weighted_sample" -> (xWeightedSample _),
+    "x_cluster_topics" -> (xClusterTopics _),
+    "x_quality_filter" -> (xQualityFilter _),
+    "x_source_cap" -> (xSourceCap _),
+    "x_token_budget" -> (xTokenBudget _),
     "x_paragraph_dedup" -> (xParagraphDedup _),
     "x_substring_spans" -> (xSubstringSpans _),
     "x_temperature_mix" -> (xTemperatureMix _),
@@ -2292,6 +2374,40 @@ object QueryPack {
         |  lang || '#' || CAST((local_start + shard_off) // 2000 AS VARCHAR) AS seq_id,
         |  CAST((local_start + shard_off) % 2000 AS BIGINT) AS seq_offset
         |FROM loc JOIN off USING (lang, shard)""".stripMargin,
+    "x_cluster_topics" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent
+        |  FROM embeddings WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, label, cent_id AS topic FROM (
+        |    SELECT e.vec_id, e.label, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        ${duckSqDist("e.embedding", "c.cent")}, c.cent_id) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |agg AS (SELECT topic, count(*) AS n, round(avg(label), 4) AS mean_label
+        |        FROM assigned GROUP BY 1)
+        |SELECT topic, n,
+        |  round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM agg), 4) AS pct, mean_label
+        |FROM agg""".stripMargin,
+    "x_quality_filter" ->
+      s"""WITH q AS (SELECT doc_id, lang, $duckQualityExpr AS q FROM documents),
+        |thr AS (SELECT round(avg(q), 4) AS q_threshold FROM q)
+        |SELECT lang, count(*) AS n_kept, round(avg(q), 4) AS mean_q,
+        |  max(q_threshold) AS q_threshold
+        |FROM q, thr WHERE q >= q_threshold GROUP BY lang""".stripMargin,
+    "x_source_cap" ->
+      s"""WITH q AS (SELECT doc_id, source, $duckQualityExpr AS q FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk FROM q)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 10""".stripMargin,
+    "x_token_budget" ->
+      s"""WITH q AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS toks,
+        |    $duckQualityExpr AS q FROM documents),
+        |w AS (SELECT doc_id, lang, toks,
+        |  CAST(sum(toks) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(toks) OVER (PARTITION BY lang) AS BIGINT) AS total FROM q)
+        |SELECT doc_id, lang, cum_tokens FROM w
+        |WHERE CAST(cum_tokens - toks AS DOUBLE) < 0.3 * CAST(total AS DOUBLE)""".stripMargin,
     "x_unigram_logprob" ->
       """WITH w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |w AS (SELECT * FROM w0 WHERE w != ''),

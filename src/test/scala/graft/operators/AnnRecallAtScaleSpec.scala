@@ -4,27 +4,34 @@ import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Recall at 10× the committed corpus (the ScaleGen sf1 data, 20k
-  * vectors, K = 142 cells) — the measurement that surfaced the third
-  * sizing law in round 11: a FIXED compressed-search budget collapses
-  * as the corpus grows (ksub = 16 ADC recall fell 0.275 → 0.025; a
-  * fixed top-20 rerank only recovers 0.200) while a budget sized to the
-  * corpus restores it (ksub = 256 + rerank 100 → 0.850). This spec pins
-  * the law as ORDERINGS with wide margins (robust to a testdata
-  * regeneration, unlike point floors) and the probe-limited exact
-  * searcher's scale-robustness.
+/** Recall@5 floors at sf1 (20k vectors, K = ⌈√N⌉ = 142 cells) for the
+  * three headline searcher configurations — the CI half of round 11's
+  * "recall floors at sf1" open item. The sf0.1 floors (AnnRecallSpec)
+  * can't see scale-driven recall decay: the round-11 probes measured
+  * ksub=16 IVF-PQ COLLAPSING 0.275 → 0.025 at 10× the corpus while
+  * every sf0.1 floor stayed green. This suite pins the three sf1 points
+  * that define the published scaling story (SCALING.md "Recall at sf1 —
+  * the third sizing law"): flat probe holds (0.975), the hier trade
+  * widens (0.275), and the sized compressed config (ksub 256 + rerank
+  * R = 100) restores 0.850.
   *
-  * The scaled corpus is generated, not committed (`graft.ScaleGen` →
-  * scratch/), so the suite CANCELS rather than fails when it is absent —
-  * builder and driver boxes have it; a fresh clone does not. */
+  * DATA-GATED: the sf1 corpus is ScaleGen output under scratch/ —
+  * generated, not committed (TESTDATA.md policy). When the directory is
+  * absent the suite CANCELS (ScalaTest `assume`) rather than passing
+  * vacuously, so a green run either measured the floors or says
+  * "canceled" loudly. Regenerate with `graft.ScaleGen` to re-arm. */
 class AnnRecallAtScaleSpec extends SparkSpec {
 
   private val dir = "/root/repo/scratch/sf1"
   private val k = 5
 
-  test("sf1: probe search holds; sized compressed budget beats the fixed one (the sizing law)") {
+  private def neighborSet(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+  test("recall@5 at sf1 stays at the measured levels (data-gated)") {
     assume(new java.io.File(s"$dir/embeddings.parquet").exists(),
-      s"scaled corpus absent at $dir — run graft.ScaleGen first")
+      s"sf1 corpus not generated under $dir — run graft.ScaleGen to arm " +
+        "this suite (TESTDATA.md: scaled data is generated, not committed)")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 8)
     val n = emb.count()
@@ -33,6 +40,10 @@ class AnnRecallAtScaleSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
       .sortBy(_._1).toSeq
+
+    // exact baselines (20k × 64 doubles ≈ 10 MB — driver-trivial)
+    val cosExact = neighborSet(
+      Ann.cosineTopK(emb, queries, "vec_id", "embedding", k))
     val data = emb.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq))
     val qVecs = data.filter(_._1 < 8)
@@ -46,40 +57,38 @@ class AnnRecallAtScaleSpec extends SparkSpec {
         .sortBy { case (id, v) => (l2(qv, v), id) }.take(k)
         .map { case (id, _) => (q, id) }
     }.toSet
-    def cos(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
-      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      s / math.sqrt(na * nb)
-    }
-    val cosExact = qVecs.flatMap { case (q, qv) =>
-      data.filter(_._1 != q)
-        .sortBy { case (id, v) => (-cos(qv, v), id) }.take(k)
-        .map { case (id, _) => (q, id) }
-    }.toSet
-    def recall(df: DataFrame, exact: Set[(Long, Long)]): Double = {
-      val s = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-      s.intersect(exact).size.toDouble / exact.size
-    }
 
-    val probe = recall(Ann.ivfSearch(emb, queries, "vec_id", "embedding",
-      cents, nprobe = 3, k = k), cosExact)
-    val books16 = Ann.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
-    val fixed = recall(Ann.ivfPqSearch(emb, queries, "vec_id", "embedding",
-      cents, books16, nprobe = 8, k = k, rerank = 20), l2Exact)
+    // the sized 8-bit compressed config from the third sizing law:
+    // ksub = 256 Lloyd codebooks (32-per-code sample) + rerank R = 100
     val books256 = Ann.pqCodebooksLloyd(emb, "vec_id", "embedding",
       m = 8, ksub = 256, iters = 1, sampleN = 8192)
-    val sized = recall(Ann.ivfPqSearch(emb, queries, "vec_id", "embedding",
-      cents, books256, nprobe = 8, k = k, rerank = 100), l2Exact)
-    info(f"sf1 recall@5: ivf_probe3 = $probe%.3f, fixed budget " +
-      f"(ksub16 + R20) = $fixed%.3f, sized budget (ksub256 + R100) = $sized%.3f")
 
-    // measured r11: 0.975 / 0.200 / 0.850 — pinned as orderings with
-    // margin so a data regeneration shifts the numbers, not the law
-    assert(probe >= 0.9,
-      s"probe-limited exact search lost scale-robustness: $probe")
-    assert(sized >= fixed + 0.2,
-      s"the sizing law inverted: sized $sized vs fixed $fixed")
-    assert(sized >= 0.7,
-      s"sized compressed search fell under its measured band: $sized")
+    val measured = Seq(
+      ("ivf_probe3", neighborSet(Ann.ivfSearch(
+        emb, queries, "vec_id", "embedding", cents, nprobe = 3, k = k)),
+        cosExact),
+      ("ivf_hier_probe3", neighborSet(Ann.ivfSearch(
+        emb, queries, "vec_id", "embedding", cents, nprobe = 3, k = k,
+        twoLevel = true)), cosExact),
+      ("ivfpq256_probe8_rerank100", neighborSet(Ann.ivfPqSearch(
+        emb, queries, "vec_id", "embedding", cents, books256,
+        nprobe = 8, k = k, rerank = 100)), l2Exact))
+    val recalls = measured.map { case (name, approx, exact) =>
+      assert(approx.size == 8 * k, s"$name must return k results per query")
+      name -> approx.intersect(exact).size.toDouble / exact.size
+    }.toMap
+    recalls.toSeq.sortBy(_._1).foreach { case (name, r) =>
+      info(f"recall@5 sf1 $name%-26s = $r%.3f")
+    }
+
+    // floors just under the round-11 measured values (SCALING.md table)
+    val floors = Map(
+      "ivf_probe3" -> 0.95,            // measured 0.975 — probe holds
+      "ivf_hier_probe3" -> 0.25,       // measured 0.275 — trade widened
+      "ivfpq256_probe8_rerank100" -> 0.80) // measured 0.850 — sized law
+    floors.foreach { case (name, floor) =>
+      assert(recalls(name) >= floor,
+        s"$name recall@5 at sf1 ${recalls(name)} fell under its floor $floor")
+    }
   }
 }

@@ -754,4 +754,70 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.collect().toSet == Ann.annIvf(vecs, "id", "emb", cents,
       twoLevel = true).collect().toSet)
   }
+
+  test("ann: flat assignCells matches the driver argmin and first-min ties") {
+    import graft.operators.Ann
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val vecs = (0L until 120L).map(i => (i, Seq.fill(8)(rnd.nextFloat()))).toDF("id", "emb")
+    val cents = vecs.filter(col("id") < 7).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val expect = vecs.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toSeq
+      (r.getLong(0), cents.map { case (id, c) => (d2(v, c), id) }.minBy(identity)._2)
+    }.toMap
+    val got = Ann.assignCells(vecs, "emb", cents, out = "topic")
+      .select(col("id"), col("topic"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect, "flat assignment must be the exact argmin")
+    // a centroid row is assigned to itself (distance 0, first minimum)
+    cents.foreach { case (id, _) => assert(got(id) == id) }
+  }
+
+  test("selection: qualityFilter keeps exactly the rows at or above the corpus mean") {
+    import spark.implicits._
+    val df = Seq((1L, 0.9), (2L, 0.5), (3L, 0.1), (4L, 0.5))
+      .toDF("id", "q") // mean = 0.5
+    val kept = TextStats.qualityFilter(df, col("q"))
+      .select(col("id"), col("q_threshold"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(kept.map(_._1).toSeq == Seq(1L, 2L, 4L),
+      "boundary rows (q == mean) must be kept; below-mean dropped")
+    assert(kept.forall(_._2 == 0.5), "threshold column must carry the mean")
+  }
+
+  test("selection: capPerGroup keeps the top-N per group with deterministic ties") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.8), ("a", 4L, 0.7),
+      ("b", 5L, 0.3)).toDF("src", "id", "q")
+    val kept = TextStats.capPerGroup(df, "src",
+        Seq(col("q").desc, col("id")), cap = 2)
+      .select(col("src"), col("id"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    // tie at q = 0.9 breaks by lower id; group b is under the cap
+    assert(kept.toSeq == Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 5L, 1)))
+  }
+
+  test("selection: tokenBudgetSelect admits rows while the budget has room") {
+    import spark.implicits._
+    // group g: totals 100; fraction 0.3 => budget 30. Rows in order
+    // (q desc): 25 tokens (cum-before 0 < 30: keep), 20 (25 < 30: keep,
+    // overshooting to 45 — greedy admits the row that crosses), 55
+    // (45 >= 30: drop). Head-larger-than-budget group h: first row always
+    // admitted (cum-before 0 < budget).
+    val df = Seq(
+      ("g", 1L, 0.9, 25), ("g", 2L, 0.8, 20), ("g", 3L, 0.7, 55),
+      ("h", 4L, 0.9, 1000)).toDF("lang", "id", "q", "toks")
+    val kept = TextStats.tokenBudgetSelect(df, "lang", col("toks"),
+        Seq(col("q").desc, col("id")), fraction = 0.3)
+      .select(col("id"), col("cum_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(kept.toSeq == Seq((1L, 25L), (2L, 45L), (4L, 1000L)))
+    intercept[IllegalArgumentException](
+      TextStats.tokenBudgetSelect(df, "lang", col("toks"), Seq(col("id")), 0.0))
+  }
 }

@@ -426,6 +426,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Window"), "per-file window state machine missing")
   }
 
+  test("source cap: rank-filter compiles to WindowGroupLimit (map-side top-k)") {
+    // the 100 TB claim of capPerGroup: the per-group top-`cap` heap runs
+    // BEFORE the exchange, so a flooded source shuffles only its first
+    // `cap` survivors per input partition — a plain Window here would
+    // shuffle the whole corpus into the flooded source's partition
+    val plan = formattedPlan(QueryPack.xSourceCap(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter lost its WindowGroupLimit pushdown:\n$plan")
+  }
+
+  test("token budget: running sum and group total share one exchange") {
+    val plan = formattedPlan(QueryPack.xTokenBudget(spark, sf))
+    val shuffles = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly one Exchange (the lang partition), got $shuffles:\n$plan")
+  }
+
+  test("cluster topics: assignment is a narrow native argmin (no join before the agg)") {
+    val plan = formattedPlan(QueryPack.xClusterTopics(spark, sf))
+    // the only join allowed is the broadcast of the 1-row total onto the
+    // 16-row aggregate — the corpus itself must never enter a product
+    assert(!plan.contains("CartesianProduct"),
+      s"assignment degraded to a product:\n$plan")
+    assert(plan.contains("graft_nearest_centroid") || plan.contains("NearestCentroid"),
+      s"native argmin missing from the topic assignment:\n$plan")
+  }
+
   test("mapping pipeline stays narrow: records() plan has no exchange") {
     val yaml =
       """|klass: K
