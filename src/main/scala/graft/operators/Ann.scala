@@ -262,6 +262,47 @@ object Ann {
         col("best.neighbor").as("neighbor"), col("best.cos_sim").as("cos_sim"))
   }
 
+  /** The (ksub, rerank-R) operating point that holds compressed-search
+    * recall as the corpus grows — the [[planesFor]] analogue for the
+    * PQ/IVF-PQ family, closing round 11's open sizing question at the
+    * honesty level the data supports.
+    *
+    * Grounding (SCALING.md "the third sizing law", measured on this
+    * corpus family at two decades): at n = 2,000, ksub = 16 + R = 4k
+    * reaches recall@5 0.600; at n = 20,000 that FIXED budget collapses
+    * to 0.200 while ksub = 256 + R = 100 restores 0.850. The rule
+    * reproduces both measured operating points exactly and interpolates
+    * between them in integer arithmetic (oracle-replicable, like
+    * [[planesFor]]):
+    *
+    *   - `ksub`: one doubling per corpus doubling from 16 at
+    *     n = baseN, SATURATING at 256 — the 8-bit ceiling where a code
+    *     stops fitting a byte and ADC tables stop being cache-resident.
+    *     Past saturation ksub cannot buy more recall (measured: codes
+    *     alone plateau at 0.275–0.350 on this corpus) — R is the axis
+    *     that keeps paying.
+    *   - `R`: max(4k, n / 200) — linear in the corpus, and cheap by
+    *     construction (R·|Q| exact dot expansions via one broadcast-hash
+    *     join; corpus-independent cost).
+    *
+    * Caveat on the label, not hidden: two corpus points define a line,
+    * not a law of nature. The DIRECTION (grow both axes with n; R is
+    * the cheap axis) is measured three ways (LSH planes, Lloyd samples,
+    * this); the exact coefficients are this corpus family's. A corpus
+    * with materially different cluster geometry should re-measure the
+    * two endpoints with AnnRecallSpec/AnnRecallAtScaleSpec and re-fit
+    * the two constants — the rule's FORM is the portable part. */
+  def pqParamsFor(n: Long, k: Int, baseN: Long = 2000L): (Int, Int) = {
+    require(n > 0 && k > 0 && baseN > 0, "n, k and baseN must be positive")
+    // integer ceil(log2(n / baseN)), 0 when n <= baseN
+    var doublings = 0
+    while (doublings < 62 && baseN < ((n + (1L << doublings) - 1) >> doublings))
+      doublings += 1
+    val ksub = math.min(256L, 16L << doublings).toInt
+    val r = math.max(4L * k, n / 200L)
+    (ksub, math.min(r, n).toInt)
+  }
+
   /** Deterministic product-quantisation codebooks: the embedding space is
     * split into `m` contiguous subspaces and each subspace gets the
     * corresponding slices of the first `ksub` corpus vectors by id as its

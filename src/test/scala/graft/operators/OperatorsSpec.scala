@@ -755,6 +755,21 @@ class OperatorsSpec extends SparkSpec {
       twoLevel = true).collect().toSet)
   }
 
+  test("ann: pqParamsFor reproduces both measured operating points and saturates") {
+    import graft.operators.Ann
+    // the two corpus points that ground the third sizing law (SCALING.md):
+    // sf0.1 (n = 2000) ran ksub 16 + R 4k at recall 0.600; sf1 (n = 20000)
+    // needed ksub 256 + R 100 for 0.850
+    assert(Ann.pqParamsFor(2000, k = 5) == ((16, 20)))
+    assert(Ann.pqParamsFor(20000, k = 5) == ((256, 100)))
+    // monotone in n; ksub saturates at the 8-bit ceiling, R keeps growing
+    assert(Ann.pqParamsFor(200000, k = 5) == ((256, 1000)))
+    assert(Ann.pqParamsFor(4000, k = 5)._1 == 32)
+    // small corpora never exceed the corpus itself on R, never dip under 16 codes
+    assert(Ann.pqParamsFor(10, k = 5) == ((16, 10)))
+    intercept[IllegalArgumentException](Ann.pqParamsFor(0, 5))
+  }
+
   test("ann: flat assignCells matches the driver argmin and first-min ties") {
     import graft.operators.Ann
     import spark.implicits._
