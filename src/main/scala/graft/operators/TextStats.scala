@@ -403,6 +403,44 @@ object TextStats {
         col(keyCol).cast("string"))), 1, 8), 16, 10).cast("bigint") % 10000 < bps)
   }
 
+  /** Sliding token-window chunking — the context-windowing step between
+    * a document corpus and a RAG index or fixed-window trainer: each doc
+    * becomes ⌈(n − overlap) / (size − overlap)⌉ chunks of `size` tokens
+    * stepping by `size − overlap`, the last chunk clamped to the doc's
+    * end (never empty, never past-end; a doc at or under `size` tokens
+    * is exactly one whole-doc chunk). Emits
+    * (…row, chunk_id, start_tok, n_tok, chunk) — `start_tok` 0-based,
+    * `chunk` the space-joined token window.
+    *
+    * Scale shape: narrow start to finish — `split` once per row,
+    * `posexplode(sequence(…))` fans out chunk ordinals IN-ROW, `slice` +
+    * `array_join` build each window natively (no higher-order function
+    * anywhere, so the whole chain stays codegen'd). Output rows ≈
+    * input tokens · size/(size−overlap) / size — the fan-out is the
+    * overlap factor, not a join. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  size: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val toks = split(col(textCol), " ")
+    val n = size_(toks)
+    val nChunks = when(n <= size, lit(1))
+      .otherwise(ceil((n - lit(overlap)).cast("double") / stride).cast("int"))
+    df.withColumn("_toks", toks)
+      .withColumn("_n", n)
+      .select(col("*"),
+        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_id", "_ord")))
+      .withColumn("start_tok", col("_ord") * stride)
+      .withColumn("n_tok", least(lit(size), col("_n") - col("start_tok")))
+      .withColumn("chunk",
+        array_join(slice(col("_toks"), col("start_tok") + 1, col("n_tok")), " "))
+      .drop("_toks", "_n", "_ord")
+  }
+
+  // functions.size clashes with the `size` parameter name above
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Corpus-relative quality gate: keep rows whose (pre-rounded) quality
     * score clears the corpus MEAN — the self-calibrating filter a
     * pipeline runs when no absolute threshold is known for the corpus.

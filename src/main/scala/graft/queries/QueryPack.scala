@@ -1836,6 +1836,18 @@ object QueryPack {
         budget = 2000, shards = 4)
       .select(col("doc_id"), col("seq_id"), col("seq_offset"))
 
+  /** Sliding token-window chunking
+    * ([[graft.operators.TextStats.chunkTokens]]): every document cut into
+    * 64-token windows stepping by 48 (overlap 16) — the RAG-index /
+    * fixed-context preparation step. Narrow end to end: the chunk
+    * ordinals fan out IN-ROW (`posexplode(sequence(…))`), windows are
+    * native `slice` + `array_join`, no HOF, no shuffle at all. */
+  def xChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.chunkTokens(
+        T(s, dir, "documents"), "text", size = 64, overlap = 16)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_tok"), col("chunk"))
+
   /** Topic bucketing for data mixing ([[graft.operators.Ann.assignCells]]):
     * every embedding lands in one of 16 deterministic clusters (first-16-
     * by-id k-means seeding, the house convention), then one tiny aggregate
@@ -2126,6 +2138,7 @@ object QueryPack {
     "x_rrf_hybrid" -> (xRrfHybrid _),
     "x_tfidf_keywords" -> (xTfidfKeywords _),
     "x_weighted_sample" -> (xWeightedSample _),
+    "x_chunk_overlap" -> (xChunkOverlap _),
     "x_cluster_topics" -> (xClusterTopics _),
     "x_quality_filter" -> (xQualityFilter _),
     "x_source_cap" -> (xSourceCap _),
@@ -2374,6 +2387,19 @@ object QueryPack {
         |  lang || '#' || CAST((local_start + shard_off) // 2000 AS VARCHAR) AS seq_id,
         |  CAST((local_start + shard_off) % 2000 AS BIGINT) AS seq_offset
         |FROM loc JOIN off USING (lang, shard)""".stripMargin,
+    "x_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |  CASE WHEN n <= 64 THEN 1
+        |       ELSE CAST(ceil(CAST(n - 16 AS DOUBLE) / 48) AS INT) END AS nchunks
+        |  FROM d)
+        |SELECT doc_id, CAST(ord AS INT) AS chunk_id,
+        |  CAST(ord * 48 AS INT) AS start_tok,
+        |  CAST(least(64, n - ord * 48) AS INT) AS n_tok,
+        |  array_to_string(list_slice(toks, ord * 48 + 1,
+        |    ord * 48 + least(64, n - ord * 48)), ' ') AS chunk
+        |FROM c, unnest(generate_series(0, nchunks - 1)) AS t(ord)""".stripMargin,
     "x_cluster_topics" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent
         |  FROM embeddings WHERE vec_id < 16),

@@ -792,6 +792,37 @@ class OperatorsSpec extends SparkSpec {
     cents.foreach { case (id, _) => assert(got(id) == id) }
   }
 
+  test("chunking: sliding windows cover every token, clamp at the end, never go empty") {
+    import spark.implicits._
+    // 10 tokens, size 4, overlap 1 (stride 3): chunks at 0, 3, 6 — the
+    // last covers 6..10 so every token appears in some chunk
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b"), (3L, "")).toDF("id", "text")
+    val got = TextStats.chunkTokens(df, "text", size = 4, overlap = 1)
+      .select(col("id"), col("chunk_id"), col("start_tok"), col("n_tok"), col("chunk"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, 0, 4, "t1 t2 t3 t4"),
+      (1L, 1, 3, 4, "t4 t5 t6 t7"),
+      (1L, 2, 6, 4, "t7 t8 t9 t10")))
+    // short and empty docs are exactly one whole-doc chunk
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0, 2, "a b")))
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0, 0, 1, "")))
+    // coverage invariant on a spread of sizes: concatenating the chunks'
+    // token ranges covers [0, n) with no chunk empty or past-end
+    Seq((25, 7, 3), (8, 8, 0), (9, 8, 7)).foreach { case (n, sz, ov) =>
+      val d2 = Seq((1L, (1 to n).map("w" + _).mkString(" "))).toDF("id", "text")
+      val ch = TextStats.chunkTokens(d2, "text", sz, ov)
+        .select(col("start_tok"), col("n_tok"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1)
+      assert(ch.forall { case (s, l) => l >= 1 && s + l <= n })
+      val covered = ch.flatMap { case (s, l) => s until (s + l) }.toSet
+      assert(covered == (0 until n).toSet, s"gap in coverage for ($n,$sz,$ov)")
+    }
+    intercept[IllegalArgumentException](TextStats.chunkTokens(df, "text", 4, 4))
+  }
+
   test("selection: qualityFilter keeps exactly the rows at or above the corpus mean") {
     import spark.implicits._
     val df = Seq((1L, 0.9), (2L, 0.5), (3L, 0.1), (4L, 0.5))

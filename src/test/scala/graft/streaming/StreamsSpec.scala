@@ -264,6 +264,32 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("chunkTokens applies to a stream unchanged, equal to batch") {
+    // the chunker is narrow (in-row generator fan-out, no state), so it
+    // must ride a readStream projection verbatim — the property every
+    // per-doc operator in this repo claims, pinned here for the one that
+    // multiplies rows
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextStats
+    val texts = Seq(
+      (1 to 10).map("t" + _).mkString(" "), "a b", "one two three four five")
+    def chunked(df: org.apache.spark.sql.DataFrame) =
+      TextStats.chunkTokens(df, "text", size = 4, overlap = 1)
+        .select(col("text"), col("chunk_id"), col("start_tok"), col("chunk"))
+    val in = MemoryStream[String]
+    val q = chunked(in.toDF.toDF("text"))
+      .writeStream.format("memory").queryName("chk").outputMode("append").start()
+    in.addData(texts.take(1)); q.processAllAvailable()
+    in.addData(texts.drop(1)); q.processAllAvailable()
+    val streamed = spark.sql("select * from chk").collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(r => (r.head, r(1)))
+    val batch = chunked(texts.toDF("text")).collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(r => (r.head, r(1)))
+    assert(streamed.toSeq == batch.toSeq)
+    q.stop()
+  }
+
   test("stateful sessionization closes sessions across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
