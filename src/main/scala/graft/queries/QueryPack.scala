@@ -84,7 +84,11 @@ object QueryPack {
   }
 
   /** TPC-H Q5-style: star join through two broadcast dims + one fact-fact
-    * shuffle join, revenue per nation. */
+    * shuffle join, revenue per nation. The lineitem⋈orders shuffle is the
+    * whole sf10 cost (13× for 100× — both fact sides re-shuffle on the
+    * join key every run); at 100 TB the standing fix is to bucket both
+    * fact tables on orderkey once and join with zero Exchange —
+    * [[xBucketedJoin]] demonstrates exactly that cure on this join. */
   def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
     val region = T(s, dir, "region").filter(col("r_name") === "ASIA")
     val nation = T(s, dir, "nation")
