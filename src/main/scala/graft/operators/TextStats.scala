@@ -403,6 +403,62 @@ object TextStats {
         col(keyCol).cast("string"))), 1, 8), 16, 10).cast("bigint") % 10000 < bps)
   }
 
+  /** Deterministic vocabulary build — the tokenizer-adjacent step: the
+    * top `maxSize` words by (count desc, word asc) with count ≥
+    * `minCount`, assigned dense ids 0..V−1 in exactly that order, so two
+    * engines (or two runs over the same corpus) mint identical ids.
+    * Returns (word, id, count).
+    *
+    * Scale shape: one word-keyed count shuffle (the corpus's only wide
+    * pass), then `orderBy(…).limit(maxSize)` — Spark's TakeOrdered:
+    * per-partition top-V heaps merged on the driver, O(V) driver state,
+    * never a global sort. The id-assignment window runs UNPARTITIONED
+    * by design: its input is already the V-row cut (V-bounded, a plan
+    * literal in spirit), not the corpus. */
+  def buildVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                 maxSize: Int, minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(maxSize > 0 && minCount >= 1, "need maxSize > 0 and minCount >= 1")
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("count"))
+      .filter(col("count") >= minCount)
+      .orderBy(col("count").desc, col("word"))
+      .limit(maxSize)
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("count").desc, col("word"))) - 1)
+      .select(col("word"), col("id").cast("long").as("id"), col("count"))
+  }
+
+  /** Token-id encoding against a [[buildVocab]] vocabulary: per doc, the
+    * token count, the out-of-vocabulary count, and an ORDER-SENSITIVE
+    * fingerprint of the id sequence (md5 of the comma-joined ids in
+    * token order, OOV as −1) — the contract a downstream trainer checks
+    * to know two pipelines tokenised identically. Docs with no tokens
+    * produce no row (they have no id sequence to fingerprint).
+    *
+    * Scale shape: the vocab side is `maxSize`-bounded by construction,
+    * so the token→id lookup is a broadcast-hash join on the narrow
+    * exploded stream; the only wide pass is the doc-keyed re-aggregation
+    * (collect in (pos, id) struct order — `sort_array` gives the
+    * deterministic sequence regardless of partition arrival order). */
+  def encodeTokens(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String,
+                   vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    toks.join(broadcast(vocab.select(col("word").as("w"), col("id").as("_vid"))),
+        Seq("w"), "left")
+      .withColumn("tid", coalesce(col("_vid"), lit(-1L)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === -1L, 1L).otherwise(0L)).as("n_oov"),
+        md5(array_join(
+          sort_array(collect_list(struct(col("pos").as("pos"), col("tid").as("tid"))))
+            .getField("tid").cast("array<string>"), ",")).as("ids_fp"))
+  }
+
   /** Sliding token-window chunking — the context-windowing step between
     * a document corpus and a RAG index or fixed-window trainer: each doc
     * becomes ⌈(n − overlap) / (size − overlap)⌉ chunks of `size` tokens

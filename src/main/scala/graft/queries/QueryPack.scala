@@ -1840,6 +1840,20 @@ object QueryPack {
         budget = 2000, shards = 4)
       .select(col("doc_id"), col("seq_id"), col("seq_offset"))
 
+  /** Vocabulary build + token-id encoding
+    * ([[graft.operators.TextStats.buildVocab]] /
+    * [[graft.operators.TextStats.encodeTokens]]): dense ids minted
+    * deterministically for the top-4096 words (count ≥ 2, ties by word),
+    * every document encoded and fingerprinted order-sensitively (OOV =
+    * −1) — the tokenizer-reproducibility contract. One word-keyed count
+    * shuffle + TakeOrdered for the vocab; a broadcast-hash token lookup
+    * and one doc-keyed re-aggregation for the encode. */
+  def xVocabEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.TextStats.encodeTokens(docs, "doc_id", "text",
+      graft.operators.TextStats.buildVocab(docs, "text", maxSize = 4096, minCount = 2))
+  }
+
   /** Sliding token-window chunking
     * ([[graft.operators.TextStats.chunkTokens]]): every document cut into
     * 64-token windows stepping by 48 (overlap 16) — the RAG-index /
@@ -2143,6 +2157,7 @@ object QueryPack {
     "x_tfidf_keywords" -> (xTfidfKeywords _),
     "x_weighted_sample" -> (xWeightedSample _),
     "x_chunk_overlap" -> (xChunkOverlap _),
+    "x_vocab_encode" -> (xVocabEncode _),
     "x_cluster_topics" -> (xClusterTopics _),
     "x_quality_filter" -> (xQualityFilter _),
     "x_source_cap" -> (xSourceCap _),
@@ -2404,6 +2419,21 @@ object QueryPack {
         |  array_to_string(list_slice(toks, ord * 48 + 1,
         |    ord * 48 + least(64, n - ord * 48)), ' ') AS chunk
         |FROM c, unnest(generate_series(0, nchunks - 1)) AS t(ord)""".stripMargin,
+    "x_vocab_encode" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w != '') AS ws FROM documents),
+        |tok AS (SELECT doc_id, pos, ws[pos] AS w
+        |        FROM w0, unnest(generate_series(1, len(ws))) AS t(pos)),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1 HAVING count(*) >= 2),
+        |vocab AS (SELECT w,
+        |    CAST(row_number() OVER (ORDER BY c DESC, w) - 1 AS BIGINT) AS id
+        |  FROM (SELECT * FROM cnt ORDER BY c DESC, w LIMIT 4096)),
+        |enc AS (SELECT t.doc_id, t.pos, COALESCE(v.id, -1) AS tid
+        |        FROM tok t LEFT JOIN vocab v ON t.w = v.w)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_fp
+        |FROM enc GROUP BY doc_id""".stripMargin,
     "x_cluster_topics" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent
         |  FROM embeddings WHERE vec_id < 16),

@@ -792,6 +792,69 @@ class OperatorsSpec extends SparkSpec {
     cents.foreach { case (id, _) => assert(got(id) == id) }
   }
 
+  test("vocab: deterministic ids by (count desc, word); encode fingerprints order-sensitively") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a b c b a"), (2L, "a c a"), (3L, "zz yy")).toDF("id", "text")
+    // corpus counts: a=4, b=3, c=2, zz=1, yy=1 — the singletons fall to
+    // minCount and ids go to (a, b, c) in (count desc, word asc) order
+    val vocab = TextStats.buildVocab(docs, "text", maxSize = 3, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(vocab.toSeq == Seq(("a", 0L, 4L), ("b", 1L, 3L), ("c", 2L, 2L)),
+      s"vocab order must be (count desc, word asc): ${vocab.toSeq}")
+    val enc = TextStats.encodeTokens(docs, "id", "text",
+        TextStats.buildVocab(docs, "text", maxSize = 3, minCount = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    // doc1 "b a b c b a" -> 1,0,1,2,1,0; doc2 "a c a" -> 0,2,0; doc3 all OOV
+    def fp(ids: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(ids.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(enc == Seq(
+      (1L, 6L, 0L, fp("1,0,1,2,1,0")),
+      (2L, 3L, 0L, fp("0,2,0")),
+      (3L, 2L, 2L, fp("-1,-1"))))
+    // order sensitivity: permuting tokens changes the fingerprint
+    val perm = TextStats.encodeTokens(Seq((1L, "a b b c b a")).toDF("id", "text"),
+      "id", "text", TextStats.buildVocab(docs, "text", 3, 2))
+      .collect().head.getString(3)
+    assert(perm != enc.head._4, "fingerprint must be order-sensitive")
+  }
+
+  test("selection: budget/cap operators agree with a driver-side oracle on random data") {
+    import spark.implicits._
+    // property-style cross-check (PackSequencesPropertySpec precedent):
+    // deterministic pseudo-random corpora, Spark result vs a driver fold
+    val rnd = new scala.util.Random(271)
+    (1 to 3).foreach { trial =>
+      val rows = (1 to 400).map { i =>
+        (i.toLong, s"g${rnd.nextInt(5)}", rnd.nextInt(100) + 1,
+          math.rint(rnd.nextDouble() * 100) / 100)
+      }
+      val df = rows.toDF("id", "grp", "toks", "q")
+      // capPerGroup vs driver top-N
+      val gotCap = TextStats.capPerGroup(df, "grp",
+          Seq(col("q").desc, col("id")), cap = 7)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val expCap = rows.groupBy(_._2).values.flatMap(
+        _.sortBy(r => (-r._4, r._1)).take(7).map(_._1)).toSet
+      assert(gotCap == expCap, s"capPerGroup diverged on trial $trial")
+      // tokenBudgetSelect vs driver greedy fold
+      val gotSel = TextStats.tokenBudgetSelect(df, "grp", col("toks"),
+          Seq(col("q").desc, col("id")), fraction = 0.4)
+        .select(col("id"), col("cum_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val expSel = rows.groupBy(_._2).values.flatMap { g =>
+        val total = g.map(_._3.toLong).sum
+        val ordered = g.sortBy(r => (-r._4, r._1))
+        val cums = ordered.scanLeft(0L)(_ + _._3).tail
+        ordered.zip(cums).filter { case (r, cum) =>
+          (cum - r._3).toDouble < 0.4 * total
+        }.map { case (r, cum) => (r._1, cum) }
+      }.toMap
+      assert(gotSel == expSel, s"tokenBudgetSelect diverged on trial $trial")
+    }
+  }
+
   test("chunking: sliding windows cover every token, clamp at the end, never go empty") {
     import spark.implicits._
     // 10 tokens, size 4, overlap 1 (stride 3): chunks at 0, 3, 6 — the

@@ -70,6 +70,13 @@ READING = {
     "s12_pdf_text": "fixture-bound",
     "x_ann_cosine": "fixed 8-query broadcast side; 10x corpus scans in parallel",
     "s15_acroform": "fixture-bound",
+    "x_source_cap": "WindowGroupLimit: map-side top-cap heaps, shuffle carries O(sources*cap)",
+    "x_cluster_topics": "narrow native argmin + 16-row aggregate",
+    "x_quality_filter": "O(1) mean-threshold aggregate broadcast back + narrow gate",
+    "x_token_budget": "one lang-keyed exchange; total rides the running-sum window",
+    "x_chunk_overlap": "in-row posexplode(sequence) fan-out, native slice/join, zero shuffle",
+    "x_bucketed_join": "co-located bucketed scans (32 buckets), zero pre-join exchange",
+    "x_vocab_encode": "word-count shuffle + TakeOrdered top-V + broadcast lookup + doc re-agg",
 }
 
 benches = [json.load(open(p)) for p in sys.argv[1:]]
