@@ -274,6 +274,29 @@ object TextDedup {
     joined.groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Incremental (batch-vs-history) exact dedup — the production shape a
+    * daily pipeline runs: keep only the `newDocs` whose normalised
+    * content fingerprint ([[graft.operators.TextStats.contentFingerprint]],
+    * lowercase + whitespace-collapsed md5) does NOT already appear in
+    * `history`; re-crawled pages die, genuinely new ones survive.
+    *
+    * Scale shape: one left_anti join on the fingerprint. The history
+    * side is corpus-sized at 100 TB, so it is explicitly routed
+    * shuffle-hash (never broadcast, never sort-merge — an anti join
+    * needs only the build-side hash table, not an order); both sides
+    * shuffle once on the fingerprint and nothing corpus-sized reaches
+    * the driver. History needs only its fingerprint column to ship. */
+  def dedupAgainst(newDocs: DataFrame, idCol: String, textCol: String,
+                   history: DataFrame, historyTextCol: String): DataFrame =
+    newDocs
+      .withColumn("content_fp",
+        graft.operators.TextStats.contentFingerprint(col(textCol)))
+      .join(
+        history.select(graft.operators.TextStats
+          .contentFingerprint(col(historyTextCol)).as("_h_fp"))
+          .hint("SHUFFLE_HASH"),
+        col("content_fp") === col("_h_fp"), "left_anti")
+
   /** Word-bigram Jaccard similarity over an all-pairs join — for BOUNDED
     * candidate sets only (e.g. the output of [[lshCandidatePairs]] joined
     * back to text, or a pre-filtered id range). Not a scale path on its

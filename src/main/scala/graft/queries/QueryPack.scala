@@ -1840,6 +1840,22 @@ object QueryPack {
         budget = 2000, shards = 4)
       .select(col("doc_id"), col("seq_id"), col("seq_offset"))
 
+  /** Incremental batch-vs-history dedup
+    * ([[graft.operators.TextDedup.dedupAgainst]]): "last night's crawl"
+    * (every 10th doc plus a re-crawl replay of every 7th) against the
+    * historical corpus (everything else) — replayed pages carry the same
+    * normalised fingerprint and die in the anti join; genuinely new ones
+    * survive. One fingerprint-keyed shuffle-hash anti join; the history
+    * side ships only its fingerprint column and is never broadcast. */
+  def xIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val newBatch = docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 7 === 0)
+    val history = docs.filter(col("doc_id") % 10 =!= 0)
+    graft.operators.TextDedup.dedupAgainst(newBatch, "doc_id", "text",
+        history, "text")
+      .select(col("doc_id"), col("content_fp"))
+  }
+
   /** Vocabulary build + token-id encoding
     * ([[graft.operators.TextStats.buildVocab]] /
     * [[graft.operators.TextStats.encodeTokens]]): dense ids minted
@@ -2158,6 +2174,7 @@ object QueryPack {
     "x_weighted_sample" -> (xWeightedSample _),
     "x_chunk_overlap" -> (xChunkOverlap _),
     "x_vocab_encode" -> (xVocabEncode _),
+    "x_incremental_dedup" -> (xIncrementalDedup _),
     "x_cluster_topics" -> (xClusterTopics _),
     "x_quality_filter" -> (xQualityFilter _),
     "x_source_cap" -> (xSourceCap _),
@@ -2419,6 +2436,14 @@ object QueryPack {
         |  array_to_string(list_slice(toks, ord * 48 + 1,
         |    ord * 48 + least(64, n - ord * 48)), ' ') AS chunk
         |FROM c, unnest(generate_series(0, nchunks - 1)) AS t(ord)""".stripMargin,
+    "x_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_fp
+        |  FROM documents),
+        |newb AS (SELECT * FROM f WHERE doc_id % 10 = 0 OR doc_id % 7 = 0),
+        |hist AS (SELECT content_fp FROM f WHERE doc_id % 10 != 0)
+        |SELECT doc_id, content_fp FROM newb
+        |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.content_fp = newb.content_fp)""".stripMargin,
     "x_vocab_encode" ->
       """WITH w0 AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), w -> w != '') AS ws FROM documents),

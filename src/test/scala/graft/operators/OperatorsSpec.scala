@@ -792,6 +792,24 @@ class OperatorsSpec extends SparkSpec {
     cents.foreach { case (id, _) => assert(got(id) == id) }
   }
 
+  test("incremental dedup: replayed docs die on normalised content, new ones survive") {
+    import spark.implicits._
+    val history = Seq((1L, "The Quick   Brown Fox"), (2L, "old news")).toDF("id", "body")
+    val batch = Seq(
+      (10L, "the quick brown fox"),   // normalises to history doc 1 — dies
+      (11L, "genuinely new content"), // survives
+      (12L, "OLD   NEWS")             // normalises to history doc 2 — dies
+    ).toDF("id", "body")
+    val kept = TextDedup.dedupAgainst(batch, "id", "body", history, "body")
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(11L))
+    // the anti join must be shuffle-hash, never a history broadcast or sort
+    val plan = TextDedup.dedupAgainst(batch, "id", "body", history, "body")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftAnti"),
+      s"history side must build a shuffle-hash anti join:\n$plan")
+  }
+
   test("vocab: deterministic ids by (count desc, word); encode fingerprints order-sensitively") {
     import spark.implicits._
     val docs = Seq(

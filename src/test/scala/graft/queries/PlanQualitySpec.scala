@@ -453,6 +453,21 @@ class PlanQualitySpec extends SparkSpec {
       s"native argmin missing from the topic assignment:\n$plan")
   }
 
+  test("vocab encode: TakeOrdered vocab cut; token lookup broadcasts, never sort-merges") {
+    val plan = formattedPlan(QueryPack.xVocabEncode(spark, sf))
+    // the vocab cut must be TakeOrdered (per-partition top-V heaps, O(V)
+    // driver state) — a global Sort+Limit would shuffle the whole word
+    // count table to one partition
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab cut lost its TakeOrdered shape:\n$plan")
+    // the V-bounded vocab broadcasts onto the exploded token stream; a
+    // sort-merge here would shuffle the corpus's every token by word
+    assert(plan.contains("BroadcastHashJoin"),
+      s"token lookup must broadcast the V-bounded vocab:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token stream must never sort-merge on word:\n$plan")
+  }
+
   test("mapping pipeline stays narrow: records() plan has no exchange") {
     val yaml =
       """|klass: K

@@ -77,6 +77,7 @@ READING = {
     "x_chunk_overlap": "in-row posexplode(sequence) fan-out, native slice/join, zero shuffle",
     "x_bucketed_join": "co-located bucketed scans (32 buckets), zero pre-join exchange",
     "x_vocab_encode": "word-count shuffle + TakeOrdered top-V + broadcast lookup + doc re-agg",
+    "x_incremental_dedup": "fingerprint-keyed shuffle-hash anti join; history never broadcast",
 }
 
 benches = [json.load(open(p)) for p in sys.argv[1:]]
