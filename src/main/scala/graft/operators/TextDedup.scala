@@ -285,7 +285,12 @@ object TextDedup {
     * shuffle-hash (never broadcast, never sort-merge — an anti join
     * needs only the build-side hash table, not an order); both sides
     * shuffle once on the fingerprint and nothing corpus-sized reaches
-    * the driver. History needs only its fingerprint column to ship. */
+    * the driver. History needs only its fingerprint column to ship.
+    *
+    * Also runs STREAM-STATIC: pass a `readStream` batch as `newDocs`
+    * against a static history and the anti join executes per
+    * micro-batch with no streaming state (StreamsSpec pins it) — the
+    * continuous-ingest rendering of the same pipeline stage. */
   def dedupAgainst(newDocs: DataFrame, idCol: String, textCol: String,
                    history: DataFrame, historyTextCol: String): DataFrame =
     newDocs

@@ -290,6 +290,31 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("dedupAgainst runs stream-static: streaming batch vs static history") {
+    // the production ingest shape: a STREAM of newly crawled docs
+    // anti-joined against the STATIC historical fingerprint index —
+    // Spark's stream-static left_anti join, so the batch operator works
+    // on a readStream input unchanged (history is re-read per
+    // micro-batch from its static plan, never state)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val history = Seq((1L, "The Quick   Brown Fox"), (2L, "old news")).toDF("id", "body")
+    val in = MemoryStream[(Long, String)]
+    val q = TextDedup.dedupAgainst(in.toDF.toDF("id", "body"), "id", "body",
+        history, "body")
+      .select(col("id"))
+      .writeStream.format("memory").queryName("incr").outputMode("append").start()
+    in.addData((10L, "the quick brown fox"), (11L, "genuinely new content"))
+    q.processAllAvailable()
+    in.addData((12L, "OLD   NEWS"), (13L, "another fresh page"))
+    q.processAllAvailable()
+    val kept = spark.sql("select id from incr").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(11L, 13L),
+      s"replays must die against the static history across micro-batches: ${kept.toSeq}")
+    q.stop()
+  }
+
   test("stateful sessionization closes sessions across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
