@@ -1,0 +1,57 @@
+package graft.runtime
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OutputSpec extends SparkSpec {
+
+  private def parquetFiles(dir: java.io.File): Array[java.io.File] =
+    dir.listFiles((_, n) => n.endsWith(".parquet"))
+
+  test("sizedWrite picks file count from the data and round-trips exactly") {
+    import spark.implicits._
+    val df = (1L to 20000L).map(i => (i, s"row $i " + "x" * 50)).toDF("id", "body")
+    val base = java.nio.file.Files.createTempDirectory("sized_write").toFile
+
+    // a small target must split the write into multiple files...
+    val many = new java.io.File(base, "many")
+    val nMany = Output.sizedWrite(df, many.getPath, targetBytesPerFile = 64L << 10)
+    assert(nMany > 1, s"64 KB target on a ~MB frame must split, got $nMany")
+    assert(parquetFiles(many).length == nMany,
+      "on-disk file count must equal the returned sizing decision")
+
+    // ...a huge target must produce exactly one
+    val one = new java.io.File(base, "one")
+    assert(Output.sizedWrite(df, one.getPath, targetBytesPerFile = 1L << 40) == 1)
+    assert(parquetFiles(one).length == 1)
+
+    // sizing must never change answers — bit-exact round trip both routes
+    val back = spark.read.parquet(many.getPath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(back.toSeq == df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq)
+    val viaCoalesce = new java.io.File(base, "coal")
+    Output.sizedWrite(df, viaCoalesce.getPath, targetBytesPerFile = 64L << 10,
+      balance = false)
+    assert(spark.read.parquet(viaCoalesce.getPath).count() == 20000L)
+
+    intercept[IllegalArgumentException](
+      Output.sizedWrite(df, new java.io.File(base, "bad").getPath,
+        targetBytesPerFile = 0))
+  }
+
+  test("sizedWrite(balance = true) evens out a skewed upstream partitioning") {
+    import spark.implicits._
+    // all rows in ONE input partition — the post-aggregation skew shape
+    val skewed = (1L to 8000L).map(i => (i, "y" * 64)).toDF("id", "body")
+      .repartition(lit(0))
+    val dir = java.nio.file.Files.createTempDirectory("sized_balance").toFile
+    val n = Output.sizedWrite(skewed, dir.getPath, targetBytesPerFile = 64L << 10)
+    assert(n > 1)
+    val sizes = parquetFiles(dir).map(_.length())
+    assert(sizes.length == n)
+    // round-robin balance: no file more than 3x the smallest (parquet
+    // framing overhead dominates tiny files, so the band is loose)
+    assert(sizes.max <= sizes.min * 3,
+      s"files should be near-even after balance: ${sizes.mkString(", ")}")
+  }
+}
