@@ -466,7 +466,10 @@ object TextStats {
     * end (never empty, never past-end; a doc at or under `size` tokens
     * is exactly one whole-doc chunk). Emits
     * (…row, chunk_id, start_tok, n_tok, chunk) — `start_tok` 0-based,
-    * `chunk` the space-joined token window.
+    * `chunk` the space-joined token window. A NULL text has no token
+    * array, so the generator DROPS the row (the [[encodeTokens]]
+    * token-less contract; an empty string still yields one "" chunk) —
+    * pinned by the null-contract test.
     *
     * Scale shape: narrow start to finish — `split` once per row,
     * `posexplode(sequence(…))` fans out chunk ordinals IN-ROW, `slice` +

@@ -792,6 +792,42 @@ class OperatorsSpec extends SparkSpec {
     cents.foreach { case (id, _) => assert(got(id) == id) }
   }
 
+  test("selection/chunk/vocab null contracts: nothing throws, drops are deliberate") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a b c"), Some("g1")), (2L, None, Some("g1")),
+      (3L, Some("d e"), None)).toDF("id", "text", "grp")
+    // chunkTokens: a NULL text has no token array — the generator drops
+    // the row (same contract as encodeTokens' token-less docs); empty
+    // string stays (one "" chunk, pinned in the chunking test)
+    val chunkIds = TextStats.chunkTokens(df, "text", 4, 1)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(chunkIds == Set(1L, 3L), s"null text must drop, others chunk: $chunkIds")
+    // capPerGroup: a NULL group is its own window partition (Spark
+    // window semantics), so its rows rank among themselves
+    val capped = TextStats.capPerGroup(df, "grp", Seq(col("id")), cap = 5)
+      .select(col("id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(capped == Set((1L, 1), (2L, 2), (3L, 1)))
+    // tokenBudgetSelect: null tokens (from null text) sum as zero-width
+    // rows — they are admitted while budget remains and never poison the
+    // running sum into null
+    val sel = TextStats.tokenBudgetSelect(df, "grp",
+        TextStats.spaceTokens(col("text")), Seq(col("id")), 1.0)
+      .select(col("id"), col("cum_tokens")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(sel(1L) == 3L, s"token sums must stay non-null: $sel")
+    // encodeTokens against an EMPTY vocab: everything is OOV, nothing throws
+    val emptyVocab = TextStats.buildVocab(df.filter(lit(false)), "text", 10, 1)
+    val enc = TextStats.encodeTokens(df.na.drop(Seq("text")), "id", "text", emptyVocab)
+      .select(col("id"), col("n_tokens"), col("n_oov")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(enc == Set((1L, 3L, 3L), (3L, 2L, 2L)))
+    // qualityFilter: an all-null quality column yields a null threshold —
+    // the gate keeps nothing rather than everything (>= null is never true)
+    val nullQ = TextStats.qualityFilter(df, lit(null).cast("double"))
+    assert(nullQ.count() == 0)
+  }
+
   test("incremental dedup: replayed docs die on normalised content, new ones survive") {
     import spark.implicits._
     val history = Seq((1L, "The Quick   Brown Fox"), (2L, "old news")).toDF("id", "body")
