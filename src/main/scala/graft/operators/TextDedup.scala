@@ -105,12 +105,25 @@ object TextDedup {
       .distinct()
   }
 
-  /** SimHash (`bits`-bit) from per-word 32-bit hashes: explode → per-bit
-    * conditional sums → assemble. One shuffle on the id. */
+  /** SimHash (`bits`-bit) from per-word hashes: explode → per-bit
+    * conditional sums → assemble. One shuffle on the id.
+    *
+    * Word-hash width: bits ≤ 32 uses the house [[h32]] (md5 prefix, 8 hex
+    * digits) — the hash the `x_simhash`/`x_simhash_pairs` oracles pin, so
+    * it must never change; `wideHash = true` (or bits > 32) extends the
+    * SAME md5 prefix to 14 hex digits (≤ 56 bits, for corpus-sized
+    * banding — see [[simhashWidthFor]]), which another engine replicates
+    * verbatim. The sized track sets `wideHash` unconditionally so its
+    * signatures come from ONE hash family at every width — a corpus
+    * crossing the 32-bit boundary must not silently change hash source. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-              bits: Int = 16): DataFrame = {
+              bits: Int = 16, wideHash: Boolean = false): DataFrame = {
+    require(bits >= 1 && bits <= 56, s"simhash supports 1..56 bits, got $bits")
+    val wordHash =
+      if (bits <= 32 && !wideHash) h32(col("_w"))
+      else conv(substring(md5(col("_w")), 1, 14), 16, 10).cast("long")
     val ex = docs.select(col(idCol), explode(words(col(textCol))).as("_w"))
-      .withColumn("_h", h32(col("_w")))
+      .withColumn("_h", wordHash)
     val bitSums = (0 until bits).map { b =>
       sum(shiftright(col("_h"), b).bitwiseAND(1) * 2 - 1).as(s"_s$b")
     }
@@ -119,6 +132,66 @@ object TextDedup {
       when(col(s"_s$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
     agg.select(col(idCol), sim.as(s"simhash$bits"))
+  }
+
+  /** SimHash banded near-dup pairs — completes the simhash track the way
+    * [[lshCandidatePairs]] completes minhash: the `bits`-bit signature is
+    * cut into `bands` equal slices, candidates collide on (band index,
+    * slice value), and every candidate pair is verified by EXACT hamming
+    * distance (`bit_count(a XOR b)` ≤ `maxHamming`). The pigeonhole
+    * guarantee is the contract: a pair with hamming < `bands` differs in
+    * fewer bits than there are bands, so at least one band is identical
+    * and the pair is ALWAYS generated — with the defaults (4 bands,
+    * maxHamming 3) recall at the threshold is exact, not probabilistic
+    * (minhash-LSH's trade runs the other way). `maxHamming ≥ bands` is
+    * rejected rather than silently under-recalling.
+    *
+    * Scale shape: one shuffle join on the band key (bucket density is
+    * 2^(bits/bands) per band — widen `bits` with the corpus the same way
+    * `planesFor` grows LSH planes); the hamming verify is a narrow
+    * integer expression on the collided pairs only. */
+  /** The per-band slice width that keeps expected band-bucket population
+    * near `targetBucketSize` as the corpus grows — [[simhashPairs]]'s
+    * analogue of `Ann.planesFor` (same integer arithmetic, so an oracle
+    * replicates it from the same count): smallest w ≥ 8 with
+    * n ≤ target·2^w, capped by the 56-bit signature ceiling (w ≤ 14 at
+    * 4 bands). At a FIXED width a 10× corpus means 10× denser band
+    * buckets and ~quadratic candidate growth — measured 20× for 100× at
+    * 32 bits (SCALING.md session 4); sizing restores the linear track. */
+  def simhashWidthFor(n: Long, bands: Int = 4,
+                      targetBucketSize: Long = 64): Int = {
+    require(n > 0 && bands > 0 && targetBucketSize > 0,
+      "n, bands and targetBucketSize must be positive")
+    val maxW = 56 / bands
+    var w = 8
+    while (w < maxW && targetBucketSize < ((n + (1L << w) - 1) >> w)) w += 1
+    require(targetBucketSize >= ((n + (1L << w) - 1) >> w),
+      s"corpus of $n needs a band width past the 56-bit signature ceiling")
+    w
+  }
+
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 16, bands: Int = 4,
+                   maxHamming: Int = 3, wideHash: Boolean = false): DataFrame = {
+    require(bands > 0 && bits % bands == 0,
+      s"bits ($bits) must split evenly into bands ($bands)")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands, got $maxHamming/$bands")
+    val w = bits / bands
+    val sig = simhash(docs, idCol, textCol, bits, wideHash)
+    val sigCol = col(s"simhash$bits")
+    val slices = (0 until bands).map(b =>
+      shiftright(sigCol, b * w).bitwiseAND((1L << w) - 1))
+    val banded = sig.select(col(idCol), sigCol.as("_sig"),
+      posexplode(array(slices: _*)).as(Seq("_band", "_key")))
+    banded.as("a").join(banded.as("b"),
+        col("a._band") === col("b._band") && col("a._key") === col("b._key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(s"${idCol}_a"),
+        col(s"b.$idCol").as(s"${idCol}_b"),
+        bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Connected components over a candidate-pair edge list — turns near-dup

@@ -866,6 +866,38 @@ object QueryPack {
   def xSimhash(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextDedup.simhash(T(s, dir, "documents"), "doc_id", "text", bits = 16)
 
+  /** SimHash banded near-dup pairs
+    * ([[graft.operators.TextDedup.simhashPairs]]): 32-bit signatures cut
+    * into 4 bands of 8 bits, candidates collide per band, survivors
+    * verified by exact hamming ≤ 3 — which the pigeonhole argument makes
+    * EXACT recall at that threshold (any pair differing in < 4 bits
+    * shares a band). 16 bits saturates on this templated corpus (39k of
+    * 125k possible pairs collide at sf0.01 — measured); 32 bits is the
+    * sized operating point (725 pairs), the same grow-the-hash-space
+    * lesson as `planesFor`. */
+  def xSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup.simhashPairs(T(s, dir, "documents"),
+        "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+        col("hamming"))
+
+  /** [[xSimhashPairs]] with the corpus-sized signature width
+    * ([[graft.operators.TextDedup.simhashWidthFor]]): per-band slice
+    * width grows with the corpus so band-bucket density stays ~64 — the
+    * `planesFor` lesson applied to simhash banding. The fixed-width twin
+    * keeps cross-scale hash comparability; THIS query pins the
+    * configuration a 100 TB run would use. At sf0.01 the sized width
+    * degenerates to the fixed 32 bits (same result — the differentiation
+    * is a bench-scale property, like the LSH `_sized` twins). */
+  def xSimhashPairsSized(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val w = graft.operators.TextDedup.simhashWidthFor(docs.count())
+    graft.operators.TextDedup.simhashPairs(docs, "doc_id", "text",
+        bits = 4 * w, bands = 4, maxHamming = 3, wideHash = true)
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+        col("hamming"))
+  }
+
   /** N-gram Jaccard near-dup over a bounded candidate set (all-pairs on a
     * small id range — production path is LSH above). */
   def xJaccard(s: SparkSession, dir: String): DataFrame =
@@ -2137,6 +2169,8 @@ object QueryPack {
     "x_minhash" -> (xMinhash _),
     "x_minhash_pairs" -> (xMinhashPairs _),
     "x_simhash" -> (xSimhash _),
+    "x_simhash_pairs" -> (xSimhashPairs _),
+    "x_simhash_pairs_sized" -> (xSimhashPairsSized _),
     "x_jaccard" -> (xJaccard _),
     "x_ann_cosine" -> (xAnnCosine _),
     "x_ann_lsh" -> (xAnnLsh _),
@@ -2721,6 +2755,58 @@ object QueryPack {
         .mkString(" +\n") +
       """ AS simhash16
         |FROM agg""".stripMargin),
+    "x_simhash_pairs" -> (
+      """WITH ex AS (
+        |  SELECT doc_id, ('0x'||substr(md5(w),1,8))::BIGINT AS h
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(w)),
+        |agg AS (
+        |  SELECT doc_id,
+        |""".stripMargin +
+      (0 until 32).map(b => s"    sum(((h >> $b) & 1) * 2 - 1) AS s$b")
+        .mkString(",\n") +
+      """
+        |  FROM ex GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |""".stripMargin +
+      (0 until 32).map(b => s"  (CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" +\n") +
+      """ AS sh FROM agg),
+        |banded AS (SELECT doc_id, sh, band, (sh >> (band * 8)) & 255 AS key
+        |           FROM sig, unnest(generate_series(0, 3)) AS t(band))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin),
+    "x_simhash_pairs_sized" -> (
+      """WITH wv AS (
+        |  SELECT MIN(p) AS w FROM range(8, 15) t(p)
+        |  WHERE (SELECT count(*) FROM documents) <= (CAST(64 AS BIGINT) << p)),
+        |ex AS (
+        |  SELECT doc_id, ('0x'||substr(md5(w),1,14))::BIGINT AS h
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(w)),
+        |agg AS (
+        |  SELECT doc_id,
+        |""".stripMargin +
+      (0 until 56).map(b => s"    sum(((h >> $b) & 1) * 2 - 1) AS s$b")
+        .mkString(",\n") +
+      """
+        |  FROM ex GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |""".stripMargin +
+      (0 until 56).map(b =>
+        s"  (CASE WHEN $b < 4 * (SELECT w FROM wv) AND s$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" +\n") +
+      """ AS sh FROM agg),
+        |banded AS (SELECT doc_id, sh, band,
+        |    (sh >> (band * (SELECT w FROM wv)))
+        |      & ((CAST(1 AS BIGINT) << (SELECT w FROM wv)) - 1) AS key
+        |  FROM sig, unnest(generate_series(0, 3)) AS t(band))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin),
     "x_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,

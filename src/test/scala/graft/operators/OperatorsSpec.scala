@@ -828,6 +828,62 @@ class OperatorsSpec extends SparkSpec {
     assert(nullQ.count() == 0)
   }
 
+  test("simhash pairs: banding finds EXACTLY the brute-force set at the threshold") {
+    import spark.implicits._
+    // the pigeonhole contract is exact recall at hamming <= bands-1 —
+    // cross-check the banded join against all-pairs over the same
+    // signatures on a mixed corpus (templated near-dups + unrelated docs)
+    val rnd = new scala.util.Random(83)
+    val vocabs = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (1L to 60L).map { i =>
+      val base = (0 until 12).map(j => vocabs((i % 4 + j).toInt % vocabs.length))
+      val mutated = if (i % 3 == 0) base.updated(rnd.nextInt(12), "mut" + i) else base
+      (i, mutated.mkString(" "))
+    }.toDF("id", "body")
+    val sigs = TextDedup.simhash(docs, "id", "body", bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    val banded = TextDedup.simhashPairs(docs, "id", "body",
+        bits = 32, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture must actually produce near-dup pairs")
+    assert(banded == brute,
+      s"banding must equal brute force at the pigeonhole threshold: " +
+        s"missing ${brute -- banded}, extra ${banded -- brute}")
+    // the guarantee's precondition is enforced, not assumed
+    intercept[IllegalArgumentException](
+      TextDedup.simhashPairs(docs, "id", "body", bits = 32, bands = 4, maxHamming = 4))
+    intercept[IllegalArgumentException](
+      TextDedup.simhashPairs(docs, "id", "body", bits = 30, bands = 4))
+    // the wide-hash family is self-consistent too: banding == brute force
+    // at a width past 32 bits (the sized track's regime)
+    val sigsW = TextDedup.simhash(docs, "id", "body", bits = 44, wideHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bruteW = (for {
+      (a, sa) <- sigsW; (b, sb) <- sigsW if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    val bandedW = TextDedup.simhashPairs(docs, "id", "body",
+        bits = 44, bands = 4, maxHamming = 3, wideHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(bandedW == bruteW, "wide-hash banding must also equal brute force")
+  }
+
+  test("simhash width: sizing rule holds band density and reproduces the floor/ceiling") {
+    import graft.operators.TextDedup
+    assert(TextDedup.simhashWidthFor(500) == 8)      // floor: small corpora
+    assert(TextDedup.simhashWidthFor(64L << 8) == 8) // boundary exact
+    assert(TextDedup.simhashWidthFor((64L << 8) + 1) == 9)
+    assert(TextDedup.simhashWidthFor(500000) == 13)  // the sf10 documents corpus
+    assert(TextDedup.simhashWidthFor(64L << 14) == 14) // ceiling holds
+    intercept[IllegalArgumentException](TextDedup.simhashWidthFor((64L << 14) + 1))
+    intercept[IllegalArgumentException](TextDedup.simhashWidthFor(0))
+  }
+
   test("incremental dedup: replayed docs die on normalised content, new ones survive") {
     import spark.implicits._
     val history = Seq((1L, "The Quick   Brown Fox"), (2L, "old news")).toDF("id", "body")

@@ -78,6 +78,8 @@ READING = {
     "x_bucketed_join": "co-located bucketed scans (32 buckets), zero pre-join exchange",
     "x_vocab_encode": "word-count shuffle + TakeOrdered top-V + broadcast lookup + doc re-agg",
     "x_incremental_dedup": "fingerprint-keyed shuffle-hash anti join; history never broadcast",
+    "x_simhash_pairs": "cause #2 at 32 fixed bits - the sized twin is the scale path",
+    "x_simhash_pairs_sized": "simhashWidthFor(n) holds band density - linear track",
 }
 
 benches = [json.load(open(p)) for p in sys.argv[1:]]
