@@ -134,22 +134,6 @@ object TextDedup {
     agg.select(col(idCol), sim.as(s"simhash$bits"))
   }
 
-  /** SimHash banded near-dup pairs — completes the simhash track the way
-    * [[lshCandidatePairs]] completes minhash: the `bits`-bit signature is
-    * cut into `bands` equal slices, candidates collide on (band index,
-    * slice value), and every candidate pair is verified by EXACT hamming
-    * distance (`bit_count(a XOR b)` ≤ `maxHamming`). The pigeonhole
-    * guarantee is the contract: a pair with hamming < `bands` differs in
-    * fewer bits than there are bands, so at least one band is identical
-    * and the pair is ALWAYS generated — with the defaults (4 bands,
-    * maxHamming 3) recall at the threshold is exact, not probabilistic
-    * (minhash-LSH's trade runs the other way). `maxHamming ≥ bands` is
-    * rejected rather than silently under-recalling.
-    *
-    * Scale shape: one shuffle join on the band key (bucket density is
-    * 2^(bits/bands) per band — widen `bits` with the corpus the same way
-    * `planesFor` grows LSH planes); the hamming verify is a narrow
-    * integer expression on the collided pairs only. */
   /** The per-band slice width that keeps expected band-bucket population
     * near `targetBucketSize` as the corpus grows — [[simhashPairs]]'s
     * analogue of `Ann.planesFor` (same integer arithmetic, so an oracle
@@ -170,15 +154,37 @@ object TextDedup {
     w
   }
 
+  /** SimHash banded near-dup pairs — completes the simhash track the way
+    * [[lshCandidatePairs]] completes minhash: the `bits`-bit signature is
+    * cut into `bands` equal slices, candidates collide on (band index,
+    * slice value), and every candidate pair is verified by EXACT hamming
+    * distance (`bit_count(a XOR b)` ≤ `maxHamming`). The pigeonhole
+    * guarantee is the contract: a pair with hamming < `bands` differs in
+    * fewer bits than there are bands, so at least one band is identical
+    * and the pair is ALWAYS generated — with the defaults (4 bands,
+    * maxHamming 3) recall at the threshold is exact, not probabilistic
+    * (minhash-LSH's trade runs the other way). `maxHamming ≥ bands` is
+    * rejected rather than silently under-recalling.
+    *
+    * Scale shape: one shuffle join on the band key (bucket density is
+    * 2^(bits/bands) per band — size `bits` with the corpus via
+    * [[simhashWidthFor]]); the hamming verify is a narrow integer
+    * expression on the collided pairs only. The signature frame is
+    * CHECKPOINTED once before the self-join (the [[annIvf]] index
+    * convention) — without it both join sides re-run the word explode +
+    * per-doc aggregation, the most expensive phase (measured: 2 corpus
+    * scans, 0 exchange reuse). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 16, bands: Int = 4,
-                   maxHamming: Int = 3, wideHash: Boolean = false): DataFrame = {
+                   maxHamming: Int = 3, wideHash: Boolean = false,
+                   checkpointDir: Option[String] = None): DataFrame = {
     require(bands > 0 && bits % bands == 0,
       s"bits ($bits) must split evenly into bands ($bands)")
     require(maxHamming >= 0 && maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands, got $maxHamming/$bands")
     val w = bits / bands
-    val sig = simhash(docs, idCol, textCol, bits, wideHash)
+    val ckpt = graft.runtime.Checkpoints.policy(docs.sparkSession, checkpointDir)
+    val sig = ckpt(simhash(docs, idCol, textCol, bits, wideHash))
     val sigCol = col(s"simhash$bits")
     val slices = (0 until bands).map(b =>
       shiftright(sigCol, b * w).bitwiseAND((1L << w) - 1))

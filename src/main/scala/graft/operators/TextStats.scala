@@ -482,12 +482,15 @@ object TextStats {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")
     val stride = size - overlap
-    val toks = split(col(textCol), " ")
-    val n = size_(toks)
+    // materialise the split and its length ONCE and reference the aliases
+    // (multi-referenced aliases survive CollapseProject) — re-citing the
+    // split expression per consumer is the repo's documented
+    // re-evaluation trap
+    val n = col("_n")
     val nChunks = when(n <= size, lit(1))
       .otherwise(ceil((n - lit(overlap)).cast("double") / stride).cast("int"))
-    df.withColumn("_toks", toks)
-      .withColumn("_n", n)
+    df.withColumn("_toks", split(col(textCol), " "))
+      .withColumn("_n", size_(col("_toks")))
       .select(col("*"),
         posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_id", "_ord")))
       .withColumn("start_tok", col("_ord") * stride)
