@@ -353,6 +353,57 @@ object TextDedup {
     joined.groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Fraction-based contamination scoring — the GPT-3-style gate that
+    * [[decontaminate]]'s raw count can't express: a 10 000-token document
+    * sharing 5 grams with the eval suite is clean, a 12-token one is
+    * not. Per document: `n_grams` (its distinct word `n`-grams),
+    * `n_shared` (those also in the benchmark), `frac` = shared/total
+    * rounded to 4 places (0.0 for sub-`n`-token docs, which have no
+    * grams to contaminate) — callers threshold `frac` themselves, so
+    * one scoring pass serves any cutoff.
+    *
+    * Shape: ONE gram pass over the corpus feeding a single LEFT join +
+    * conditional-count aggregate — a separate total-grams branch would
+    * re-plan the gram pipeline (the BM25 duplicated-subtree trap, and
+    * the exchange wouldn't be reused because the branches prune
+    * different columns). The benchmark side routes
+    * broadcast/shuffle-hash by Catalyst's own size estimate exactly as
+    * [[decontaminate]] does; the id frame joining the gramless docs
+    * back in is column-pruned to the id alone. */
+  def contaminationFraction(docs: DataFrame, idCol: String, textCol: String,
+                            benchmark: DataFrame, benchTextCol: String,
+                            n: Int = 3,
+                            benchBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
+    def gramRows(df: DataFrame, textC: String, out: String) =
+      df.filter(graft.operators.TextStats.spaceTokens(col(textC)) >= n)
+        .withColumn("_w", words(col(textC)))
+        .withColumn(out, explode(array_distinct(wordNgrams(col("_w"), n))))
+    val docGrams = gramRows(docs, textCol, "_gram").select(col(idCol), col("_gram"))
+    val benchGrams = gramRows(benchmark, benchTextCol, "_bgram")
+      .select(col("_bgram")).distinct()
+    val benchEstBytes = benchGrams.queryExecution.optimizedPlan.stats.sizeInBytes
+    val useBroadcast = benchEstBytes <= BigInt(benchBroadcastMaxBytes)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"contaminationFraction: bench gram side estimated $benchEstBytes bytes " +
+        s"(threshold $benchBroadcastMaxBytes) -> " +
+        (if (useBroadcast) "BROADCAST" else "SHUFFLE_HASH") + " join")
+    val joined =
+      if (useBroadcast)
+        docGrams.join(broadcast(benchGrams), col("_gram") === col("_bgram"), "left")
+      else
+        docGrams.join(benchGrams.hint("SHUFFLE_HASH"),
+          col("_gram") === col("_bgram"), "left")
+    val scored = joined.groupBy(idCol).agg(
+      count(lit(1)).as("n_grams"),
+      count(col("_bgram")).as("n_shared"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_grams").isNull, lit(0.0))
+          .otherwise(round(col("n_shared") / col("n_grams"), 4)).as("frac"))
+  }
+
   /** Incremental (batch-vs-history) exact dedup — the production shape a
     * daily pipeline runs: keep only the `newDocs` whose normalised
     * content fingerprint ([[graft.operators.TextStats.contentFingerprint]],
@@ -458,6 +509,67 @@ object TextDedup {
     spans.withColumn("n_docs", nDocs.cast("long"))
       .filter(col("n_docs") >= minDocs)
       .select(col("doc_id"), col("start"), col("gram_h"), col("n_docs"))
+  }
+
+  /** Exact-substring REMOVAL — the act half of the detect/act pair that
+    * [[sharedNgramSpans]] opens (the "deduplicate training data by
+    * removing duplicated substrings" operation, cf. the reference's
+    * whole-record dedup which drops rows, never spans). Every token
+    * covered by a flagged window (an exact ≥`n`-token run shared by
+    * ≥`minDocs` distinct documents) is excised FROM EVERY OCCURRENCE —
+    * the symmetric contract, chosen over keep-one-copy because it is
+    * deterministic without electing a canonical owner and composable
+    * with a later document-level dedup pass; the survivors are rejoined
+    * single-spaced in original order. Output: the id column, `outCol`
+    * (the cleaned text — the canonical single-space rendering of the
+    * ""-filtered token stream, so already-single-spaced corpora round-
+    * trip unchanged) and `n_removed` (covered token count).
+    *
+    * Shape, stage by stage: the span pass is [[sharedNgramSpans]]'s
+    * (one gram-keyed exchange, never all-pairs); flagged windows then
+    * merge into disjoint intervals per document with one doc-keyed
+    * window (gaps-and-islands: island opens where `start` clears the
+    * running max end — O(spans) rows, O(1) window state); the merged
+    * interval lists (flagged documents ONLY, usually a small fraction)
+    * join back to the corpus on the id and a two-arg `filter` drops
+    * covered tokens IN-ROW — the corpus itself never shuffles, and the
+    * per-token cost is O(intervals-per-doc), post-merge disjoint so
+    * bounded by tokens/(n+1). A relational rendering (posexplode +
+    * range anti-join + re-agg) would shuffle every token of the corpus
+    * twice; the in-row HOF is the 100 TB shape. */
+  def removeSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, stride: Int = 1, minDocs: Int = 2,
+                        outCol: String = "clean_text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = sharedNgramSpans(docs, idCol, textCol, n, stride, minDocs)
+      .withColumn("_end", col("start") + (n - 1))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val prevMax = max(col("_end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val intervals = spans
+      .withColumn("_new",
+        when(prevMax.isNull.or(col("start") > prevMax + 1), 1).otherwise(0))
+      .withColumn("_island", sum(col("_new"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_island"))
+      .agg(min(col("start")).as("s"), max(col("_end")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_iv"))
+    // _ws materialised BEFORE the HOFs (the repo's re-evaluation trap);
+    // covered-token test captures the joined _iv alias, also materialised
+    val toks = docs.select(col(idCol),
+      filter(words(col(textCol)), w => w =!= "").as("_ws"))
+    val kept = filter(col("_ws"), (w, i) =>
+      !exists(col("_iv"), iv =>
+        (i + 1 >= iv.getField("s")).and(i + 1 <= iv.getField("e"))))
+    toks.join(intervals, toks(idCol) === intervals("doc_id"), "left")
+      // _kept aliased once and referenced twice below — multi-referenced
+      // aliases survive CollapseProject, an inline HOF would re-run per
+      // consumer
+      .withColumn("_kept", when(col("_iv").isNull, col("_ws")).otherwise(kept))
+      .select(toks(idCol),
+        array_join(col("_kept"), " ").as(outCol),
+        (size(col("_ws")) - size(col("_kept"))).cast("long").as("n_removed"))
   }
 
   /** Paragraph-level dedup (the CCNet/RefinedWeb boilerplate-removal

@@ -403,6 +403,35 @@ object TextStats {
         col(keyCol).cast("string"))), 1, 8), 16, 10).cast("bigint") % 10000 < bps)
   }
 
+  /** Seeded deterministic corpus shuffle + fixed shard layout — the
+    * training-order step: every row gets a `shard` in [0, `shards`) and
+    * a 1-based `pos` within its shard, both pure functions of
+    * (`seed`, key), so the epoch-0 data order is bit-reproducible
+    * across runs, backfills and engines — `rand()` is none of those,
+    * and changing `seed` is a fresh permutation with no reshuffle of
+    * the underlying files. The 48-bit md5-prefix hash orders rows
+    * within a shard (key as tiebreak, so even colliding hashes place
+    * deterministically).
+    *
+    * Scale shape: one hash-keyed exchange into shard partitions plus a
+    * per-shard streaming `row_number` (O(1) window state — rank never
+    * buffers). Each shard funnels through ONE window task, so `shards`
+    * is the parallelism floor: pick shards ≫ executor count (the file
+    * count a dataloader wants anyway), NOT a handful. */
+  def shuffleShards(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                    shards: Int, seed: String = "0"): org.apache.spark.sql.DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat_ws(":", lit(seed),
+      col(keyCol).cast("string"))), 1, 12), 16, 10).cast("bigint")
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("_h"), col(keyCol)))
+        .cast("long"))
+      .drop("_h")
+  }
+
   /** Deterministic vocabulary build — the tokenizer-adjacent step: the
     * top `maxSize` words by (count desc, word asc) with count ≥
     * `minCount`, assigned dense ids 0..V−1 in exactly that order, so two

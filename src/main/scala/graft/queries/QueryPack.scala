@@ -1841,6 +1841,30 @@ object QueryPack {
       .select(col("doc_id"), col("n_shared"))
   }
 
+  /** Fraction-based contamination scoring
+    * ([[graft.operators.TextDedup.contaminationFraction]]) on the same
+    * every-50th-doc benchmark split as x_decontaminate — but every
+    * training doc comes back (gramless ones at frac 0.0) with its gram
+    * total and the shared FRACTION, the thresholdable quantity. One
+    * gram pass + one conditional-count aggregate. */
+  def xContaminationFrac(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.TextDedup.contaminationFraction(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 50 === 0), "text")
+  }
+
+  /** Seeded deterministic corpus shuffle
+    * ([[graft.operators.TextStats.shuffleShards]]): the reproducible
+    * epoch-0 training order — 8 shards, seed "42", every (shard, pos)
+    * a pure function of the key so the oracle re-derives the identical
+    * permutation from the same md5 arithmetic. One hash exchange + a
+    * streaming per-shard rank. */
+  def xShuffleShards(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.shuffleShards(
+        T(s, dir, "documents"), "doc_id", shards = 8, seed = "42")
+      .select(col("doc_id"), col("shard"), col("pos"))
+
   /** Deterministic stratified sampling — downsample dominant-language docs
     * (en at 30%), keep the tail languages whole. Hash-mod per stratum: no
     * RNG, identical sample on every run/backfill. Narrow filter. */
@@ -2102,6 +2126,27 @@ object QueryPack {
         col("gram_h"), col("n_docs"))
   }
 
+  /** Exact-substring REMOVAL ([[graft.operators.TextDedup.removeSharedSpans]])
+    * over the same injected-header corpus as x_substring_spans: the
+    * shared 20-token per-source header is excised from every document
+    * (its eleven flagged windows merge into exactly the [1,20]
+    * interval, so `n_removed` ≥ 20 everywhere) — and, because the
+    * documents table carries genuine near-duplicate docs, shared
+    * CONTENT runs are excised too (at sf0.001: 24 docs lose their whole
+    * body, mean `n_removed` 26). The oracle never assumes either
+    * outcome: it re-derives flag → coverage → excise relationally
+    * (token explode + range join + ordered re-agg), the rendering the
+    * operator's scaladoc rejects for Spark because it shuffles every
+    * corpus token twice. */
+  def xRemoveSpans(s: SparkSession, dir: String): DataFrame = {
+    val hdr = array_join(transform(sequence(lit(1), lit(20)),
+      i => concat(lit("hdr"), i.cast("string"), lit("_"), col("source"))), " ")
+    val base = T(s, dir, "documents")
+      .select(col("doc_id"), concat(hdr, lit(" "), col("text")).as("ptext"))
+    graft.operators.TextDedup.removeSharedSpans(base, "doc_id", "ptext",
+      n = 10, stride = 1)
+  }
+
   /** Temperature resampling rates per language (alpha = 0.5): the
     * multilingual-pretraining mix flattener, downsample-only, composable
     * with stratifiedSample. */
@@ -2196,6 +2241,8 @@ object QueryPack {
     "x_dedup_cluster" -> (xDedupCluster _),
     "x_train_split" -> (xTrainSplit _),
     "x_decontaminate" -> (xDecontaminate _),
+    "x_contamination_frac" -> (xContaminationFrac _),
+    "x_shuffle_shards" -> (xShuffleShards _),
     "x_stratified" -> (xStratified _),
     "x_pack" -> (xPack _),
     "x_pack_salted" -> (xPackSalted _),
@@ -2215,6 +2262,7 @@ object QueryPack {
     "x_token_budget" -> (xTokenBudget _),
     "x_paragraph_dedup" -> (xParagraphDedup _),
     "x_substring_spans" -> (xSubstringSpans _),
+    "x_remove_spans" -> (xRemoveSpans _),
     "x_temperature_mix" -> (xTemperatureMix _),
     "x_profile" -> (xProfile _),
     "x_redact" -> (xRedact _),
@@ -2421,6 +2469,35 @@ object QueryPack {
         |FROM g JOIN bench USING (gram)
         |WHERE g.doc_id % 50 <> 0
         |GROUP BY 1""".stripMargin,
+    "x_contamination_frac" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |           || ' ' || string_split(text, ' ')[i+2]))) AS gram
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |scored AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_grams,
+        |    COUNT(b.gram) AS n_shared
+        |  FROM g LEFT JOIN bench b USING (gram)
+        |  WHERE g.doc_id % 50 <> 0
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_grams, 0) AS n_grams,
+        |  coalesce(s.n_shared, 0) AS n_shared,
+        |  CASE WHEN s.n_grams IS NULL THEN 0.0
+        |       ELSE round(s.n_shared::DOUBLE / s.n_grams, 4) END AS frac
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN scored s USING (doc_id)""".stripMargin,
+    "x_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
     "x_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
@@ -2645,6 +2722,33 @@ object QueryPack {
         |f AS (SELECT gram_h, count(DISTINCT doc_id) AS n_docs FROM spans
         |      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
         |SELECT doc_id, start, gram_h, n_docs FROM spans JOIN f USING (gram_h)""".stripMargin,
+    "x_remove_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(1, 21),
+        |      i -> 'hdr' || CAST(i AS VARCHAR) || '_' || source), ' ') || ' ' || text AS ptext
+        |  FROM documents),
+        |w0 AS (SELECT doc_id, list_filter(string_split(ptext, ' '), w -> w != '') AS ws FROM base),
+        |w AS (SELECT doc_id, ws FROM w0 WHERE len(ws) >= 10),
+        |spans AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, len(ws) - 10 + 1), k -> k + 1)) AS start,
+        |    unnest(list_transform(range(0, len(ws) - 10 + 1),
+        |      k -> ('0x' || substr(md5(array_to_string(ws[k+1:k+10], ' ')), 1, 8))::BIGINT)) AS gram_h
+        |  FROM w),
+        |f AS (SELECT gram_h FROM spans GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id, u.i AS idx
+        |  FROM spans s JOIN f USING (gram_h), UNNEST(range(s.start, s.start + 10)) AS u(i)),
+        |toks AS (
+        |  SELECT doc_id, unnest(ws) AS tok,
+        |    unnest(range(1, len(ws) + 1)) AS idx
+        |  FROM w0)
+        |SELECT t.doc_id,
+        |  coalesce(string_agg(t.tok, ' ' ORDER BY t.idx) FILTER (WHERE c.idx IS NULL), '') AS clean_text,
+        |  count(c.idx) AS n_removed
+        |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+        |GROUP BY t.doc_id""".stripMargin,
     "x_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |s AS (SELECT lang, n, n::DOUBLE / SUM(n) OVER () AS share FROM c),

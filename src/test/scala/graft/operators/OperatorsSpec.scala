@@ -1039,4 +1039,85 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextStats.tokenBudgetSelect(df, "lang", col("toks"), Seq(col("id")), 0.0))
   }
+
+  test("shuffleShards: deterministic, seed-sensitive, dense 1-based pos per shard") {
+    val df = (0L until 200L).toDF("id")
+    val a = TextStats.shuffleShards(df, "id", shards = 4, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val b = TextStats.shuffleShards(df, "id", shards = 4, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(a.toSeq == b.toSeq, "same seed must reproduce bit-identically")
+    val c = TextStats.shuffleShards(df, "id", shards = 4, seed = "s2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(a.toSeq != c.toSeq, "a fresh seed must be a fresh permutation")
+    // every shard's positions are exactly 1..count(shard) — rank never
+    // gaps or duplicates
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 until 4).toSet))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    assert(a.map(_._1).distinct.length == 200)
+    intercept[IllegalArgumentException](
+      TextStats.shuffleShards(df, "id", shards = 0))
+  }
+
+  test("contaminationFraction: frac thresholds what raw counts cannot") {
+    val train = Seq(
+      (1L, "a b c d e f"),        // grams: 4, shared: "a b c","b c d" = 2 -> 0.5
+      (2L, "a b c"),              // grams: 1, shared 1 -> 1.0
+      (3L, "x y z w"),            // grams: 2, shared 0 -> 0.0
+      (4L, "so")                  // sub-n: 0 grams -> frac 0.0, still present
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val got = TextDedup.contaminationFraction(train, "doc_id", "text",
+        bench, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 4L, 2L, 0.5), (2L, 1L, 1L, 1.0), (3L, 2L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)))
+  }
+
+  test("removeSharedSpans: excises merged coverage from every occurrence") {
+    // docs 1 and 2 share the run "a b c d e" (two overlapping 3-gram
+    // windows in each -> one merged interval); doc 3 is unrelated; doc 4
+    // is below the window size and must pass through untouched.
+    val df = Seq(
+      (1L, "x a b c d e y"),
+      (2L, "a b c d e z w"),
+      (3L, "p q r s t u v"),
+      (4L, "hi yo")).toDF("doc_id", "text")
+    val got = TextDedup.removeSharedSpans(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    // symmetric removal: the shared run dies in BOTH docs; the flanking
+    // unique tokens survive in original order
+    assert(got.toSeq == Seq(
+      (1L, "x y", 5L), (2L, "z w", 5L), (3L, "p q r s t u v", 0L),
+      (4L, "hi yo", 0L)))
+  }
+
+  test("removeSharedSpans: disjoint shared runs excise as separate islands") {
+    // two shared 3-runs separated by unique middles — intervals must NOT
+    // merge across the gap, and each doc keeps its own middle
+    val df = Seq(
+      (1L, "a b c m1 m2 d e f"),
+      (2L, "a b c n1 n2 d e f"),
+      (3L, "lone words only here")).toDF("doc_id", "text")
+    val got = TextDedup.removeSharedSpans(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "m1 m2", 6L), (2L, "n1 n2", 6L), (3L, "lone words only here", 0L)))
+  }
+
+  test("removeSharedSpans: whole-doc duplicates empty out; '' round-trips") {
+    val df = Seq(
+      (1L, "c1 c2 c3 c4"), (2L, "c1 c2 c3 c4"), (3L, "")).toDF("doc_id", "text")
+    val got = TextDedup.removeSharedSpans(df, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "", 4L), (2L, "", 4L), (3L, "", 0L)))
+  }
 }
