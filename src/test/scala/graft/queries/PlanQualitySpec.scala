@@ -219,6 +219,42 @@ class PlanQualitySpec extends SparkSpec {
       s"the corpus must never sort:\n$plan")
   }
 
+  test("contamination fraction: one gram subtree, bench broadcast, no corpus sort") {
+    val plan = formattedPlan(QueryPack.xContaminationFrac(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle into a sort-merge join:\n$plan")
+    // one Generate = one gram explode: a separate total-grams branch would
+    // re-plan the gram pipeline (the BM25 duplicated-subtree trap) and
+    // show up here as a second corpus-side Generate
+    val generates = """\(\d+\) Generate""".r.findAllIn(plan).length
+    assert(generates <= 2, // corpus grams + bench grams
+      s"gram pipeline planned more than twice ($generates Generates):\n$plan")
+  }
+
+  test("remove spans: no product, no nested-loop, in-row excision (no token explode join-back)") {
+    val plan = formattedPlan(QueryPack.xRemoveSpans(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"product crept in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join rendering crept in — coverage must stay in-row:\n$plan")
+    // exactly one Generate: the span pass's window explode. A second one
+    // means the relational rendering (posexplode every corpus token and
+    // join coverage back) replaced the in-row HOF filter.
+    val generates = """\(\d+\) Generate""".r.findAllIn(plan).length
+    assert(generates == 1,
+      s"expected exactly the span explode, got $generates Generates:\n$plan")
+  }
+
+  test("shuffle shards: ONE exchange feeds the per-shard rank; hash stays narrow") {
+    val plan = formattedPlan(QueryPack.xShuffleShards(spark, sf))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected the single shard exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+      s"no join belongs in a pure permutation:\n$plan")
+  }
+
   test("sharded pack: corpus gets ONE group+shard window; stitch join broadcasts") {
     val plan = formattedPlan(QueryPack.xPackSalted(spark, sf))
     // the corpus-side window must partition by (group, shard) — the whole
