@@ -403,6 +403,29 @@ object TextStats {
         col(keyCol).cast("string"))), 1, 8), 16, 10).cast("bigint") % 10000 < bps)
   }
 
+  /** Per-document Gopher/RefinedWeb repetition-rule signals
+    * ([[graft.functions.GopherScan]]): duplicate-line fraction (count
+    * and character weighted), ellipsis-line fraction and the
+    * most-frequent-word-2-gram character fraction — the standard
+    * pretraining quality gates that [[quality]]'s length/punctuation
+    * score cannot see (a long, punctuation-clean page of repeated
+    * navigation chrome scores well there and is exactly what these
+    * flags kill). One native row-local scan, zero shuffle; fractions
+    * rounded to 4 places for cross-engine comparability. Callers
+    * threshold downstream (the Gopher paper's cuts: dup_line_frac
+    * > 0.30, dup_line_char_frac > 0.20, top_2gram_char_frac > 0.20,
+    * ellipsis_line_frac > 0.30). */
+  def gopherStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, sep: String = "\n"): org.apache.spark.sql.DataFrame =
+    df.withColumn("_g",
+        graft.functions.GopherScan.gopherScan(col(textCol), sep))
+      .select(col(idCol),
+        col("_g.n_lines").as("n_lines"),
+        round(col("_g.dup_line_frac"), 4).as("dup_line_frac"),
+        round(col("_g.dup_line_char_frac"), 4).as("dup_line_char_frac"),
+        round(col("_g.ellipsis_line_frac"), 4).as("ellipsis_line_frac"),
+        round(col("_g.top_2gram_char_frac"), 4).as("top_2gram_char_frac"))
+
   /** Seeded deterministic corpus shuffle + fixed shard layout — the
     * training-order step: every row gets a `shard` in [0, `shards`) and
     * a 1-based `pos` within its shard, both pure functions of

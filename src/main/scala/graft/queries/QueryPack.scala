@@ -2147,6 +2147,30 @@ object QueryPack {
       n = 10, stride = 1)
   }
 
+  /** Gopher/RefinedWeb repetition-rule signals
+    * ([[graft.operators.TextStats.gopherStats]]) over a line-structured
+    * rendering of the documents table: the x_paragraph_dedup chunk
+    * construction bracketed by a duplicated SRC banner (so every doc has
+    * a guaranteed duplicate line) with an ellipsis appended to every
+    * fifth chunk (so the ellipsis fraction is exercised, not constant
+    * zero). The native one-pass scan's four fractions are re-derived
+    * relationally by the oracle (line explode + group-by, gram explode +
+    * windowed top-1 with the same count-desc/gram-asc tie-break). */
+  def xGopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val banner = concat(lit("SRC "), col("source"), lit(" standard boilerplate notice"))
+    val base = T(s, dir, "documents")
+      .withColumn("_ws", split(col("text"), " "))
+      .withColumn("_chunks", transform(
+        sequence(lit(0), (ceil(size(col("_ws")) / 10.0) - 1).cast("int")),
+        i => array_join(slice(col("_ws"), i * 10 + 1, lit(10)), " ")))
+      .withColumn("_lines", transform(col("_chunks"),
+        (c, i) => when(i % 5 === 0, concat(c, lit("..."))).otherwise(c)))
+      .select(col("doc_id"),
+        concat_ws("\n", banner, array_join(col("_lines"), "\n"), banner)
+          .as("ptext"))
+    graft.operators.TextStats.gopherStats(base, "doc_id", "ptext")
+  }
+
   /** Temperature resampling rates per language (alpha = 0.5): the
     * multilingual-pretraining mix flattener, downsample-only, composable
     * with stratifiedSample. */
@@ -2261,6 +2285,7 @@ object QueryPack {
     "x_source_cap" -> (xSourceCap _),
     "x_token_budget" -> (xTokenBudget _),
     "x_paragraph_dedup" -> (xParagraphDedup _),
+    "x_gopher_quality" -> (xGopherQuality _),
     "x_substring_spans" -> (xSubstringSpans _),
     "x_remove_spans" -> (xRemoveSpans _),
     "x_temperature_mix" -> (xTemperatureMix _),
@@ -2705,6 +2730,54 @@ object QueryPack {
         |  CAST(count(*) FILTER (WHERE n_docs > 8) AS BIGINT) AS n_dropped
         |FROM paras JOIN f USING (para)
         |GROUP BY 1""".stripMargin,
+    "x_gopher_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |p0 AS (
+        |  SELECT doc_id,
+        |    'SRC ' || source || ' standard boilerplate notice' AS banner,
+        |    list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+        |      i -> CASE WHEN i % 5 = 0
+        |           THEN array_to_string(ws[i*10+1:i*10+10], ' ') || '...'
+        |           ELSE array_to_string(ws[i*10+1:i*10+10], ' ') END) AS chunks
+        |  FROM base),
+        |docs2 AS (
+        |  SELECT doc_id,
+        |    banner || chr(10) || array_to_string(chunks, chr(10)) || chr(10) || banner AS ptext
+        |  FROM p0),
+        |lrows AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(ptext, chr(10)), l -> l != '')) AS line
+        |  FROM docs2),
+        |lagg AS (
+        |  SELECT doc_id, line, count(*) AS cnt, len(line) AS ln,
+        |    CASE WHEN line LIKE '%...' OR line LIKE '%…' THEN 1 ELSE 0 END AS ell
+        |  FROM lrows GROUP BY 1, 2),
+        |lstats AS (
+        |  SELECT doc_id, sum(cnt) AS n_lines, sum(cnt - 1) AS dups,
+        |    sum((cnt - 1) * ln) AS dupchars, sum(cnt * ln) AS linechars,
+        |    sum(cnt * ell) AS nell
+        |  FROM lagg GROUP BY 1),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(ptext, '[ \n\t\r]+'), w -> w != '') AS wsa
+        |  FROM docs2),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(wsa)), i -> wsa[i] || ' ' || wsa[i+1])) AS gram
+        |  FROM w2 WHERE len(wsa) >= 2),
+        |gagg AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+        |gtop AS (
+        |  SELECT doc_id, cnt, gram,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk
+        |  FROM gagg),
+        |gbest AS (SELECT doc_id, cnt * len(gram) AS topchars FROM gtop WHERE rk = 1)
+        |SELECT l.doc_id,
+        |  CAST(l.n_lines AS INT) AS n_lines,
+        |  round(l.dups::DOUBLE / l.n_lines, 4) AS dup_line_frac,
+        |  round(l.dupchars::DOUBLE / l.linechars, 4) AS dup_line_char_frac,
+        |  round(l.nell::DOUBLE / l.n_lines, 4) AS ellipsis_line_frac,
+        |  round(coalesce(g.topchars, 0)::DOUBLE / len(d.ptext), 4) AS top_2gram_char_frac
+        |FROM lstats l JOIN docs2 d USING (doc_id) LEFT JOIN gbest g USING (doc_id)""".stripMargin,
     "x_substring_spans" ->
       """WITH base AS (
         |  SELECT doc_id,

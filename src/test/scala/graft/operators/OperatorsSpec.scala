@@ -1079,6 +1079,32 @@ class OperatorsSpec extends SparkSpec {
       (4L, 0L, 0L, 0.0)))
   }
 
+  test("gopherStats: hand-computed line and 2-gram fractions") {
+    // lines: [a b, c d, a b, x...] -> 4 lines, 1 beyond-first dup (3 of 13
+    // line chars), 1 ellipsis line; words: a b c d a b x... -> "a b"
+    // twice, others once; text length 17 (incl the trailing newline)
+    val df = Seq((1L, "a b\nc d\na b\nx...\n")).toDF("doc_id", "text")
+    val r = TextStats.gopherStats(df, "doc_id", "text").collect().head
+    assert(r.getInt(1) == 4)
+    assert(r.getDouble(2) == 0.25)            // 1/4
+    assert(r.getDouble(3) == 0.2308)          // 3/13
+    assert(r.getDouble(4) == 0.25)            // 1/4
+    assert(r.getDouble(5) == 0.3529)          // 2*3/17
+  }
+
+  test("gopherStats: gram ties break lexicographically; empty text is all zero") {
+    // grams over [b a b a a b a b]: "b a" x3, "a b" x3, "a a" x1 — the
+    // tie must resolve to "a b" regardless of encounter order
+    val df = Seq((1L, "b a\nb a\na b\na b"), (2L, "")).toDF("doc_id", "text")
+    val got = TextStats.gopherStats(df, "doc_id", "text")
+      .collect().sortBy(_.getLong(0))
+    val r = got(0)
+    assert(r.getInt(1) == 4 && r.getDouble(2) == 0.5 && r.getDouble(3) == 0.5)
+    assert(r.getDouble(5) == 0.6)             // 3*3/15 — the lex-min gram
+    val z = got(1)
+    assert(z.getInt(1) == 0 && (2 to 5).forall(z.getDouble(_) == 0.0))
+  }
+
   test("removeSharedSpans: excises merged coverage from every occurrence") {
     // docs 1 and 2 share the run "a b c d e" (two overlapping 3-gram
     // windows in each -> one merged interval); doc 3 is unrelated; doc 4
