@@ -426,6 +426,23 @@ object TextStats {
         round(col("_g.ellipsis_line_frac"), 4).as("ellipsis_line_frac"),
         round(col("_g.top_2gram_char_frac"), 4).as("top_2gram_char_frac"))
 
+  /** Blocklist hit scoring ([[graft.functions.LexiconScan]]): per-doc
+    * token count, total lexicon occurrences, distinct terms hit and the
+    * hit fraction (0.0 for empty docs) — the C4 bad-words gate in
+    * thresholdable form. Case-insensitive, word-boundary, single native
+    * row-local pass with the lexicon as a plan literal; zero shuffle. */
+  def lexiconHits(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.withColumn("_l",
+        graft.functions.LexiconScan.lexiconScan(col(textCol), terms))
+      .select(col(idCol),
+        col("_l.n_tokens").as("n_tokens"),
+        col("_l.n_hits").as("n_hits"),
+        col("_l.n_terms_hit").as("n_terms_hit"),
+        when(col("_l.n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("_l.n_hits").cast("double") / col("_l.n_tokens"), 4))
+          .as("hit_frac"))
+
   /** Seeded deterministic corpus shuffle + fixed shard layout — the
     * training-order step: every row gets a `shard` in [0, `shards`) and
     * a 1-based `pos` within its shard, both pure functions of

@@ -2171,6 +2171,17 @@ object QueryPack {
     graft.operators.TextStats.gopherStats(base, "doc_id", "ptext")
   }
 
+  /** Blocklist hit scoring ([[graft.operators.TextStats.lexiconHits]])
+    * with a four-term lexicon: three corpus words (one deliberately
+    * upper-cased in the term list to exercise the case-insensitive
+    * contract) and one absent term. The oracle re-derives the counts
+    * relationally (token explode + IN-list conditional counts) and
+    * joins every doc back in so empty docs would score 0.0, not
+    * vanish. */
+  def xLexiconHits(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.lexiconHits(T(s, dir, "documents"),
+      "doc_id", "text", Seq("SLOW", "batch", "merge", "zebra"))
+
   /** Temperature resampling rates per language (alpha = 0.5): the
     * multilingual-pretraining mix flattener, downsample-only, composable
     * with stratifiedSample. */
@@ -2286,6 +2297,7 @@ object QueryPack {
     "x_token_budget" -> (xTokenBudget _),
     "x_paragraph_dedup" -> (xParagraphDedup _),
     "x_gopher_quality" -> (xGopherQuality _),
+    "x_lexicon_hits" -> (xLexiconHits _),
     "x_substring_spans" -> (xSubstringSpans _),
     "x_remove_spans" -> (xRemoveSpans _),
     "x_temperature_mix" -> (xTemperatureMix _),
@@ -2730,6 +2742,24 @@ object QueryPack {
         |  CAST(count(*) FILTER (WHERE n_docs > 8) AS BIGINT) AS n_dropped
         |FROM paras JOIN f USING (para)
         |GROUP BY 1""".stripMargin,
+    "x_lexicon_hits" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(tok) AS tok FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(text, '[ \n\t\r]+'), w -> w != '')) AS tok
+        |    FROM documents)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    count(*) FILTER (WHERE tok IN ('slow','batch','merge','zebra')) AS n_hits,
+        |    count(DISTINCT tok) FILTER (WHERE tok IN ('slow','batch','merge','zebra')) AS n_terms_hit
+        |  FROM toks GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_tokens, 0) AS INT) AS n_tokens,
+        |  CAST(coalesce(a.n_hits, 0) AS INT) AS n_hits,
+        |  CAST(coalesce(a.n_terms_hit, 0) AS INT) AS n_terms_hit,
+        |  CASE WHEN a.n_tokens IS NULL THEN 0.0
+        |       ELSE round(a.n_hits::DOUBLE / a.n_tokens, 4) END AS hit_frac
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "x_gopher_quality" ->
       """WITH base AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),

@@ -1105,6 +1105,20 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getInt(1) == 0 && (2 to 5).forall(z.getDouble(_) == 0.0))
   }
 
+  test("lexiconHits: word-boundary, case-insensitive, empty doc scores zero") {
+    val df = Seq(
+      (1L, "Bad BAD badger bad"),   // 3 whole-token 'bad' hits, never 'badger'
+      (2L, "clean words only"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextStats.lexiconHits(df, "doc_id", "text", Seq("BAD", "words"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 4, 3, 1, 0.75), (2L, 3, 1, 1, 0.3333), (3L, 0, 0, 0, 0.0)))
+    intercept[org.apache.spark.sql.AnalysisException](
+      TextStats.lexiconHits(df, "doc_id", "text", Seq.empty).collect())
+  }
+
   test("removeSharedSpans: excises merged coverage from every occurrence") {
     // docs 1 and 2 share the run "a b c d e" (two overlapping 3-gram
     // windows in each -> one merged interval); doc 3 is unrelated; doc 4
