@@ -348,6 +348,30 @@ object TextStats {
         round(col("_rate") / col("_rmax"), 4).as("rate"))
   }
 
+  /** Temperature mixing APPLIED — the composition users actually run:
+    * [[temperatureRates]]' share^alpha flattening rates feed
+    * [[stratifiedSample]]'s deterministic hash-mod filter, returning the
+    * resampled corpus itself rather than a rate table. The rate table is
+    * O(strata) rows, so collecting it to the driver is the repo's
+    * legitimate-collect class (header rows, centroid ids — never
+    * corpus-sized); the corpus pass stays [[stratifiedSample]]'s narrow
+    * pushdown-friendly filter, zero shuffle. Rates are used at their
+    * published 4-decimal rounding, so the sample is bit-reproducible
+    * from the rate table alone — an auditor can re-derive membership
+    * from the published rates without re-running the aggregate. NULL
+    * strata (absent from the rate table by groupBy semantics — they
+    * form their own group but a null key cannot enter a Map) fall to
+    * `defaultFraction` 1.0 and survive whole. */
+  def applyTemperature(df: org.apache.spark.sql.DataFrame, strataCol: String,
+                       keyCol: String, alpha: Double): org.apache.spark.sql.DataFrame = {
+    val fractions = temperatureRates(df, strataCol, alpha)
+      .select(col(strataCol).cast("string"), col("rate"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getDouble(1)))
+      .toMap
+    stratifiedSample(df, strataCol, keyCol, fractions, defaultFraction = 1.0)
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * md5(stratum ":" key) mod 10000 falls under its stratum's rate —
     * per-stratum rates rebalance a skewed corpus (downsample the dominant
@@ -591,6 +615,30 @@ object TextStats {
         df.agg(round(avg(quality), 4).as("q_threshold"))))
       .filter(col("_q") >= col("q_threshold"))
       .drop("_q")
+
+  /** Per-stratum score calibration: each row's `percent_rank` of
+    * `score` WITHIN its stratum — the step that makes one global
+    * quality threshold meaningful across languages (absolute scores are
+    * not comparable between strata: a length/punctuation score's scale
+    * depends on the language's orthography, so a global cut silently
+    * starves whole languages; rank-within-stratum is the standard
+    * calibration). Ties are broken by `tieCol` (unique) for a total
+    * order, so ranks are bit-deterministic and engine-portable; rounded
+    * to 4 places. Keep the top X% per stratum with
+    * `filter(col(out) >= 1 - x)`.
+    *
+    * Scale shape: one stratum-keyed exchange + sort; percent_rank
+    * streams with O(1) state, but each stratum funnels through ONE
+    * window task (the [[packSequences]] shards=1 caveat) — fine when
+    * strata are languages/sources (dozens to thousands), wrong for
+    * high-cardinality strata. */
+  def calibrateByStratum(df: org.apache.spark.sql.DataFrame, strataCol: String,
+                         score: Column, tieCol: String,
+                         out: String = "q_rank"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(out, round(percent_rank().over(
+      Window.partitionBy(col(strataCol)).orderBy(score, col(tieCol))), 4))
+  }
 
   /** Per-group document cap: keep at most `cap` rows per group in
     * `order` (ties MUST be broken by a unique column for a deterministic

@@ -2188,6 +2188,30 @@ object QueryPack {
   def xTemperatureMix(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextStats.temperatureRates(T(s, dir, "documents"), "lang", 0.5)
 
+  /** Temperature mixing APPLIED
+    * ([[graft.operators.TextStats.applyTemperature]]): the rate table
+    * drives the deterministic hash-mod filter and the RESAMPLED CORPUS
+    * comes back — the oracle re-derives the whole composition (rates in
+    * SQL window algebra, then the same md5 basis-point comparison), so
+    * the pinned artifact is membership, not rates. */
+  def xTemperatureApply(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.applyTemperature(
+        T(s, dir, "documents"), "lang", "doc_id", 0.5)
+      .select(col("doc_id"), col("lang"))
+
+  /** Per-language quality calibration
+    * ([[graft.operators.TextStats.calibrateByStratum]]): the x_quality
+    * score percent-ranked within each language (doc_id tie-break), the
+    * step that makes one global threshold fair across orthographies.
+    * Rank arithmetic is identical in both engines once the score is
+    * pre-rounded. */
+  def xQualityCalibrated(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.calibrateByStratum(
+      T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.operators.TextStats.quality(col("text"), fullTokens = 50)
+          .as("quality")),
+      "lang", col("quality"), "doc_id")
+
   /** Corpus profiling — per-language counts, mean and exact p50/p95 doc
     * length. One partial-aggregating shuffle. */
   def xProfile(s: SparkSession, dir: String): DataFrame =
@@ -2301,6 +2325,8 @@ object QueryPack {
     "x_substring_spans" -> (xSubstringSpans _),
     "x_remove_spans" -> (xRemoveSpans _),
     "x_temperature_mix" -> (xTemperatureMix _),
+    "x_temperature_apply" -> (xTemperatureApply _),
+    "x_quality_calibrated" -> (xQualityCalibrated _),
     "x_profile" -> (xProfile _),
     "x_redact" -> (xRedact _),
     "x_rep_ratio" -> (xRepRatio _),
@@ -2862,6 +2888,26 @@ object QueryPack {
         |  round(target, 4) AS target_share,
         |  round(rate / MAX(rate) OVER (), 4) AS rate
         |FROM r""".stripMargin,
+    "x_temperature_apply" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |s AS (SELECT lang, n, n::DOUBLE / SUM(n) OVER () AS share FROM c),
+        |p AS (SELECT lang, share, POW(share, 0.5) AS pw FROM s),
+        |z AS (SELECT lang, share, pw / SUM(pw) OVER () AS target FROM p),
+        |r AS (SELECT lang,
+        |        round((target / share) / MAX(target / share) OVER (), 4) AS rate
+        |      FROM z)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+        |  < CAST(round(r.rate * 10000) AS BIGINT)""".stripMargin,
+    "x_quality_calibrated" ->
+      """SELECT doc_id, lang, q AS quality,
+        |  round(percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id), 4) AS q_rank
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
+        |      (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)), 4) AS q
+        |  FROM documents)""".stripMargin,
     "x_redact" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(

@@ -1105,6 +1105,38 @@ class OperatorsSpec extends SparkSpec {
     assert(z.getInt(1) == 0 && (2 to 5).forall(z.getDouble(_) == 0.0))
   }
 
+  test("applyTemperature: dominant stratum downsampled, tail kept whole, deterministic") {
+    // 900 'en' vs 100 'zh': alpha 0.5 rates are (by the published rate
+    // algebra) en = 1.0... no — the MAX rate normalises to 1.0, which is
+    // the rarest stratum (zh); en gets sqrt(share) flattening < 1
+    val df = (0L until 1000L).map(i =>
+      (i, if (i < 900) "en" else "zh")).toDF("doc_id", "lang")
+    val out = TextStats.applyTemperature(df, "lang", "doc_id", 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // zh is the max-rate stratum -> rate 1.0 -> kept whole
+    assert(out("zh") == 100L, s"tail stratum must survive whole: $out")
+    // en's rate is (1/9)^0.5 / ... < 1; expected keep ~ rate * 900
+    assert(out("en") < 500L && out("en") > 200L,
+      s"dominant stratum must be flattened toward the tail: $out")
+    val again = TextStats.applyTemperature(df, "lang", "doc_id", 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out, "resample must be bit-deterministic")
+  }
+
+  test("calibrateByStratum: ranks are within-stratum, tie-broken, in [0,1]") {
+    val df = Seq(
+      (1L, "en", 0.9), (2L, "en", 0.5), (3L, "en", 0.1),
+      (4L, "zh", 0.2), (5L, "zh", 0.2), // tie -> doc_id order
+      (6L, "fr", 0.7)                   // singleton -> rank 0
+    ).toDF("doc_id", "lang", "q")
+    val got = TextStats.calibrateByStratum(df, "lang", col("q"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 1.0), (2L, 0.5), (3L, 0.0), (4L, 0.0), (5L, 1.0), (6L, 0.0)))
+  }
+
   test("lexiconHits: word-boundary, case-insensitive, empty doc scores zero") {
     val df = Seq(
       (1L, "Bad BAD badger bad"),   // 3 whole-token 'bad' hits, never 'badger'
