@@ -539,10 +539,71 @@ object TextDedup {
     * twice; the in-row HOF is the 100 TB shape. */
   def removeSharedSpans(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, stride: Int = 1, minDocs: Int = 2,
-                        outCol: String = "clean_text"): DataFrame = {
+                        outCol: String = "clean_text"): DataFrame =
+    exciseFlagged(docs, idCol, textCol,
+      sharedNgramSpans(docs, idCol, textCol, n, stride, minDocs), n, outCol)
+
+  /** Surgical span-level decontamination — excise the OVERLAP, keep the
+    * document: every ≥`n`-token run of a training doc that appears
+    * verbatim in the benchmark set is removed (flag windows whose gram
+    * hash is in the benchmark's window set, merge, excise via
+    * [[exciseFlagged]]) while the rest of the document survives. The
+    * whole-doc alternatives both lose real data:
+    * [[decontaminate]]/[[contaminationFraction]] drop or down-rank the
+    * entire doc for one quoted sentence; this keeps the un-leaked mass.
+    * Both sides window at stride 1 — the any-alignment guarantee needs
+    * every doc-side alignment AND every benchmark-side alignment in the
+    * probe set.
+    *
+    * Shape: the benchmark's distinct window hashes route
+    * broadcast/shuffle-hash by Catalyst's own size estimate (the
+    * [[decontaminate]] convention, logged); the doc side is one narrow
+    * windowed-hash explode semi-joined against them — the corpus never
+    * sorts and never all-pairs — then the merge + in-row excision of
+    * [[exciseFlagged]]. */
+  def removeContaminatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                              benchmark: DataFrame, benchTextCol: String,
+                              n: Int,
+                              benchBroadcastMaxBytes: Long = 256L << 20,
+                              outCol: String = "clean_text"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(graft.functions.NgramSpanHashes
+        .ngramSpanHashes(col(benchTextCol), n, 1)).as("_bs"))
+      .select(col("_bs.gram_h").as("_bgram_h")).distinct()
+    val benchEstBytes = benchGrams.queryExecution.optimizedPlan.stats.sizeInBytes
+    val useBroadcast = benchEstBytes <= BigInt(benchBroadcastMaxBytes)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"removeContaminatedSpans: bench window side estimated $benchEstBytes " +
+        s"bytes (threshold $benchBroadcastMaxBytes) -> " +
+        (if (useBroadcast) "BROADCAST" else "SHUFFLE_HASH") + " join")
+    val docSpans = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.NgramSpanHashes
+          .ngramSpanHashes(col(textCol), n, 1)).as("_s"))
+      .select(col("doc_id"), col("_s.start").as("start"),
+        col("_s.gram_h").as("gram_h"))
+    val flagged =
+      if (useBroadcast)
+        docSpans.join(broadcast(benchGrams),
+          col("gram_h") === col("_bgram_h"), "leftsemi")
+      else
+        docSpans.join(benchGrams.hint("SHUFFLE_HASH"),
+          col("gram_h") === col("_bgram_h"), "leftsemi")
+    exciseFlagged(docs, idCol, textCol, flagged, n, outCol)
+  }
+
+  /** The shared act half of the span pipelines: merge flagged windows
+    * (`doc_id`, 1-based `start`, width `n`) into disjoint per-doc
+    * intervals with one doc-keyed gaps-and-islands window, then excise
+    * covered tokens IN-ROW with a two-arg `filter` — the corpus itself
+    * never shuffles for the removal, and per-token cost is
+    * O(intervals-per-doc), post-merge disjoint so bounded by
+    * tokens/(n+1). A relational rendering (posexplode + range anti-join
+    * + re-agg) would shuffle every corpus token twice. */
+  private def exciseFlagged(docs: DataFrame, idCol: String, textCol: String,
+                            flagged: DataFrame, n: Int,
+                            outCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = sharedNgramSpans(docs, idCol, textCol, n, stride, minDocs)
-      .withColumn("_end", col("start") + (n - 1))
+    val spans = flagged.withColumn("_end", col("start") + (n - 1))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
     val prevMax = max(col("_end"))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))

@@ -1841,6 +1841,20 @@ object QueryPack {
       .select(col("doc_id"), col("n_shared"))
   }
 
+  /** Surgical span-level decontamination
+    * ([[graft.operators.TextDedup.removeContaminatedSpans]]) on the
+    * x_decontaminate split: every verbatim ≥10-token run a training doc
+    * shares with the every-50th-doc benchmark set is excised while the
+    * doc survives (the corpus's genuine near-duplicates guarantee real
+    * cross-split runs). The oracle re-derives flag-by-benchmark-window →
+    * coverage → excise relationally. */
+  def xContaminatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.TextDedup.removeContaminatedSpans(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 50 === 0), "text", n = 10)
+  }
+
   /** Fraction-based contamination scoring
     * ([[graft.operators.TextDedup.contaminationFraction]]) on the same
     * every-50th-doc benchmark split as x_decontaminate — but every
@@ -2301,6 +2315,7 @@ object QueryPack {
     "x_train_split" -> (xTrainSplit _),
     "x_decontaminate" -> (xDecontaminate _),
     "x_contamination_frac" -> (xContaminationFrac _),
+    "x_contaminated_spans" -> (xContaminatedSpans _),
     "x_shuffle_shards" -> (xShuffleShards _),
     "x_stratified" -> (xStratified _),
     "x_pack" -> (xPack _),
@@ -2851,6 +2866,32 @@ object QueryPack {
         |f AS (SELECT gram_h, count(DISTINCT doc_id) AS n_docs FROM spans
         |      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
         |SELECT doc_id, start, gram_h, n_docs FROM spans JOIN f USING (gram_h)""".stripMargin,
+    "x_contaminated_spans" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |bw AS (
+        |  SELECT DISTINCT unnest(list_transform(range(0, len(ws) - 10 + 1),
+        |    k -> ('0x' || substr(md5(array_to_string(ws[k+1:k+10], ' ')), 1, 8))::BIGINT)) AS gram_h
+        |  FROM (SELECT list_filter(string_split(text, ' '), w -> w != '') AS ws
+        |        FROM documents WHERE doc_id % 50 = 0)
+        |  WHERE len(ws) >= 10),
+        |spans AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, len(ws) - 10 + 1), k -> k + 1)) AS start,
+        |    unnest(list_transform(range(0, len(ws) - 10 + 1),
+        |      k -> ('0x' || substr(md5(array_to_string(ws[k+1:k+10], ' ')), 1, 8))::BIGINT)) AS gram_h
+        |  FROM w0 WHERE len(ws) >= 10),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id, u.i AS idx
+        |  FROM spans s JOIN bw USING (gram_h), UNNEST(range(s.start, s.start + 10)) AS u(i)),
+        |toks AS (
+        |  SELECT doc_id, unnest(ws) AS tok, unnest(range(1, len(ws) + 1)) AS idx FROM w0)
+        |SELECT t.doc_id,
+        |  coalesce(string_agg(t.tok, ' ' ORDER BY t.idx) FILTER (WHERE c.idx IS NULL), '') AS clean_text,
+        |  count(c.idx) AS n_removed
+        |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+        |GROUP BY t.doc_id""".stripMargin,
     "x_remove_spans" ->
       """WITH base AS (
         |  SELECT doc_id,

@@ -1184,6 +1184,24 @@ class OperatorsSpec extends SparkSpec {
       (1L, "m1 m2", 6L), (2L, "n1 n2", 6L), (3L, "lone words only here", 0L)))
   }
 
+  test("removeContaminatedSpans: excises the quoted run, keeps the doc") {
+    val train = Seq(
+      (1L, "intro words then the secret eval answer is forty two indeed closing remarks"),
+      (2L, "totally unrelated content with no leaks at all here")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the secret eval answer is forty two indeed")).toDF("doc_id", "text")
+    val got = TextDedup.removeContaminatedSpans(train, "doc_id", "text",
+        bench, "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    // every 4-gram of the 8-token quote matches a benchmark window, so
+    // the full quoted run dies; flanks survive; doc 2 untouched; the
+    // benchmark rows themselves are NOT in the output
+    assert(got.toSeq == Seq(
+      (1L, "intro words then closing remarks", 8L),
+      (2L, "totally unrelated content with no leaks at all here", 0L)))
+  }
+
   test("removeSharedSpans: whole-doc duplicates empty out; '' round-trips") {
     val df = Seq(
       (1L, "c1 c2 c3 c4"), (2L, "c1 c2 c3 c4"), (3L, "")).toDF("doc_id", "text")
