@@ -246,6 +246,34 @@ class PlanQualitySpec extends SparkSpec {
       s"expected exactly the span explode, got $generates Generates:\n$plan")
   }
 
+  test("contaminated spans: bench windows broadcast, no product, excision in-row") {
+    val plan = formattedPlan(QueryPack.xContaminatedSpans(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench window side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the corpus must never sort-merge or product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range-join rendering crept in — coverage must stay in-row:\n$plan")
+    // two Generates: the doc-side span explode + the bench-side window
+    // explode; a third means the relational excision replaced the HOF
+    val generates = """\(\d+\) Generate""".r.findAllIn(plan).length
+    assert(generates == 2,
+      s"expected doc + bench window explodes only, got $generates:\n$plan")
+  }
+
+  test("contaminated spans: an over-threshold benchmark degrades to shuffle-hash") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = formattedPlan(graft.operators.TextDedup.removeContaminatedSpans(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 50 === 0), "text", n = 10,
+      benchBroadcastMaxBytes = 0L))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"over-threshold bench must build a shuffle-hash table:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never sort:\n$plan")
+  }
+
   test("shuffle shards: ONE exchange feeds the per-shard rank; hash stays narrow") {
     val plan = formattedPlan(QueryPack.xShuffleShards(spark, sf))
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
