@@ -306,6 +306,32 @@ object TextDedup {
       .drop("_cc_id", "_cc_component")
   }
 
+  /** Quality-aware canonical selection over near-dup clusters: like
+    * [[dedupByClusters]], but the kept copy per component is the BEST
+    * by `order` (e.g. quality desc — dedup pipelines keep the
+    * highest-quality or longest rendering of a page, not the lowest id;
+    * the id-based root is an arbitrary survivor). `order` MUST end in a
+    * unique tie-break for a deterministic kept-set, the
+    * [[graft.operators.TextStats.capPerGroup]] contract.
+    *
+    * Scale shape: [[connectedComponents]]' O(log d) pointer-jumping
+    * plus ONE component-keyed window — components are near-dup
+    * clusters, small by construction (candidate generation is bucket-
+    * bounded), so the rank never buffers a heavy partition; the
+    * overwhelmingly-common singleton components cost one row each. */
+  def dedupByClustersBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+                          idA: String, idB: String, order: Seq[Column],
+                          checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(order.nonEmpty,
+      "order must name at least one column (ending in a unique tie-break)")
+    dedupByClusters(docs, idCol, pairs, idA, idB, checkpointDir)
+      .drop("is_canonical")
+      .withColumn("is_canonical",
+        row_number().over(
+          Window.partitionBy(col("component")).orderBy(order: _*)) === 1)
+  }
+
   /** Test-set decontamination: count, per training doc, the distinct word
     * `n`-grams it shares with a benchmark/eval set — the standard guard
     * against evaluation leakage in a training corpus. Scale shape: the

@@ -1821,6 +1821,22 @@ object QueryPack {
         xMinhashPairs(s, dir), "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("component"))
 
+  /** Quality-aware cluster dedup
+    * ([[graft.operators.TextDedup.dedupByClustersBest]]): the minhash-LSH
+    * clusters again, but the canonical copy per component is the
+    * HIGHEST-QUALITY doc (quality desc, doc_id tie-break) instead of the
+    * component root — the keeper policy real dedup pipelines run. The
+    * oracle extends the recursive-CC derivation with the same windowed
+    * best-of-component selection. */
+  def xDedupClusterBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"),
+      graft.operators.TextStats.quality(col("text"), fullTokens = 50).as("q"))
+    graft.operators.TextDedup.dedupByClustersBest(
+        docs, "doc_id", xMinhashPairs(s, dir), "doc_a", "doc_b",
+        Seq(col("q").desc, col("doc_id")))
+      .select(col("doc_id"), col("component"), col("q"), col("is_canonical"))
+  }
+
   /** Deterministic train/eval split — hash-mod partitioning on the document
     * key (the standard reproducible split for training pipelines; no RNG, so
     * re-runs and backfills land every doc in the same split). Narrow. */
@@ -2312,6 +2328,7 @@ object QueryPack {
     "x_token_count" -> (xTokenCount _),
     "x_fingerprint" -> (xFingerprint _),
     "x_dedup_cluster" -> (xDedupCluster _),
+    "x_dedup_cluster_best" -> (xDedupClusterBest _),
     "x_train_split" -> (xTrainSplit _),
     "x_decontaminate" -> (xDecontaminate _),
     "x_contamination_frac" -> (xContaminationFrac _),
@@ -3032,6 +3049,27 @@ object QueryPack {
          |  UNION
          |  SELECT e.src, cc.comp FROM edges e JOIN cc ON cc.id = e.dst)
          |SELECT id AS doc_id, min(comp) AS component FROM cc GROUP BY id""".stripMargin,
+    "x_dedup_cluster_best" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |cc(id, comp) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, cc.comp FROM edges e JOIN cc ON cc.id = e.dst),
+         |comp AS (SELECT id AS doc_id, min(comp) AS component FROM cc GROUP BY id),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
+         |      (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)), 4) AS q
+         |  FROM documents),
+         |f AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.q
+         |  FROM q d LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, component, q,
+         |  row_number() OVER (PARTITION BY component ORDER BY q DESC, doc_id) = 1 AS is_canonical
+         |FROM f""".stripMargin,
     "x_simhash" -> (
       """WITH ex AS (
         |  SELECT doc_id, ('0x'||substr(md5(w),1,8))::BIGINT AS h

@@ -1184,6 +1184,23 @@ class OperatorsSpec extends SparkSpec {
       (1L, "m1 m2", 6L), (2L, "n1 n2", 6L), (3L, "lone words only here", 0L)))
   }
 
+  test("dedupByClustersBest: keeper is the best by order, not the root") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),  // one cluster {1,2,3}: best is 2
+      (4L, 0.1),                        // singleton: canonical by default
+      (5L, 0.7), (6L, 0.7)              // cluster {5,6}: quality tie -> 5
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = TextDedup.dedupByClustersBest(docs, "doc_id", pairs, "a", "b",
+        Seq(col("q").desc, col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getBoolean(r.fieldIndex("is_canonical"))))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, false), (2L, true), (3L, false), (4L, true), (5L, true), (6L, false)))
+    intercept[IllegalArgumentException](
+      TextDedup.dedupByClustersBest(docs, "doc_id", pairs, "a", "b", Seq.empty))
+  }
+
   test("removeContaminatedSpans: excises the quoted run, keeps the doc") {
     val train = Seq(
       (1L, "intro words then the secret eval answer is forty two indeed closing remarks"),
