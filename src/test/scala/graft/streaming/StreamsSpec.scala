@@ -332,4 +332,36 @@ class StreamsSpec extends SparkSpec {
     assert(sessions.head == Session(1, 1000, 1500, 2, 3.0))
     q.stop()
   }
+
+  test("native scans (gopher, lexicon) apply to a stream unchanged, equal to batch") {
+    // the session-5 scans carry per-ROW hash state inside a single eval —
+    // no cross-row state — so they must ride a readStream projection
+    // verbatim, exactly like the column expressions above; pinned because
+    // a CodegenFallback expression is the one shape whose streaming
+    // compatibility is easy to silently lose
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextStats
+    val texts = Seq(
+      "dup line\nother\ndup line\nends with...",
+      "bad words here and BAD words there", "", "one token")
+    def proj(df: org.apache.spark.sql.DataFrame) = {
+      val g = TextStats.gopherStats(df.select(col("text").as("doc_id"),
+        col("text")), "doc_id", "text")
+      val l = TextStats.lexiconHits(df.select(col("text").as("doc_id"),
+        col("text")), "doc_id", "text", Seq("bad", "dup"))
+      g.join(l, "doc_id")
+    }
+    val in = MemoryStream[String]
+    val q = proj(in.toDF.toDF("text"))
+      .writeStream.format("memory").queryName("scans").outputMode("append").start()
+    in.addData(texts.take(2)); q.processAllAvailable()
+    in.addData(texts.drop(2)); q.processAllAvailable()
+    val streamed = spark.sql("select * from scans").collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.head)
+    val batch = proj(texts.toDF("text")).collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.head)
+    assert(streamed.toSeq == batch.toSeq)
+    q.stop()
+  }
 }
