@@ -44,7 +44,18 @@ case class LexiconScan(child: Expression, terms: Seq[String])
         s"$prettyName requires a string input, got ${child.dataType.catalogString}")
     else if (terms.isEmpty)
       TypeCheckResult.TypeCheckFailure(s"$prettyName needs a non-empty term list")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // The scan matches whole whitespace-delimited tokens, so a term
+      // containing whitespace (or an empty term) can NEVER match — fail
+      // at analysis instead of silently under-counting (ADVICE r11).
+      val bad = terms.filter(t => t.isEmpty || t.exists(isWs))
+      if (bad.nonEmpty)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName terms must be non-empty single words (no " +
+          s"whitespace) — a multi-word phrase can never match one token; " +
+          s"got: ${bad.take(5).map(t => s"'$t'").mkString(", ")}")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   // built once per deserialized instance (per task), probed per token
   @transient private lazy val termSet: java.util.HashSet[String] = {

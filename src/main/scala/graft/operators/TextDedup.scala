@@ -141,7 +141,17 @@ object TextDedup {
     * n ≤ target·2^w, capped by the 56-bit signature ceiling (w ≤ 14 at
     * 4 bands). At a FIXED width a 10× corpus means 10× denser band
     * buckets and ~quadratic candidate growth — measured 20× for 100× at
-    * 32 bits (SCALING.md session 4); sizing restores the linear track. */
+    * 32 bits (SCALING.md session 4); sizing restores the linear track.
+    *
+    * The 56-bit signature ceiling (md5-prefix longs stay exact in a
+    * DOUBLE-roundtripping oracle up to 2^56) caps w at 14 for 4 bands,
+    * i.e. the target-64 density holds up to 64·2^14 ≈ 1.05M docs. Past
+    * that the width STAYS at the ceiling and buckets densify — logged,
+    * not thrown: expected bucket population grows as n/2^14 (≈ 6k docs
+    * per bucket at 100M docs), so verification cost degrades linearly
+    * and visibly rather than the job refusing to run. Callers at that
+    * scale should raise `targetBucketSize` deliberately (or split the
+    * corpus); the log line tells them the density they bought. */
   def simhashWidthFor(n: Long, bands: Int = 4,
                       targetBucketSize: Long = 64): Int = {
     require(n > 0 && bands > 0 && targetBucketSize > 0,
@@ -149,8 +159,14 @@ object TextDedup {
     val maxW = 56 / bands
     var w = 8
     while (w < maxW && targetBucketSize < ((n + (1L << w) - 1) >> w)) w += 1
-    require(targetBucketSize >= ((n + (1L << w) - 1) >> w),
-      s"corpus of $n needs a band width past the 56-bit signature ceiling")
+    val density = (n + (1L << w) - 1) >> w
+    if (density > targetBucketSize)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"simhashWidthFor: $n docs at the ${bands * w}-bit signature " +
+        s"ceiling (w=$w, $bands bands) leaves expected band-bucket " +
+        s"population $density > target $targetBucketSize — accepting " +
+        "denser buckets; candidate verification grows proportionally. " +
+        "Raise targetBucketSize deliberately at this scale.")
     w
   }
 

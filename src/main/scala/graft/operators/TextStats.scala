@@ -395,7 +395,15 @@ object TextStats {
     * state, never a global sort shuffle. Selection compares UNROUNDED
     * keys (two engines' libm `ln` may differ in the last ulp — a
     * decision flip needs two keys within ~1e-16, vanishing at any
-    * corpus size); the emitted key is rounded for the oracle hash. */
+    * corpus size); the emitted key is rounded for the oracle hash.
+    *
+    * Weights must be POSITIVE, and that is enforced by a filter, not
+    * just assumed: with the descending-key sort a negative weight makes
+    * `ln(u)/w` positive — beating every legitimate key (all ≤ 0) — and
+    * w = 0 with u = 1 yields NaN, which Spark's descending sort places
+    * FIRST; either way corrupt rows would silently dominate the sample.
+    * Rows with `weight ≤ 0` (or null) are dropped from the draw — the
+    * same treatment a zero-probability row gets in the A-ES paper. */
   def weightedSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
                      weight: Column, k: Int): org.apache.spark.sql.DataFrame = {
     // u in (0, 1]: (h + 1) / 2^32 over the house md5-prefix hash
@@ -403,7 +411,8 @@ object TextStats {
       .cast("double") + 1.0) / 4294967296.0
     // + 0.0 canonicalises IEEE −0.0 (round of a tiny negative key) to
     // +0.0 — engines disagree on the sign rendering, not the value
-    df.withColumn("_wkey", log(u) / weight)
+    df.filter(weight > 0)
+      .withColumn("_wkey", log(u) / weight)
       .orderBy(col("_wkey").desc, col(keyCol))
       .limit(k)
       .withColumn("sample_key", round(col("_wkey"), 4) + 0.0)

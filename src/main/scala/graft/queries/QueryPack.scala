@@ -874,7 +874,14 @@ object QueryPack {
     * shares a band). 16 bits saturates on this templated corpus (39k of
     * 125k possible pairs collide at sf0.01 — measured); 32 bits is the
     * sized operating point (725 pairs), the same grow-the-hash-space
-    * lesson as `planesFor`. */
+    * lesson as `planesFor`.
+    *
+    * NEGATIVE CONTROL ([[graft.SparkEntry.negativeControls]]): a fixed
+    * 32-bit width means 8-bit band buckets densify linearly with the
+    * corpus and the candidate join quadratically — 25.7× cost for 100×
+    * data (25.8 s at sf10, SCALING.md). Use [[xSimhashPairsSized]]
+    * (corpus-sized width, ~64-doc buckets, 5.0× curve) for any real run;
+    * this twin stays oracle-pinned for cross-scale hash comparability. */
   def xSimhashPairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextDedup.simhashPairs(T(s, dir, "documents"),
         "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
@@ -931,11 +938,17 @@ object QueryPack {
   private[queries] val lshPlanes: Seq[Seq[Int]] =
     graft.operators.Ann.hyperplanes(numPlanes = 8, dim = 64)
 
-  /** LSH-bucketed ANN — the scale path: 8 random-hyperplane sign bits form
-    * a bucket; candidates only meet inside their bucket (shuffle on the
-    * bucket key, never all-pairs). Emits each vector's bucket and its
-    * best within-bucket neighbour. The brute-force twin is `x_ann_cosine`.
-    */
+  /** LSH-bucketed ANN: 8 random-hyperplane sign bits form a bucket;
+    * candidates only meet inside their bucket (shuffle on the bucket key,
+    * never all-pairs). Emits each vector's bucket and its best
+    * within-bucket neighbour. The brute-force twin is `x_ann_cosine`.
+    *
+    * NEGATIVE CONTROL ([[graft.SparkEntry.negativeControls]]): 8 fixed
+    * planes = 256 buckets forever, so bucket population grows linearly
+    * with the corpus and the within-bucket join quadratically (17.4 s at
+    * sf10, SCALING.md, vs 1.15 s for the sized twin). Use [[xAnnLshSized]]
+    * (`planesFor`-sized, ~64-vector buckets) for any real run; this twin
+    * stays oracle-pinned for cross-scale hash comparability. */
   def xAnnLsh(s: SparkSession, dir: String): DataFrame =
     graft.operators.Ann.annLsh(T(s, dir, "embeddings"), "vec_id", "embedding", lshPlanes)
 
@@ -979,7 +992,14 @@ object QueryPack {
     * shuffle-hash join over cells — never a whole-table broadcast, which
     * would OOM at 100×. Hot cells (a skewed quantizer) are spread with
     * `Skew.saltedJoin`; AQE's skew-join splitting backs this up at runtime.
-    */
+    *
+    * NEGATIVE CONTROL ([[graft.SparkEntry.negativeControls]]): this is
+    * the EXHAUSTIVE within-cell consumer — every vector meets all ~√N
+    * cell-mates, so total work is Σpop² ≈ N^1.5 (18.5× cost for 100×
+    * data, 10.1 s at sf10 — SCALING.md). The user path is the probe
+    * family ([[xAnnIvfProbe]], `x_ann_ivfpq*`): k probed cells per query,
+    * not all-pairs per cell. Stays oracle-pinned to protect the
+    * assignment + salted-cell-join semantics. */
   def xAnnIvf(s: SparkSession, dir: String, centroids: Option[Int] = None): DataFrame = {
     val emb = T(s, dir, "embeddings")
     // Assignment (narrow argmin over the literal centroid matrix) and the

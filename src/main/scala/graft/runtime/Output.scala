@@ -13,10 +13,20 @@ import org.apache.spark.sql.DataFrame
   *
   * The estimate is logical (decompressed row bytes), so on-disk parquet
   * lands smaller than the target by roughly the compression ratio — the
-  * error direction is MORE, SMALLER files, never one giant task. Callers
-  * who know their compression ratio can fold it into
-  * `targetBytesPerFile` (e.g. 4× the desired on-disk size for text-heavy
-  * columns). */
+  * error direction is usually MORE, SMALLER files. Callers who know
+  * their compression ratio can fold it into `targetBytesPerFile` (e.g.
+  * 4× the desired on-disk size for text-heavy columns).
+  *
+  * One failure mode is NOT merely "more files": without CBO statistics
+  * Spark's size-only estimator propagates a join as the PRODUCT of its
+  * children's sizes (and inflates aggregates), so writing a join result
+  * can estimate astronomically high. [[Output.sizedWrite]] therefore
+  * clamps the file count to a plausibility cap tied to the input's
+  * actual partition count (overridable via `maxFiles`) and WARNS when
+  * the clamp fires — a silent million-file repartition is a job-killing
+  * shuffle, not a sizing nuance. Frames fresh off a scan or exchange
+  * have trustworthy estimates; deep join/aggregate plans may not —
+  * prefer materialising (or passing `maxFiles`) for those. */
 object Output {
 
   /** Write `df` as `format` at `path` in approximately
@@ -28,15 +38,36 @@ object Output {
     * (coalesce folds into the parent stage), so reserve it for
     * already-balanced narrow pipelines. Returns the chosen file count
     * (one visible sizing decision, the [[graft.operators.TextDedup
-    * .decontaminate]] route-logging convention). */
+    * .decontaminate]] route-logging convention).
+    *
+    * `maxFiles` (0 = auto) bounds the count against estimator blow-ups:
+    * auto is `max(64 × defaultParallelism, 4096)` — generous for any
+    * honest estimate (64 target-size files per core is >16 GB of logical
+    * rows per core at the default target), but catches the
+    * join-size-product pathology, where the clamp fires with a loud WARN
+    * instead of scheduling a ~1M-task shuffle. (The cap deliberately
+    * reads cluster parallelism, not `df.rdd.getNumPartitions` — under
+    * AQE materialising the RDD would EXECUTE the upstream stages once
+    * just to count partitions, then the write would run them again.) */
   def sizedWrite(df: DataFrame, path: String, format: String = "parquet",
                  targetBytesPerFile: Long = 256L << 20,
-                 balance: Boolean = true): Int = {
+                 balance: Boolean = true, maxFiles: Int = 0): Int = {
     require(targetBytesPerFile > 0, "targetBytesPerFile must be positive")
+    require(maxFiles >= 0, "maxFiles must be >= 0 (0 = auto)")
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val n = ((est + targetBytesPerFile - 1) / targetBytesPerFile)
-      .max(1).min(1 << 20).toInt
-    org.slf4j.LoggerFactory.getLogger(getClass).info(
+    val raw = ((est + targetBytesPerFile - 1) / targetBytesPerFile).max(1)
+    val cores = df.sparkSession.sparkContext.defaultParallelism.max(1)
+    val cap: Long =
+      if (maxFiles > 0) maxFiles.toLong else math.max(64L * cores, 4096L)
+    if (raw > cap) log.warn(
+      s"sizedWrite: size estimate $est bytes implies $raw files — clamping " +
+      s"to $cap (64 x $cores cores). Size-only estimation multiplies child " +
+      "sizes through joins; if this frame is a join/aggregate result the " +
+      "estimate is untrustworthy — pass maxFiles explicitly or " +
+      "materialise the input first.")
+    val n = raw.min(cap).min(1L << 20).toInt
+    log.info(
       s"sizedWrite: estimated $est bytes / target $targetBytesPerFile -> $n file(s)")
     val sized = if (balance) df.repartition(n) else df.coalesce(n)
     sized.write.format(format).mode("overwrite").save(path)

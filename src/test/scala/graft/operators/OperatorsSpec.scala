@@ -880,7 +880,11 @@ class OperatorsSpec extends SparkSpec {
     assert(TextDedup.simhashWidthFor((64L << 8) + 1) == 9)
     assert(TextDedup.simhashWidthFor(500000) == 13)  // the sf10 documents corpus
     assert(TextDedup.simhashWidthFor(64L << 14) == 14) // ceiling holds
-    intercept[IllegalArgumentException](TextDedup.simhashWidthFor((64L << 14) + 1))
+    // past the 56-bit ceiling: width PINS at 14 (denser buckets, logged)
+    // rather than refusing the corpus — a 100M-doc run proceeds with
+    // ~6k-doc buckets instead of throwing (ADVICE r11)
+    assert(TextDedup.simhashWidthFor((64L << 14) + 1) == 14)
+    assert(TextDedup.simhashWidthFor(100000000L) == 14)
     intercept[IllegalArgumentException](TextDedup.simhashWidthFor(0))
   }
 
@@ -1149,6 +1153,12 @@ class OperatorsSpec extends SparkSpec {
       (1L, 4, 3, 1, 0.75), (2L, 3, 1, 1, 0.3333), (3L, 0, 0, 0, 0.0)))
     intercept[org.apache.spark.sql.AnalysisException](
       TextStats.lexiconHits(df, "doc_id", "text", Seq.empty).collect())
+    // a multi-word phrase can never match one whitespace-delimited token —
+    // fail at analysis instead of silently under-counting (ADVICE r11)
+    intercept[org.apache.spark.sql.AnalysisException](
+      TextStats.lexiconHits(df, "doc_id", "text", Seq("bad words")).collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      TextStats.lexiconHits(df, "doc_id", "text", Seq("ok", "")).collect())
   }
 
   test("removeSharedSpans: excises merged coverage from every occurrence") {

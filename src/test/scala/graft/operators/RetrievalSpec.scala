@@ -92,6 +92,20 @@ class RetrievalSpec extends SparkSpec {
     assert(heavy.contains(13L), "a near-infinite weight must be drawn")
   }
 
+  test("weightedSample: non-positive weights are dropped, not dominant") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // ln(u)/w with w < 0 is POSITIVE (beats every legit key ≤ 0) and
+    // w = 0 can yield NaN (sorts FIRST descending) — without the filter
+    // corrupt rows would silently sweep the sample (ADVICE r11)
+    val docs = spark.range(0, 100).toDF("doc_id")
+    val w = when(col("doc_id") < 50, lit(-1.0))
+      .otherwise(when(col("doc_id") < 60, lit(0.0)).otherwise(lit(1.0)))
+    val got = TextStats.weightedSample(docs, "doc_id", w, k = 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == 30)
+    assert(got.forall(_ >= 60), s"non-positive-weight rows leaked: $got")
+  }
+
   test("rrfFuse: shared docs sum both reciprocals; singletons keep one; ties break by doc") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q", "d", "r")
     val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("q", "d", "r")

@@ -39,6 +39,33 @@ class OutputSpec extends SparkSpec {
         targetBytesPerFile = 0))
   }
 
+  test("sizedWrite clamps estimator blow-ups (join size-product pathology)") {
+    import spark.implicits._
+    // Size-only estimation propagates a join as the PRODUCT of child
+    // sizes: self-joining twice inflates a ~1 MB frame's estimate far
+    // past reality. With a tiny target the raw file count would be
+    // astronomical; the cap must hold it to something schedulable
+    // instead of a silent ~1M-file repartition (ADVICE r11).
+    val base = (1L to 2000L).map(i => (i, "z" * 200)).toDF("id", "body")
+    val blown = base.join(base.select(col("id")), "id")
+      .join(base.select(col("id")), "id")
+    val est = blown.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = 1L << 10
+    assume((est / target) > (1L << 20), s"estimate $est not inflated enough")
+    val dir = java.nio.file.Files.createTempDirectory("sized_clamp").toFile
+    val auto = new java.io.File(dir, "auto")
+    val n = Output.sizedWrite(blown, auto.getPath, targetBytesPerFile = target)
+    val cores = spark.sparkContext.defaultParallelism
+    assert(n == math.max(64L * cores, 4096L),
+      s"blown estimate must clamp to the auto cap, got $n")
+    assert(spark.read.parquet(auto.getPath).count() == 2000L)
+    // explicit maxFiles overrides the auto cap
+    val capped = new java.io.File(dir, "capped")
+    assert(Output.sizedWrite(blown, capped.getPath,
+      targetBytesPerFile = target, maxFiles = 7) == 7)
+    assert(parquetFiles(capped).length == 7)
+  }
+
   test("sizedWrite(balance = true) evens out a skewed upstream partitioning") {
     import spark.implicits._
     // all rows in ONE input partition — the post-aggregation skew shape
