@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The canonical training-data pipeline COMPOSED as one job: quality
+  * gates → exact dedup → decontamination → calibration → temperature
+  * mixing → sequence packing → shard shuffle. Every stage exists as a
+  * standalone operator with its own oracle row; this operator exists
+  * because composition is where the scale bugs live — a branch
+  * referenced twice planning two corpus scans (the BM25
+  * duplicated-subtree trap, SCALING.md), an exchange lost between a
+  * window and the next stage's window — and no single-operator row can
+  * catch them. PlanQualitySpec pins the composed plan's scan and
+  * exchange counts.
+  *
+  * Stage shapes (each documented in its home operator):
+  *  1. Gopher repetition gate + lexicon gate
+  *     ([[graft.functions.GopherScan]]/[[graft.functions.LexiconScan]]):
+  *     ONE native row-local pass each, fused into a single Filter —
+  *     gate-and-drop, so neither struct is re-evaluated downstream
+  *     (the computed-column-filter trap, SCALING.md).
+  *  2. Exact dedup: md5 fingerprint keeper (min id per hash) — one
+  *     fingerprint-keyed exchange.
+  *  3. Decontaminate ([[TextDedup.decontaminate]], distinct word
+  *     `contamN`-grams vs `benchmark`) then LEFT-ANTI join the
+  *     contaminated ids out. The anti join is deliberately UNHINTED:
+  *     AQE sees the contaminated-id set's runtime size (contaminated
+  *     docs ≪ corpus) and picks broadcast itself; a static broadcast()
+  *     would gamble on an estimate the aggregate can't provide.
+  *  4. Calibrated quality gate ([[TextStats.calibrateByStratum]]):
+  *     percent_rank of [[TextStats.quality]] within `strataCol`, drop
+  *     below `minQRank` — one stratum-keyed exchange whose partitioning
+  *     stage 6 REUSES.
+  *  5. Temperature mixing ([[TextStats.applyTemperature]], downsample
+  *     to share^`alpha`): O(strata) driver collect for the rate table,
+  *     then a narrow membership filter.
+  *  6. Pack ([[TextStats.packSequences]]): running-token window
+  *     partitioned by `strataCol` — same hash partitioning as stage 4's
+  *     window, so EnsureRequirements inserts a sort, NOT a new exchange
+  *     (plan-pinned).
+  *  7. Shard shuffle ([[TextStats.shuffleShards]]): seeded deterministic
+  *     permutation, one shard-keyed exchange.
+  *
+  * The frame is persisted ONCE, after dedup (`materialize`): stage 3
+  * fans the survivors into two consumers (gram branch + main branch)
+  * and stage 5's rate collect is a separate action — without the
+  * materialization each would re-run the gate+dedup subtree from the
+  * parquet scan. The default materializer is
+  * `persist(MEMORY_AND_DISK)`; the caller owns the returned frame's
+  * lifecycle (Spark's CacheManager never auto-frees — unpersist via
+  * [[TextPipeline.unpersistPipeline]] when done, or pass a
+  * checkpoint-based materializer at 100 TB where executor storage
+  * memory is the scarcer resource).
+  *
+  * Output: one row per surviving doc —
+  * (idCol, strataCol, seq_id, seq_offset, shard, pos).
+  */
+object TextPipeline {
+
+  /** The frames `e2e` persisted, keyed by the returned frame, so callers
+    * can free them without threading state through. */
+  private val persisted =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, DataFrame]())
+
+  def unpersistPipeline(result: DataFrame): Unit = {
+    val p = persisted.remove(result)
+    if (p != null) p.unpersist()
+  }
+
+  def e2e(docs: DataFrame, idCol: String, textCol: String, strataCol: String,
+          benchmark: DataFrame, benchTextCol: String,
+          lexicon: Seq[String],
+          maxTop2GramCharFrac: Double = 0.20,
+          minQRank: Double = 0.1,
+          alpha: Double = 0.5,
+          budget: Long = 2000,
+          shards: Int = 8,
+          seed: String = "42",
+          contamN: Int = 10,
+          materialize: DataFrame => DataFrame =
+            _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 1. gates — both native scans evaluate exactly once, inside the
+    // Filter (nothing downstream references the structs). Decisions
+    // compare the ROUNDED fraction so the cut is cross-engine exact.
+    val gated = docs.filter(
+      round(graft.functions.GopherScan.gopherScan(col(textCol), "\n")
+        .getField("top_2gram_char_frac"), 4) <= maxTop2GramCharFrac &&
+      graft.functions.LexiconScan.lexiconScan(col(textCol), lexicon)
+        .getField("n_hits") === 0)
+    // 2. exact dedup: keeper = min id per content hash
+    val deduped = gated
+      .withColumn("_fp", md5(col(textCol)))
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(col("_fp")).orderBy(col(idCol))))
+      .filter(col("_rn") === 1).drop("_fp", "_rn")
+    val training = materialize(deduped)
+    // 3. decontamination
+    val contaminated = TextDedup
+      .decontaminate(training, idCol, textCol, benchmark, benchTextCol, n = contamN)
+      .select(col(idCol))
+    val clean = training.join(contaminated, Seq(idCol), "left_anti")
+    // 4. calibrated quality gate
+    val calibrated = TextStats.calibrateByStratum(
+        clean.withColumn("_q", TextStats.quality(col(textCol))),
+        strataCol, col("_q"), idCol)
+      .filter(col("q_rank") >= minQRank)
+    // 5. temperature mixing (O(strata) collect + narrow filter)
+    val mixed = TextStats.applyTemperature(calibrated, strataCol, idCol, alpha)
+    // 6. pack
+    val packed = TextStats.packSequences(mixed, strataCol, idCol,
+      TextStats.spaceTokens(col(textCol)).cast("long"), budget)
+    // 7. shard shuffle
+    val result = TextStats.shuffleShards(packed, idCol, shards, seed)
+      .select(col(idCol), col(strataCol), col("seq_id"), col("seq_offset"),
+        col("shard"), col("pos"))
+    persisted.put(result, training)
+    result
+  }
+}

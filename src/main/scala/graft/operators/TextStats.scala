@@ -19,6 +19,29 @@ object TextStats {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** A trained BPE tokenizer: the initial character alphabet (ids
+    * 0..A−1 in binary string order) plus `merges` — the ordered merge
+    * list ((left, right, weighted pair count) at rank 1..K, vocabulary
+    * ids A..A+K−1). Both halves are O(alphabet + K) driver state — the
+    * centroid/codebook convention: small enough to embed as plan
+    * literals, never corpus-sized.
+    *
+    * `vocab` collapses duplicate surface forms to the SMALLEST id: two
+    * merge paths can mint the same string (rank i merges (a,bc), rank j
+    * merges (ab,c) — both "abc"), and an encoder keyed by surface form
+    * must not fan out on the join. */
+  final case class BpeModel(alphabet: Seq[String],
+                            merges: Seq[(String, String, Long)]) {
+    /** (symbol, id): alphabet first, then merged symbols in rank order,
+      * duplicate surface forms collapsed to the smallest id. */
+    def vocab: Seq[(String, Long)] = {
+      val all = alphabet.zipWithIndex.map { case (s, i) => (s, i.toLong) } ++
+        merges.zipWithIndex.map { case ((l, r, _), i) =>
+          (l + r, (alphabet.size + i).toLong) }
+      all.groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq
+    }
+  }
+
   /** Stopword-hit ratio — the n-gram language-ID heuristic's core signal. */
   def stopwordRatio(text: Column,
                     stopwords: Seq[String] = DefaultStopwords): Column = {
@@ -702,5 +725,164 @@ object TextStats {
       .filter((col("cum_tokens") - col("_tok")).cast("double") <
         lit(fraction) * col("_total").cast("double"))
       .drop("_tok", "_total")
+  }
+
+  // ---------------------------------------------------------------------
+  // Subword (BPE) tokenizer training — the step past [[buildVocab]]'s
+  // word-level contract: learn an ordered merge list from the corpus,
+  // then encode any text with it.
+  // ---------------------------------------------------------------------
+
+  /** Symbol-sequence framing: each symbol is wrapped as ␂sym␃
+    * (U+0002 sym U+0003), so a merge (a, b) → ab is LITERAL string surgery —
+    * `replace(repr, "␂a␃␂b␃", "␂ab␃")` — with exactly BPE's greedy
+    * left-to-right non-overlap semantics ("aaa" under (a,a) → [aa, a]),
+    * and no delimiter-sharing ambiguity (each symbol carries its own
+    * fences, so (a, b) can never fire inside (a, bc)). Both engines'
+    * literal `replace` scan left to right and resume after the
+    * replacement, which is precisely the merge rule — the whole training
+    * loop stays in codegen'd string ops, no UDF, no lambda. */
+  private val SymL = "\u0002"
+  private val SymR = "\u0003"
+  private def charsToRepr(c: Column): Column =
+    regexp_replace(c, "(.)", SymL + "$1" + SymR)
+  private def reprToSyms(c: Column): Column =
+    regexp_extract_all(c, lit(SymL + "([^" + SymR + "]*)" + SymR), lit(1))
+
+  /** Distributed byte-pair-encoding training
+    * (Sennrich/Haddow/Birch 2016's word-frequency formulation): collapse
+    * the corpus to its distinct-word frequency table ONCE (the corpus's
+    * only wide pass — pair statistics are identical because a pair
+    * occurs `freq` times per distinct word, never across word
+    * boundaries), then run `numMerges` bounded iterations: count
+    * adjacent symbol pairs weighted by word frequency, pick the winner
+    * by (count desc, left asc, right asc) — a total, engine-neutral
+    * order — and apply it as one literal `replace` over every word's
+    * symbol framing.
+    *
+    * Scale shape: the word table is persisted (MEMORY_AND_DISK, freed in
+    * a finally — distinct words of a 100 TB corpus are GBs, not TBs),
+    * each iteration is one hash aggregate over it plus a
+    * TakeOrdered-limit(1) argmax (O(1) driver state per iteration,
+    * O(K) total — the centroid convention), and merge application is a
+    * narrow literal-replace projection, never a join. K iterations = K
+    * bounded shuffles; nothing corpus-sized ever reaches the driver.
+    * Words containing the framing control chars U+0002/U+0003 are
+    * dropped from training (logged) — they cannot be framed faithfully.
+    *
+    * Training stops early if no pair remains (every word fully merged);
+    * the returned model then has fewer than `numMerges` ranks. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               numMerges: Int, materializeEvery: Int = 8): BpeModel = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(materializeEvery >= 1,
+      s"materializeEvery must be >= 1, got $materializeEvery")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wordFreq = docs
+      .select(explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains(SymL) && !col("word").contains(SymR))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist(mem)
+    // alphabet: distinct single chars, Spark's binary string order
+    // (NOT a driver-side Scala sort — UTF-16 code-unit order diverges
+    // from UTF-8 binary order outside ASCII, and the oracle sorts
+    // engine-side)
+    val alphabet = wordFreq
+      .select(explode(split(col("word"), "")).as("c"))
+      .filter(col("c") =!= "").distinct().orderBy("c")
+      .collect().map(_.getString(0)).toSeq
+    // Working state: (freq, repr) with repr MATERIALIZED into the
+    // persisted table every `materializeEvery` merges. Without the
+    // batching, iteration i's scan re-evaluates all i prior replaces
+    // (O(K²) work total) and the projection's generated code grows
+    // linearly with K — the janino/JIT code-size ceiling this repo has
+    // measured elsewhere (SCALING.md, K-proportional codegen). With it,
+    // per-scan expression depth is ≤ materializeEvery and total work is
+    // O(K) scans of the word table.
+    var cur = wordFreq.select(col("freq"), charsToRepr(col("word")).as("repr"))
+      .persist(mem)
+    cur.count()
+    wordFreq.unpersist()
+    try {
+      var pending = Vector.empty[(String, String)]
+      def reprCol: Column = pending.foldLeft(col("repr")) {
+        case (acc, (l, r)) =>
+          replace(acc, lit(SymL + l + SymR + SymL + r + SymR), lit(SymL + l + r + SymR))
+      }
+      val merges = Seq.newBuilder[(String, String, Long)]
+      var exhausted = false
+      for (i <- 1 to numMerges if !exhausted) {
+        val best = cur
+          .select(col("freq"), reprToSyms(reprCol).as("_syms"))
+          .filter(size(col("_syms")) >= 2)
+          .withColumn("_l", slice(col("_syms"), 1, 10000))
+          .withColumn("_r", slice(col("_syms"), 2, 10000))
+          .select(col("freq"), explode(arrays_zip(col("_l"), col("_r"))).as("_p"))
+          .filter(col("_p._r").isNotNull)
+          .groupBy(col("_p._l").as("l"), col("_p._r").as("r"))
+          .agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((l, r, c))
+          pending :+= ((l, r))
+          if (pending.size >= materializeEvery && i < numMerges) {
+            val next = cur.select(col("freq"), reprCol.as("repr")).persist(mem)
+            next.count()
+            cur.unpersist()
+            cur = next
+            pending = Vector.empty
+          }
+        }
+      }
+      BpeModel(alphabet, merges.result())
+    } finally cur.unpersist()
+  }
+
+  /** The [[bpeTrain]] merge list as a DataFrame —
+    * (rank, left_sym, right_sym, merged, pair_count), rank 1-based in
+    * merge order. O(K) rows from driver state. */
+  def bpeMergesDf(spark: org.apache.spark.sql.SparkSession,
+                  model: BpeModel): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r, c), i) => ((i + 1).toLong, l, r, l + r, c) }
+      .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** BPE encoding against a trained model: tokenize exactly as training
+    * did, frame each word's characters, apply the K merges in rank order
+    * (the training-parity contract: encode IS the training loop replayed
+    * on one word), split back to symbols and map them to vocabulary ids.
+    * Emits one row per (doc, word, symbol) —
+    * (idCol, word_idx, sym_idx, token_id), both indices 0-based — the
+    * id sequence in (word_idx, sym_idx) order. A character outside the
+    * training alphabet stays a lone unmergeable symbol and encodes as
+    * −1 (the OOV contract, [[encodeTokens]]'s convention).
+    *
+    * Scale shape: narrow per-row string ops (K literal replaces in one
+    * codegen'd projection — K is the merge count, a plan constant), an
+    * in-row posexplode fan-out, and ONE broadcast-hash join against the
+    * O(A+K) vocabulary. No shuffle at all. */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, model: BpeModel): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabDf = model.vocab.toDF("_sym", "_vid")
+    val merged = model.merges.foldLeft(charsToRepr(col("_w"))) {
+      case (acc, (l, r, _)) =>
+        replace(acc, lit(SymL + l + SymR + SymL + r + SymR), lit(SymL + l + r + SymR))
+    }
+    docs.select(col(idCol), posexplode(words(col(textCol))).as(Seq("word_idx", "_w")))
+      .filter(col("_w") =!= "")
+      .withColumn("_repr", merged)
+      .select(col(idCol), col("word_idx"),
+        posexplode(reprToSyms(col("_repr"))).as(Seq("sym_idx", "_sym")))
+      .join(broadcast(vocabDf), Seq("_sym"), "left")
+      .select(col(idCol), col("word_idx"), col("sym_idx"),
+        coalesce(col("_vid"), lit(-1L)).as("token_id"))
   }
 }

@@ -1976,6 +1976,62 @@ object QueryPack {
       graft.operators.TextStats.buildVocab(docs, "text", maxSize = 4096, minCount = 2))
   }
 
+  /** Merge count for the BPE oracle pair: small enough that the unrolled
+    * DuckDB CTE chain stays readable, large enough to exercise multi-char
+    * merges merging into each other (the corpus's 31-word vocabulary
+    * supports ~120 merges before exhaustion). */
+  private val bpeMergeCount = 16
+
+  /** Subword (BPE) tokenizer training
+    * ([[graft.operators.TextStats.bpeTrain]]): the ordered merge table —
+    * rank, the pair merged at that rank, its weighted count. The corpus
+    * collapses to its distinct-word frequency table once (the only
+    * corpus-wide shuffle); each of the 16 ranks is one bounded hash
+    * aggregate over that table plus an O(1) TakeOrdered argmax. The
+    * DuckDB twin re-derives every rank independently through an unrolled
+    * CTE chain — same framing, same (count desc, pair asc) tie-break —
+    * so the hash pins the whole training trajectory, not just the final
+    * vocabulary. */
+  def xBpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.bpeMergesDf(s,
+      graft.operators.TextStats.bpeTrain(T(s, dir, "documents"), "text", bpeMergeCount))
+
+  /** BPE encoding ([[graft.operators.TextStats.bpeEncode]]) with the
+    * model trained by [[xBpeTrain]]'s loop: one row per (doc, word,
+    * subword) with its vocabulary id, in (word_idx, sym_idx) order. A
+    * sentinel doc of out-of-alphabet words ('zz xx' — the corpus has no
+    * z or x) is unioned in to pin the OOV −1 contract. Encode-side plan
+    * is shuffle-free: K literal replaces in one projection, in-row
+    * posexplode, broadcast vocab join. */
+  def xBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents")
+    val model = graft.operators.TextStats.bpeTrain(docs, "text", bpeMergeCount)
+    val withOov = docs.select(col("doc_id"), col("text"))
+      .unionAll(Seq((-1L, "zz xx")).toDF("doc_id", "text"))
+    graft.operators.TextStats.bpeEncode(withOov, "doc_id", "text", model)
+  }
+
+  /** The canonical training-data pipeline COMPOSED as one job
+    * ([[graft.operators.TextPipeline.e2e]]): gopher-repetition gate +
+    * lexicon gate → exact dedup → 10-gram decontamination against the
+    * every-50th-doc benchmark split → per-language calibrated-quality
+    * gate (drop the bottom decile) → temperature mixing (alpha 0.5) →
+    * 2000-token packing → 8-shard seeded shuffle. Every stage has its
+    * own oracle row; THIS row pins the composition — the oracle
+    * re-derives all seven stages in one WITH chain, so membership,
+    * sequence layout AND shard order must survive the full chain
+    * bit-for-bit. PlanQualitySpec pins the composed plan's corpus-scan
+    * and exchange counts (the duplicated-subtree trap is a
+    * composition-time bug no single-operator row can catch). */
+  def xPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.TextPipeline.e2e(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", "lang",
+      docs.filter(col("doc_id") % 50 === 0), "text",
+      lexicon = Seq("zebra", "slow"))
+  }
+
   /** Sliding token-window chunking
     * ([[graft.operators.TextStats.chunkTokens]]): every document cut into
     * 64-token windows stepping by 48 (overlap 16) — the RAG-index /
@@ -2366,6 +2422,9 @@ object QueryPack {
     "x_weighted_sample" -> (xWeightedSample _),
     "x_chunk_overlap" -> (xChunkOverlap _),
     "x_vocab_encode" -> (xVocabEncode _),
+    "x_bpe_train" -> (xBpeTrain _),
+    "x_bpe_encode" -> (xBpeEncode _),
+    "x_pipeline_e2e" -> (xPipelineE2e _),
     "x_incremental_dedup" -> (xIncrementalDedup _),
     "x_cluster_topics" -> (xClusterTopics _),
     "x_quality_filter" -> (xQualityFilter _),
@@ -2451,6 +2510,111 @@ object QueryPack {
        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
        |  FROM bscored)
        |SELECT q_id, rank, doc_id, score FROM branked WHERE rank <= $k""".stripMargin
+
+  /** The ␂sym␃ character-framing projection shared by both BPE oracles —
+    * byte-for-byte the twin of `TextStats.charsToRepr` (RE2's `\1`
+    * rewrite == Java's `$1`; both engines' `.` excludes only line
+    * terminators, and the corpus is printable ASCII). */
+  private def duckBpeFrame(col: String): String =
+    raw"""regexp_replace($col, '(.)', chr(2) || '\1' || chr(3), 'g')"""
+
+  /** One framed symbol list back out of a repr — twin of
+    * `TextStats.reprToSyms`. */
+  private def duckBpeSyms(col: String): String =
+    s"""regexp_extract_all($col, chr(2) || '([^' || chr(3) || ']*)' || chr(3), 1)"""
+
+  /** The unrolled BPE training chain (`TextStats.bpeTrain`'s loop as
+    * CTEs): `wf` distinct-word frequencies, `w0` framed reprs, then per
+    * rank i — `p\$i` freq-weighted adjacent-pair counts, `b\$i` the
+    * (count desc, left, right) argmax, `w\$i` the reprs after applying
+    * that merge as one literal replace. MATERIALIZED pins linear (not
+    * exponential) CTE expansion: w\$i references b\$i twice and w\$(i-1)
+    * once, so inlining would blow up 3^n. The COALESCE guard turns an
+    * exhausted rank into a no-op replace (`chr(2)||chr(2)` cannot occur
+    * in a well-formed framing). */
+  private def duckBpeChain(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH wf AS MATERIALIZED (
+       |  SELECT w AS word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w != '' AND NOT contains(w, chr(2)) AND NOT contains(w, chr(3))
+       |  GROUP BY 1),
+       |w0 AS MATERIALIZED (
+       |  SELECT freq, ${duckBpeFrame("word")} AS repr FROM wf)""".stripMargin
+    for (i <- 1 to n) {
+      val prev = s"w${i - 1}"
+      sb ++= s""",
+       |p$i AS (
+       |  SELECT syms[j] AS l, syms[j + 1] AS r, sum(freq) AS c
+       |  FROM (SELECT freq, ${duckBpeSyms("repr")} AS syms FROM $prev),
+       |    unnest(generate_series(1, len(syms) - 1)) AS t(j)
+       |  GROUP BY 1, 2),
+       |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+      if (i < n) sb ++= s""",
+       |w$i AS MATERIALIZED (
+       |  SELECT freq, replace(repr,
+       |    COALESCE((SELECT chr(2) || l || chr(3) || chr(2) || r || chr(3) FROM b$i),
+       |             chr(2) || chr(2)),
+       |    COALESCE((SELECT chr(2) || l || r || chr(3) FROM b$i), '')) AS repr
+       |  FROM $prev)""".stripMargin
+    }
+    sb.result()
+  }
+
+  /** BPE training oracle: the b1..bn argmax rows stitched into the
+    * (rank, left_sym, right_sym, merged, pair_count) merge table. */
+  private def duckBpeTrain(n: Int): String =
+    duckBpeChain(n) + "\n" + (1 to n).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, r AS right_sym,
+         |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** BPE encoding oracle: replay the training chain for the model, build
+    * the alphabet+merges vocabulary (duplicate surface forms collapsed to
+    * the smallest id — `BpeModel.vocab`'s contract), then frame every
+    * word of documents ∪ the OOV sentinel, apply the n merges in rank
+    * order, and id-join the resulting symbols. */
+  private def duckBpeEncode(n: Int): String = {
+    val mergeUnion = (1 to n)
+      .map(i => s"SELECT $i AS rank, l, r FROM b$i").mkString(" UNION ALL ")
+    val encChain = (1 to n).map { i =>
+      s""",
+       |e$i AS (SELECT doc_id, word_idx, replace(repr,
+       |    COALESCE((SELECT chr(2) || l || chr(3) || chr(2) || r || chr(3) FROM b$i),
+       |             chr(2) || chr(2)),
+       |    COALESCE((SELECT chr(2) || l || r || chr(3) FROM b$i), '')) AS repr
+       |  FROM e${i - 1})""".stripMargin
+    }.mkString
+    duckBpeChain(n) + s""",
+       |alpha AS MATERIALIZED (
+       |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+       |  FROM (SELECT DISTINCT c AS sym
+       |        FROM (SELECT unnest(string_split(word, '')) AS c FROM wf)
+       |        WHERE c != '')),
+       |vocab AS MATERIALIZED (
+       |  SELECT sym, min(id) AS id FROM (
+       |    SELECT sym, id FROM alpha
+       |    UNION ALL
+       |    SELECT l || r AS sym, (SELECT count(*) FROM alpha) + rank - 1 AS id
+       |    FROM ($mergeUnion)
+       |  ) GROUP BY 1),
+       |d AS (SELECT doc_id, text FROM documents
+       |      UNION ALL SELECT CAST(-1 AS BIGINT), 'zz xx'),
+       |tok AS (
+       |  SELECT doc_id, CAST(j - 1 AS INT) AS word_idx, ws[j] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+       |    unnest(generate_series(1, len(ws))) AS t(j)
+       |  WHERE ws[j] != ''),
+       |e0 AS (SELECT doc_id, word_idx, ${duckBpeFrame("w")} AS repr FROM tok)""".stripMargin +
+      encChain + s""",
+       |s AS (
+       |  SELECT doc_id, word_idx, CAST(j - 1 AS INT) AS sym_idx, syms[j] AS sym
+       |  FROM (SELECT doc_id, word_idx, ${duckBpeSyms("repr")} AS syms FROM e$n),
+       |    unnest(generate_series(1, len(syms))) AS t(j))
+       |SELECT doc_id, word_idx, sym_idx,
+       |  COALESCE(v.id, CAST(-1 AS BIGINT)) AS token_id
+       |FROM s LEFT JOIN vocab v ON s.sym = v.sym""".stripMargin
+  }
 
   /** DuckDB equivalents. Shared md5-prefix hash:
     * `('0x'||substr(md5(x),1,8))::BIGINT` == Spark `conv(substr(md5(x),1,8),16,10)`. */
@@ -2685,6 +2849,79 @@ object QueryPack {
         |  CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_fp
         |FROM enc GROUP BY doc_id""".stripMargin,
+    "x_bpe_train" -> duckBpeTrain(bpeMergeCount),
+    "x_bpe_encode" -> duckBpeEncode(bpeMergeCount),
+    // The seven-stage composition re-derived relationally; each stage's
+    // idiom is copied verbatim from its single-operator oracle row
+    // (x_gopher_quality's gram fragment, x_lexicon_hits, x_dedup_exact's
+    // keeper, x_decontaminate at n = 10, x_quality_calibrated,
+    // x_temperature_apply's window algebra, x_pack, x_shuffle_shards).
+    "x_pipeline_e2e" ->
+      """WITH t0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 50 <> 0),
+        |g0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \n\t\r]+'), w -> w != '') AS wsa,
+        |    length(text) AS tlen
+        |  FROM t0),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(wsa)), i -> wsa[i] || ' ' || wsa[i+1])) AS gram
+        |  FROM g0 WHERE len(wsa) >= 2),
+        |gagg AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+        |gtop AS (SELECT doc_id, cnt, gram,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk
+        |  FROM gagg),
+        |gfrac AS (SELECT g0.doc_id,
+        |    round(coalesce(t.cnt * len(t.gram), 0)::DOUBLE / g0.tlen, 4) AS frac
+        |  FROM g0 LEFT JOIN (SELECT doc_id, cnt, gram FROM gtop WHERE rk = 1) t USING (doc_id)),
+        |lh AS (SELECT doc_id,
+        |    count(*) FILTER (WHERE lower(tok) IN ('zebra', 'slow')) AS n_hits
+        |  FROM (SELECT doc_id, unnest(wsa) AS tok FROM g0) GROUP BY 1),
+        |s1 AS (SELECT t0.* FROM t0
+        |  JOIN gfrac USING (doc_id) LEFT JOIN lh USING (doc_id)
+        |  WHERE gfrac.frac <= 0.20 AND coalesce(lh.n_hits, 0) = 0),
+        |s2 AS (SELECT doc_id, lang, text FROM (
+        |    SELECT s1.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM s1) WHERE rn = 1),
+        |tgram AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(ws) - 8), i -> array_to_string(ws[i:i+9], ' ')))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s2)
+        |  WHERE len(ws) >= 10),
+        |bgram AS (SELECT DISTINCT unnest(list_distinct(
+        |    list_transform(range(1, len(ws) - 8), i -> array_to_string(ws[i:i+9], ' ')))) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 50 = 0)
+        |  WHERE len(ws) >= 10),
+        |contam AS (SELECT DISTINCT tgram.doc_id FROM tgram JOIN bgram USING (gram)),
+        |s3 AS (SELECT s2.* FROM s2 WHERE NOT EXISTS
+        |  (SELECT 1 FROM contam c WHERE c.doc_id = s2.doc_id)),
+        |q AS (SELECT doc_id, lang, text,
+        |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
+        |      (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+        |        / length(text)), 4) AS qv
+        |  FROM s3),
+        |s4 AS (SELECT doc_id, lang, text FROM (
+        |    SELECT q.*, round(percent_rank() OVER (PARTITION BY lang ORDER BY qv, doc_id), 4) AS q_rank
+        |    FROM q) WHERE q_rank >= 0.1),
+        |c5 AS (SELECT lang, count(*) AS n FROM s4 GROUP BY 1),
+        |sh5 AS (SELECT lang, n, n::DOUBLE / SUM(n) OVER () AS share FROM c5),
+        |p5 AS (SELECT lang, share, POW(share, 0.5) AS pw FROM sh5),
+        |z5 AS (SELECT lang, share, pw / SUM(pw) OVER () AS target FROM p5),
+        |r5 AS (SELECT lang,
+        |    round((target / share) / MAX(target / share) OVER (), 4) AS rate FROM z5),
+        |s5 AS (SELECT s4.* FROM s4 JOIN r5 USING (lang)
+        |  WHERE ('0x' || substr(md5(s4.lang || ':' || CAST(s4.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+        |    < CAST(round(r5.rate * 10000) AS BIGINT)),
+        |s6 AS (SELECT doc_id, lang,
+        |    lang || '#' || CAST((SUM(len(string_split(text, ' '))) OVER w
+        |        - len(string_split(text, ' '))) // 2000 AS VARCHAR) AS seq_id,
+        |    CAST((SUM(len(string_split(text, ' '))) OVER w
+        |        - len(string_split(text, ' '))) % 2000 AS BIGINT) AS seq_offset
+        |  FROM s5
+        |  WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING))
+        |SELECT doc_id, lang, seq_id, seq_offset,
+        |  CAST(hv % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
+        |FROM (SELECT s6.*,
+        |    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+        |  FROM s6)""".stripMargin,
     "x_cluster_topics" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent
         |  FROM embeddings WHERE vec_id < 16),

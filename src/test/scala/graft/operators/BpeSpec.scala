@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.TextStats.BpeModel
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpeTrain: hand-computed merges, weighted counts, early exhaustion") {
+    // wordFreq: aa:2, ab:1 → pairs (a,a):2 (a,b):1 → merge1 (a,a)
+    // then aa→[aa], ab→[a,b] → merge2 (a,b); then no pairs left
+    val docs = Seq((1L, "aa ab"), (2L, "aa")).toDF("id", "text")
+    val m = TextStats.bpeTrain(docs, "text", numMerges = 5)
+    assert(m.alphabet == Seq("a", "b"))
+    assert(m.merges == Seq(("a", "a", 2L), ("a", "b", 1L)))
+    // vocab: alphabet ids 0..A-1 in order, merges A.. in rank order
+    assert(m.vocab.toMap == Map("a" -> 0L, "b" -> 1L, "aa" -> 2L, "ab" -> 3L))
+  }
+
+  test("bpeTrain: tie on count breaks by (left, right) ascending") {
+    // "cb" and "ba" both count 1; (b,a) < (c,b) lexicographically
+    val docs = Seq((1L, "cb ba")).toDF("id", "text")
+    val m = TextStats.bpeTrain(docs, "text", numMerges = 1)
+    assert(m.merges.head._1 == "b" && m.merges.head._2 == "a")
+  }
+
+  test("bpeTrain: determinism across invocations and partitionings") {
+    val docs = Seq.tabulate(60)(i => (i.toLong, s"row value v${i % 7} agg"))
+      .toDF("id", "text")
+    val a = TextStats.bpeTrain(docs, "text", 8)
+    val b = TextStats.bpeTrain(docs.repartition(7), "text", 8)
+    assert(a == b, "merge list must not depend on partitioning")
+  }
+
+  test("bpeEncode: greedy left-to-right, rank order, OOV -1") {
+    val model = BpeModel(Seq("a", "b"), Seq(("a", "a", 2L), ("a", "b", 1L)))
+    val docs = Seq((7L, "aa ab ba aax aaa")).toDF("id", "text")
+    val got = TextStats.bpeEncode(docs, "id", "text", model)
+      .orderBy("word_idx", "sym_idx")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0, 0, 2L),            // "aa"  -> [aa]
+      (1, 0, 3L),            // "ab"  -> [ab]
+      (2, 0, 1L), (2, 1, 0L),// "ba"  -> [b, a] (no (b,a) merge trained)
+      (3, 0, 2L), (3, 1, -1L), // "aax" -> [aa, x] with x OOV
+      (4, 0, 2L), (4, 1, 0L))) // "aaa" -> greedy [aa, a], NOT [a, aa]
+  }
+
+  test("bpeEncode parity: encoding the training corpus replays training reprs") {
+    // every encoded symbol of the training corpus must be in-vocab (no -1):
+    // encode replays the merge loop, so training symbols are reachable
+    val docs = Seq.tabulate(40)(i => (i.toLong, s"table scan t${i % 5} fast"))
+      .toDF("id", "text")
+    val m = TextStats.bpeTrain(docs, "text", 10)
+    val enc = TextStats.bpeEncode(docs, "id", "text", m)
+    assert(enc.filter($"token_id" === -1L).count() == 0,
+      "training-corpus encode must never go OOV")
+    // id range: [0, |alphabet| + |merges|)
+    val ids = enc.select("token_id").as[Long].collect()
+    assert(ids.forall(id => id >= 0 && id < m.alphabet.size + m.merges.size))
+  }
+
+  test("bpeModel.vocab collapses duplicate surface forms to the smallest id") {
+    val m = BpeModel(Seq("a", "b", "c"),
+      Seq(("a", "b", 9L), ("ab", "c", 5L), ("b", "c", 4L), ("a", "bc", 3L)))
+    // "abc" minted twice (rank 2: ab+c, rank 4: a+bc) → one entry, min id
+    val v = m.vocab.toMap
+    assert(v("abc") == 4L) // alphabet 0..2, rank-2 merge id = 3+2-1 = 4
+    assert(m.vocab.size == m.vocab.map(_._1).distinct.size)
+  }
+}

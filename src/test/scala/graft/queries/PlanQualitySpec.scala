@@ -532,6 +532,53 @@ class PlanQualitySpec extends SparkSpec {
       s"token stream must never sort-merge on word:\n$plan")
   }
 
+  test("pipeline e2e: one corpus scan (cached, consumed twice), one lang exchange shared by calibrate+pack") {
+    // The composition-time claims no single-operator row can pin:
+    //  - the training corpus is read from parquet ONCE (the persist after
+    //    dedup); the decontamination gram branch and the main branch both
+    //    consume the cache — without the materialization each would
+    //    re-plan gate+dedup from the scan (the duplicated-subtree trap)
+    //  - calibrate's stratum window and pack's stratum window share ONE
+    //    hashpartitioning(lang) exchange (EnsureRequirements inserts only
+    //    a sort between them)
+    //  - the contaminated-id anti join resolves to a runtime BROADCAST
+    //    (AQE sees the aggregated id set's true size), never a corpus
+    //    sort-merge
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = QueryPack.xPipelineE2e(spark, sf)
+    try {
+      assert(df.collect().nonEmpty, "pipeline produced no rows at sf0.001")
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      val ns = nodes(df.queryExecution.executedPlan)
+      val cacheScans = ns.count(_.isInstanceOf[InMemoryTableScanExec])
+      assert(cacheScans == 2,
+        s"training cache must feed exactly the two consumers, got $cacheScans")
+      val parquetScans = ns.count(_.isInstanceOf[FileSourceScanExec])
+      assert(parquetScans == 1,
+        s"only the benchmark side may rescan parquet, got $parquetScans")
+      val langExchanges = ns.collect {
+        case e: ShuffleExchangeLike => e.outputPartitioning
+      }.count {
+        case h: HashPartitioning => h.expressions.exists(_.toString.contains("lang"))
+        case _ => false
+      }
+      assert(langExchanges == 1,
+        s"calibrate+pack must share one lang exchange, got $langExchanges")
+      val planStr = ns.mkString("\n")
+      assert(planStr.contains("BroadcastHashJoin") && planStr.contains("LeftAnti"),
+        "contaminated-id anti join must broadcast at runtime")
+    } finally graft.operators.TextPipeline.unpersistPipeline(df)
+  }
+
   test("mapping pipeline stays narrow: records() plan has no exchange") {
     val yaml =
       """|klass: K
