@@ -270,6 +270,89 @@ object Multimodal {
       }.toDF("doc_id", "frame", "n_bytes", "embedding")
   }
 
+  /** 64-bit difference hash (dHash) of a decodable image: luma is
+    * area-averaged onto a 9×8 grid (each cell averages its exact pixel
+    * rectangle — deterministic arithmetic, no Graphics2D interpolation
+    * whose kernels vary by platform), then bit (row·8 + col) is set iff
+    * cell (row, col) is brighter than its right neighbour. Horizontal
+    * gradients survive uniform brightness/contrast shifts and re-encoding,
+    * so perceptual near-dups land within a few bits of hamming distance —
+    * the property [[TextDedup.bandedHammingPairs]]'s banding exploits.
+    * None when the bytes aren't a decodable image.
+    *
+    * Public formulation: the widely documented dHash (Krawetz,
+    * hackerfactor.com "Kind of Like That", 2013). */
+  def imageDHash(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val (gw, gh) = (9, 8)
+      val w = img.getWidth
+      val h = img.getHeight
+      val cell = Array.ofDim[Double](gh, gw)
+      var gy = 0
+      while (gy < gh) {
+        val y0 = (gy.toLong * h / gh).toInt
+        val y1 = math.max(y0 + 1, ((gy + 1).toLong * h / gh).toInt)
+        var gx = 0
+        while (gx < gw) {
+          val x0 = (gx.toLong * w / gw).toInt
+          val x1 = math.max(x0 + 1, ((gx + 1).toLong * w / gw).toInt)
+          var sum = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                0.114 * (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          cell(gy)(gx) = sum / ((y1 - y0).toLong * (x1 - x0))
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      var r = 0
+      while (r < gh) {
+        var c = 0
+        while (c < 8) {
+          if (cell(r)(c) > cell(r)(c + 1)) hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** Per-image 64-bit perceptual hash column — the detect half of image
+    * dedup: feed the result straight into
+    * [[graft.operators.TextDedup.bandedHammingPairs]] (64 bits, 4 bands,
+    * maxHamming ≤ 3 exact by pigeonhole) for banded near-dup pairs, never
+    * an all-pairs join. Decodable images get the REAL [[imageDHash]];
+    * undecodable bytes fall back to a deterministic md5-derived stub hash
+    * (synthetic fixtures stay runnable; stub hashes are uniform, so they
+    * pair only with byte-identical twins — hamming 0 — never spuriously).
+    * Narrow mapPartitions, zero shuffle; one decode context per task. */
+  def imagePHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "image").map { r =>
+        val h = imageDHash(r.bytes).getOrElse {
+          val md = java.security.MessageDigest.getInstance("MD5").digest(r.bytes)
+          java.nio.ByteBuffer.wrap(md).getLong
+        }
+        (r.docId, h)
+      }
+    }.toDF("doc_id", "phash")
+  }
+
   /** Attach media as a binary column + metadata struct to a DataFrame —
     * the canonical storage shape (binary survives Parquet unchanged). */
   def withMediaColumns(df: DataFrame, bytesCol: String): DataFrame =

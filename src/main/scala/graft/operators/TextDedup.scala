@@ -193,18 +193,41 @@ object TextDedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 16, bands: Int = 4,
                    maxHamming: Int = 3, wideHash: Boolean = false,
-                   checkpointDir: Option[String] = None): DataFrame = {
+                   checkpointDir: Option[String] = None): DataFrame =
+    bandedHammingPairs(simhash(docs, idCol, textCol, bits, wideHash),
+      idCol, s"simhash$bits", bits, bands, maxHamming, checkpointDir)
+
+  /** The band-join half of [[simhashPairs]], generic over any integer
+    * signature column — the machinery image perceptual hashes
+    * ([[graft.multimodal.Multimodal.imagePHashes]], 64-bit dHash) reuse
+    * wholesale: cut the `bits`-bit signature into `bands` equal slices,
+    * collide candidates on (band index, slice value), verify each by
+    * exact hamming distance. Pigeonhole contract as in [[simhashPairs]]:
+    * hamming < `bands` ⇒ at least one identical band ⇒ the pair is always
+    * generated; `maxHamming ≥ bands` is rejected.
+    *
+    * Slicing uses LOGICAL shift (`shiftrightunsigned`), so full 64-bit
+    * signatures with the sign bit set band correctly. The signature frame
+    * is checkpointed before the self-join (both sides would otherwise
+    * re-run its lineage — for [[simhashPairs]] that lineage is the corpus
+    * word explode + per-doc aggregation, the most expensive phase).
+    *
+    * Output: (`idCol`_a, `idCol`_b, hamming), idA < idB, distinct. */
+  def bandedHammingPairs(sig: DataFrame, idCol: String, sigColName: String,
+                         bits: Int, bands: Int = 4, maxHamming: Int = 3,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"signature width 1..64, got $bits")
     require(bands > 0 && bits % bands == 0,
       s"bits ($bits) must split evenly into bands ($bands)")
     require(maxHamming >= 0 && maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands, got $maxHamming/$bands")
     val w = bits / bands
-    val ckpt = graft.runtime.Checkpoints.policy(docs.sparkSession, checkpointDir)
-    val sig = ckpt(simhash(docs, idCol, textCol, bits, wideHash))
-    val sigCol = col(s"simhash$bits")
+    val ckpt = graft.runtime.Checkpoints.policy(sig.sparkSession, checkpointDir)
+    val sigF = ckpt(sig.select(col(idCol), col(sigColName).cast("long").as("_sig")))
+    val mask = if (w == 64) -1L else (1L << w) - 1
     val slices = (0 until bands).map(b =>
-      shiftright(sigCol, b * w).bitwiseAND((1L << w) - 1))
-    val banded = sig.select(col(idCol), sigCol.as("_sig"),
+      shiftrightunsigned(col("_sig"), b * w).bitwiseAND(mask))
+    val banded = sigF.select(col(idCol), col("_sig"),
       posexplode(array(slices: _*)).as(Seq("_band", "_key")))
     banded.as("a").join(banded.as("b"),
         col("a._band") === col("b._band") && col("a._key") === col("b._key") &&

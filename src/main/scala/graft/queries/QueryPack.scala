@@ -905,6 +905,27 @@ object QueryPack {
         col("hamming"))
   }
 
+  /** Image near-dup pairs via the perceptual-hash band machinery
+    * ([[graft.operators.TextDedup.bandedHammingPairs]] — the generic half
+    * of `simhashPairs` that [[graft.multimodal.Multimodal.imagePHashes]]'s
+    * 64-bit dHash feeds in production). The image DECODE isn't
+    * SQL-expressible (MultimodalSpec pins it on real rasters); this row
+    * pins the banded pair generation itself on a deterministic 56-bit
+    * hash fixture both engines derive identically: documents in families
+    * of 12 (`doc_id div 12`) share a family base hash and each member
+    * flips one distinct bit (`doc_id % 56`), so within-family pairs sit
+    * at hamming 2 — under the 4-band pigeonhole guarantee every one MUST
+    * be generated (banded-not-all-pairs, plan-pinned by PlanQualitySpec). */
+  def xImageDedupPairs(s: SparkSession, dir: String): DataFrame = {
+    val fixture = T(s, dir, "documents").selectExpr("doc_id",
+      """cast(conv(substring(md5(concat('fam:', cast(doc_id div 12 as string))), 1, 14), 16, 10) as bigint)
+         ^ shiftleft(cast(1 as bigint), cast(doc_id % 56 as int)) as phash""")
+    graft.operators.TextDedup.bandedHammingPairs(fixture, "doc_id", "phash",
+        bits = 56, bands = 4, maxHamming = 3)
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+        col("hamming"))
+  }
+
   /** N-gram Jaccard near-dup over a bounded candidate set (all-pairs on a
     * small id range — production path is LSH above). */
   def xJaccard(s: SparkSession, dir: String): DataFrame =
@@ -2381,6 +2402,7 @@ object QueryPack {
     "x_simhash" -> (xSimhash _),
     "x_simhash_pairs" -> (xSimhashPairs _),
     "x_simhash_pairs_sized" -> (xSimhashPairsSized _),
+    "x_image_dedup_pairs" -> (xImageDedupPairs _),
     "x_jaccard" -> (xJaccard _),
     "x_ann_cosine" -> (xAnnCosine _),
     "x_ann_lsh" -> (xAnnLsh _),
@@ -3367,6 +3389,19 @@ object QueryPack {
         |FROM banded a JOIN banded b
         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin),
+    "x_image_dedup_pairs" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    xor(('0x'||substr(md5('fam:'||CAST(doc_id // 12 AS VARCHAR)),1,14))::BIGINT,
+        |        (CAST(1 AS BIGINT) << CAST(doc_id % 56 AS INT))) AS sh
+        |  FROM documents),
+        |banded AS (SELECT doc_id, sh, band, (sh >> (band * 14)) & 16383 AS key
+        |           FROM sig, unnest(generate_series(0, 3)) AS t(band))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
     "x_simhash_pairs_sized" -> (
       """WITH wv AS (
         |  SELECT MIN(p) AS w FROM range(8, 15) t(p)

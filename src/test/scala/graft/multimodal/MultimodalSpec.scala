@@ -280,6 +280,73 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.docId == 8 && stub.rms >= 0.0 && stub.rms <= 1.0)
   }
 
+  /** A real PNG whose luma at (x, y) comes from a seeded pattern — smooth
+    * enough to survive JPEG, structured enough that distinct seeds give
+    * distant dHashes. `shift` adds uniform brightness (kept clamp-free). */
+  private def patternedImage(seed: Int, w: Int, h: Int, format: String,
+                             shift: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (96 + 64 * math.sin(seed * 1.7 + 6.0 * x / w) *
+        math.cos(seed * 0.9 + 6.0 * y / h)).toInt + shift
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash: brightness-shift invariant, JPEG-robust, distinct across patterns") {
+    val base = imageDHash(patternedImage(1, 64, 64, "png")).get
+    // uniform +40 brightness preserves every horizontal gradient exactly
+    val bright = imageDHash(patternedImage(1, 64, 64, "png", shift = 40)).get
+    assert(hamming(base, bright) == 0, "dHash must ignore uniform brightness")
+    // lossy re-encode: perceptually identical → within banding reach
+    val jpeg = imageDHash(patternedImage(1, 64, 64, "jpg")).get
+    assert(hamming(base, jpeg) <= 3, s"JPEG twin drifted ${hamming(base, jpeg)} bits")
+    // a different pattern is far away — dHashes don't collide by shape
+    val other = imageDHash(patternedImage(2, 64, 64, "png")).get
+    assert(hamming(base, other) > 10, s"distinct patterns only ${hamming(base, other)} apart")
+    // resolution change preserves the gradient structure (area-averaged grid)
+    val small = imageDHash(patternedImage(1, 32, 32, "png")).get
+    assert(hamming(base, small) <= 6, s"rescale drifted ${hamming(base, small)} bits")
+  }
+
+  test("image dedup: pHashes + banded hamming pairs find the planted near-dup only") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRow(1, "image", patternedImage(1, 64, 64, "png"), MediaMeta("png", 0, 0, 0, 0)),
+      MediaRow(2, "image", patternedImage(1, 64, 64, "jpg"), MediaMeta("jpg", 0, 0, 0, 0)),
+      MediaRow(3, "image", patternedImage(2, 64, 64, "png"), MediaMeta("png", 0, 0, 0, 0)),
+      MediaRow(4, "audio", "not-an-image".getBytes("UTF-8"), MediaMeta("wav", 0, 0, 0, 0))
+    ).toDS()
+    val hashes = imagePHashes(ds)
+    assert(hashes.count() == 3, "non-image rows must not hash")
+    val pairs = graft.operators.TextDedup
+      .bandedHammingPairs(hashes, "doc_id", "phash",
+        bits = 64, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)), s"expected only the PNG/JPEG twin pair, got $pairs")
+  }
+
+  test("image dedup stub path: undecodable twins pair at hamming 0, singles don't") {
+    import spark.implicits._
+    val blobA = "blob-A-not-an-image".getBytes("UTF-8")
+    val ds = Seq(
+      MediaRow(10, "image", blobA, MediaMeta("bin", 0, 0, 0, 0)),
+      MediaRow(11, "image", blobA.clone(), MediaMeta("bin", 0, 0, 0, 0)),
+      MediaRow(12, "image", "blob-B-not-an-image".getBytes("UTF-8"), MediaMeta("bin", 0, 0, 0, 0))
+    ).toDS()
+    val pairs = graft.operators.TextDedup
+      .bandedHammingPairs(imagePHashes(ds), "doc_id", "phash",
+        bits = 64, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((10L, 11L, 0)), s"stub hashes must pair only byte-identical twins: $pairs")
+  }
+
   test("binary columns survive a parquet round-trip") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mm").toString + "/media"

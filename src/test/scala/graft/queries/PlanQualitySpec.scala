@@ -183,6 +183,18 @@ class PlanQualitySpec extends SparkSpec {
       s"max_by aggregation missing:\n$plan")
   }
 
+  test("image dedup pairs: banded equi-join, never all-pairs") {
+    // the candidate join must key on (band, slice) — an equi hash/merge
+    // join — not a cartesian/nested-loop product over the hash table
+    val plan = formattedPlan(QueryPack.xImageDedupPairs(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded pair generation degenerated to all-pairs:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"band-key equi join missing:\n$plan")
+  }
+
   test("q5: dims broadcast; only the fact join shuffles") {
     val plan = formattedPlan(QueryPack.q5RegionRevenue(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
