@@ -88,6 +88,22 @@ object TextStats {
       (lit(1.0) - nPunct.cast("double") / length(text)), 4)
   }
 
+  /** Learned quality-filter inference
+    * ([[graft.functions.HashedNgramScore]] — the fastText-style
+    * hashed-ngram linear classifier): per doc, the feature count and the
+    * sigmoid class probability, rounded to 4 dp. One native row-local
+    * pass with the weight table as a plan literal — no token explode, no
+    * weight join, zero shuffle; the heuristic [[quality]]'s learned
+    * sibling for corpora where a trained model exists. */
+  def learnedQuality(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, weights: Seq[Double], bias: Double,
+                     bigrams: Boolean = true): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("_s", graft.functions.HashedNgramScore
+        .hashedNgramScore(col(textCol), weights, bias, bigrams))
+      .select(col(idCol), col("_s.n_features").as("n_features"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("_s.logit"))), 4).as("q_learned"))
+
   /** Normalised content fingerprint: md5 of the lowercased,
     * whitespace-collapsed text. Equal ⇒ same content modulo spacing/case. */
   def contentFingerprint(text: Column): Column =

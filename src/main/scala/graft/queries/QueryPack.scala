@@ -1825,6 +1825,27 @@ object QueryPack {
       graft.operators.TextStats.langId(col("text"), "en", 0.05, stopwords).as("predicted"))
   }
 
+  /** The deterministic weight-table rule shared by [[xQualityLearned]]
+    * and its oracle: bucket i carries
+    * ((i+1)·2654435761 mod 2000003) / 2000003 − 0.5 — a Knuth-hash
+    * pseudo-random value in [−0.5, 0.5) both engines derive with exact
+    * integer arithmetic, standing in for trained fastText weights (the
+    * INFERENCE path is what the operator ships; training produces the
+    * same plan-literal shape). */
+  private val learnedB = 1024
+  private def learnedWeights: Seq[Double] =
+    Seq.tabulate(learnedB)(i => (((i + 1) * 2654435761L) % 2000003L) / 2000003.0 - 0.5)
+
+  /** Learned quality-filter inference
+    * ([[graft.operators.TextStats.learnedQuality]] /
+    * [[graft.functions.HashedNgramScore]]): hashed unigram+bigram linear
+    * model, plan-literal 1024-bucket weight table, h32 bucket hash both
+    * engines share, sigmoid of (bias + mean weight) rounded 4 dp. One
+    * native row-local pass, zero shuffle (plan-pinned). */
+  def xQualityLearned(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.learnedQuality(
+      T(s, dir, "documents"), "doc_id", "text", learnedWeights, bias = 0.1)
+
   /** Quality scoring: token/char/punct stats composed into a score. */
   def xQuality(s: SparkSession, dir: String): DataFrame = {
     val nTok = col("n_tok")
@@ -2423,6 +2444,7 @@ object QueryPack {
     "w3_sliding" -> (w3Sliding _),
     "x_lang_id" -> (xLangId _),
     "x_quality" -> (xQuality _),
+    "x_quality_learned" -> (xQualityLearned _),
     "x_token_count" -> (xTokenCount _),
     "x_fingerprint" -> (xFingerprint _),
     "x_dedup_cluster" -> (xDedupCluster _),
@@ -3496,6 +3518,28 @@ object QueryPack {
         |    t -> t IN ('the','a','and','of','to','in','is','on'))) AS DOUBLE) /
         |    len(string_split(text, ' ')) > 0.05 THEN 'en' ELSE 'other' END AS predicted
         |FROM documents""".stripMargin,
+    // The relational rendering of the hashed-ngram scorer: explode every
+    // token and bigram, re-derive bucket weights from the shared integer
+    // rule, aggregate. Exactly the scale-hostile shape the native
+    // expression replaces — fine at oracle scale, the measured loser at
+    // sf1+ (SCALING.md).
+    "x_quality_learned" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \n\t\r]+'), t -> t != '') AS ts
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id,
+        |    unnest(ts || list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS f
+        |  FROM toks),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS nf,
+        |    sum((((('0x'||substr(md5(f),1,8))::BIGINT % 1024 + 1) * 2654435761) % 2000003)
+        |        / 2000003.0 - 0.5) AS s
+        |  FROM feats GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(coalesce(sc.nf, 0) AS INT) AS n_features,
+        |  round(1.0 / (1.0 + exp(-(0.1 + coalesce(sc.s / sc.nf, 0.0)))), 4) AS q_learned
+        |FROM toks t LEFT JOIN scored sc USING (doc_id)""".stripMargin,
     "x_quality" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,

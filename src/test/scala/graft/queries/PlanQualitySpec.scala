@@ -195,6 +195,18 @@ class PlanQualitySpec extends SparkSpec {
       s"band-key equi join missing:\n$plan")
   }
 
+  test("learned quality: one narrow native scan, zero exchange, inside codegen") {
+    val df = QueryPack.xQualityLearned(spark, sf)
+    val plan = formattedPlan(df)
+    assert(!plan.contains("Exchange"), s"learned scorer must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"no token explode allowed:\n$plan")
+    assert(plan.contains("graft_hashed_ngram_score"),
+      s"native scorer missing from the plan:\n$plan")
+    // doGenCode keeps the scoring Project inside whole-stage codegen
+    // (formatted mode marks fused nodes with [codegen id : N])
+    assert(plan.contains("[codegen id :"), s"codegen span lost:\n$plan")
+  }
+
   test("q5: dims broadcast; only the fact join shuffles") {
     val plan = formattedPlan(QueryPack.q5RegionRevenue(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
