@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,10 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * relational rendering explodes every line and 2-gram of the corpus
   * into a doc-keyed shuffle — this expression keeps the whole
   * computation inside one JVM-compiled eval per ROW with two small
-  * hash maps, the [[CharScan]] argument one level up. CodegenFallback
-  * is deliberate: per-row hash tables have no codegen template, and
-  * the cost model is one virtual call per row doing O(chars) compiled
-  * work — nothing like per-element lambda dispatch.
+  * hash maps, the [[CharScan]] argument one level up. [[doGenCode]]
+  * emits one static call (separator attached via `addReferenceObj`),
+  * so the scan rides whole-stage codegen like
+  * [[NgramSpanHashes]]/[[TermCounts]] instead of forcing the stage to
+  * fall back — the per-row work itself is the same compiled O(chars)
+  * pass either way (measured delta reported in SCALING.md).
   *
   * Contracts (all deterministic, oracle-mirrorable):
   *  - lines = `sep`-split, empty lines dropped; `n_lines` is their count.
@@ -44,7 +46,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *    ASCII corpora); 0.0 under two words.
   */
 case class GopherScan(child: Expression, sep: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def prettyName: String = "graft_gopher_scan"
 
@@ -63,8 +65,27 @@ case class GopherScan(child: Expression, sep: String)
       TypeCheckResult.TypeCheckFailure(s"$prettyName separator must be non-empty")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    GopherScan.scan(input.asInstanceOf[UTF8String], sep)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", sep, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GopherScan.scan($s, $sepRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherScan =
+    copy(child = newChild)
+}
+
+object GopherScan {
+  /** Column form. */
+  def gopherScan(c: Column, sep: String): Column =
+    GraftColumnBridge.column(GopherScan(GraftColumnBridge.expression(c), sep))
+
+  /** The one-pass scan — static so generated code calls it directly. */
+  def scan(input: UTF8String, sep: String): GenericInternalRow = {
+    val text = input.toString
     // --- line signals ---------------------------------------------------
     var nLines = 0
     var dupLines = 0
@@ -124,13 +145,4 @@ case class GopherScan(child: Expression, sep: String)
 
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\n' || c == '\t' || c == '\r'
-
-  override protected def withNewChildInternal(newChild: Expression): GopherScan =
-    copy(child = newChild)
-}
-
-object GopherScan {
-  /** Column form. */
-  def gopherScan(c: Column, sep: String): Column =
-    GraftColumnBridge.column(GopherScan(GraftColumnBridge.expression(c), sep))
 }

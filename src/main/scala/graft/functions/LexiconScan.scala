@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.operators.TextDedup.sharedNgramSpans]]-style window machinery,
   * not this scan. */
 case class LexiconScan(child: Expression, terms: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def prettyName: String = "graft_lexicon_scan"
 
@@ -48,7 +48,7 @@ case class LexiconScan(child: Expression, terms: Seq[String])
       // The scan matches whole whitespace-delimited tokens, so a term
       // containing whitespace (or an empty term) can NEVER match — fail
       // at analysis instead of silently under-counting (ADVICE r11).
-      val bad = terms.filter(t => t.isEmpty || t.exists(isWs))
+      val bad = terms.filter(t => t.isEmpty || t.exists(LexiconScan.isWs))
       if (bad.nonEmpty)
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName terms must be non-empty single words (no " +
@@ -64,8 +64,32 @@ case class LexiconScan(child: Expression, terms: Seq[String])
     s
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    LexiconScan.scan(input.asInstanceOf[UTF8String], termSet)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the per-task term set rides the references array — built once on
+    // the driver, probed per token in generated code
+    val setRef = ctx.addReferenceObj("termSet", termSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.LexiconScan.scan($s, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LexiconScan =
+    copy(child = newChild)
+}
+
+object LexiconScan {
+  /** Column form. */
+  def lexiconScan(c: Column, terms: Seq[String]): Column =
+    GraftColumnBridge.column(LexiconScan(GraftColumnBridge.expression(c), terms))
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\n' || c == '\t' || c == '\r'
+
+  /** The one-pass scan — static so generated code calls it directly. */
+  def scan(input: UTF8String, termSet: java.util.HashSet[String]): GenericInternalRow = {
+    val text = input.toString
     var nTokens = 0
     var nHits = 0
     val hit = new java.util.HashSet[String]()
@@ -84,16 +108,4 @@ case class LexiconScan(child: Expression, terms: Seq[String])
     }
     new GenericInternalRow(Array[Any](nTokens, nHits, hit.size))
   }
-
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\n' || c == '\t' || c == '\r'
-
-  override protected def withNewChildInternal(newChild: Expression): LexiconScan =
-    copy(child = newChild)
-}
-
-object LexiconScan {
-  /** Column form. */
-  def lexiconScan(c: Column, terms: Seq[String]): Column =
-    GraftColumnBridge.column(LexiconScan(GraftColumnBridge.expression(c), terms))
 }
