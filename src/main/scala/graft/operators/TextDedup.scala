@@ -119,19 +119,14 @@ object TextDedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 16, wideHash: Boolean = false): DataFrame = {
     require(bits >= 1 && bits <= 56, s"simhash supports 1..56 bits, got $bits")
-    val wordHash =
-      if (bits <= 32 && !wideHash) h32(col("_w"))
-      else conv(substring(md5(col("_w")), 1, 14), 16, 10).cast("long")
-    val ex = docs.select(col(idCol), explode(words(col(textCol))).as("_w"))
-      .withColumn("_h", wordHash)
-    val bitSums = (0 until bits).map { b =>
-      sum(shiftright(col("_h"), b).bitwiseAND(1) * 2 - 1).as(s"_s$b")
-    }
-    val agg = ex.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until bits).map { b =>
-      when(col(s"_s$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    agg.select(col(idCol), sim.as(s"simhash$bits"))
+    // One native row-local pass ([[graft.functions.SimhashScan]], r12) —
+    // bit-for-bit the explode(words)→groupBy(id)→per-bit-sum rendering it
+    // replaces, WITHOUT that rendering's corpus-wide exchange (a
+    // document's words were never distributed; the shuffle only undid the
+    // explode). Row-local also means the signature applies to a
+    // STREAMING frame unchanged, which the near-dup stream requires.
+    docs.select(col(idCol), graft.functions.SimhashScan
+      .simhashScan(col(textCol), bits, wideHash).as(s"simhash$bits"))
   }
 
   /** The per-band slice width that keeps expected band-bucket population

@@ -99,6 +99,118 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  final case class BandMember(id: Long, sig: Long, tsMs: Long)
+  final case class BandBucket(members: List[BandMember])
+  final case class NearDupPair(idA: Long, idB: Long, hamming: Int)
+
+  /** Streaming NEAR-duplicate candidate pairs — [[dedupStream]]'s exact
+    * fingerprints widened to simhash banding: the unbounded-input
+    * rendering of [[graft.operators.TextDedup.simhashPairs]]. Each doc's
+    * `bits`-bit signature is computed in-row
+    * ([[graft.functions.SimhashScan]] — row-local, so it applies to a
+    * stream unchanged), cut into `bands` slices, and each (band, slice)
+    * bucket keeps the watermark-recent members as keyed state; an
+    * arriving doc is verified by exact hamming distance against its
+    * bucket's members and every pair within `maxHamming` is emitted
+    * exactly once.
+    *
+    * Exactly-once across bands WITHOUT a second stateful dedup stage: a
+    * colliding pair may share several bands, but every group holds both
+    * FULL signatures, so only the smallest matching band index emits
+    * (any other matching band sees a smaller one exists and stays
+    * silent) — pair-distinctness by local arithmetic, not by a
+    * downstream `dropDuplicates` whose state would grow with the pair
+    * count.
+    *
+    * The batch pigeonhole contract carries over (`maxHamming < bands`
+    * enforced: a qualifying pair always shares at least one band) WITHIN
+    * the watermark horizon: two docs more than `watermarkMs` apart in
+    * event time are never paired, and members older than the current
+    * watermark are pruned on every bucket visit — state is bounded by
+    * the horizon's document count × `bands`, never by the stream's
+    * history (the only shape that survives an unbounded feed). Buckets
+    * silent past the horizon remove themselves via event-time timeout.
+    *
+    * StreamsSpec pins batch parity: over a replay whose docs fit inside
+    * the horizon, the union of emitted pairs equals
+    * `TextDedup.simhashPairs` on the same frame, bit for bit. */
+  def nearDupPairsStream(docs: DataFrame, idCol: String, textCol: String,
+                         tsCol: String, bits: Int = 16, bands: Int = 4,
+                         maxHamming: Int = 3, wideHash: Boolean = false,
+                         watermarkMs: Long = 60 * 60 * 1000L): Dataset[NearDupPair] = {
+    require(bands > 0 && bits % bands == 0,
+      s"bits ($bits) must split evenly into bands ($bands)")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands, got $maxHamming/$bands")
+    require(watermarkMs > 0, s"watermarkMs must be positive, got $watermarkMs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    def firstMatchingBand(a: Long, b: Long): Int = {
+      var bd = 0
+      while (bd < bands) {
+        if (((a >>> (bd * w)) & mask) == ((b >>> (bd * w)) & mask)) return bd
+        bd += 1
+      }
+      -1
+    }
+    val slices = (0 until bands).map(b =>
+      shiftrightunsigned(col("_sig"), b * w).bitwiseAND(mask))
+    val banded = docs
+      .withWatermark(tsCol, s"$watermarkMs milliseconds")
+      .select(col(idCol).cast("long").as("_id"),
+        graft.functions.SimhashScan.simhashScan(col(textCol), bits, wideHash).as("_sig"),
+        // a bare alias (no cast) — casting would strip the column's
+        // watermark metadata and break the event-time timeout contract
+        col(tsCol).as("_ts"))
+      .select(col("_id"), col("_sig"), col("_ts"),
+        posexplode(array(slices: _*)).as(Seq("_band", "_key")))
+      .as[(Long, Long, java.sql.Timestamp, Int, Long)]
+    banded
+      .groupByKey { case (_, _, _, band, key) => (band, key) }
+      .flatMapGroupsWithState[BandBucket, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bucket: (Int, Long), rows: Iterator[(Long, Long, java.sql.Timestamp, Int, Long)],
+         state: GroupState[BandBucket]) =>
+          val horizon = state.getCurrentWatermarkMs()
+          val kept = state.getOption.map(_.members).getOrElse(Nil)
+            .filter(_.tsMs >= horizon)
+          if (!rows.hasNext) { // timeout visit: prune or retire the bucket
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(BandBucket(kept))
+              // a very late member must not arm a timeout at/behind the
+              // watermark — Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(kept.map(_.tsMs).max + watermarkMs, horizon + 1))
+            }
+            Iterator.empty
+          } else {
+            val fresh = rows.map(r => BandMember(r._1, r._2, r._3.getTime))
+              .toSeq.sortBy(m => (m.tsMs, m.id))
+            val out = Seq.newBuilder[NearDupPair]
+            var members = kept
+            fresh.foreach { m =>
+              members.foreach { c =>
+                if (c.id != m.id) {
+                  val ham = java.lang.Long.bitCount(c.sig ^ m.sig)
+                  if (ham <= maxHamming &&
+                      firstMatchingBand(c.sig, m.sig) == bucket._1)
+                    out += NearDupPair(math.min(c.id, m.id),
+                      math.max(c.id, m.id), ham)
+                }
+              }
+              members = m :: members
+            }
+            state.update(BandBucket(members))
+            state.setTimeoutTimestamp(
+              math.max(members.map(_.tsMs).max + watermarkMs, horizon + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** File-stream ingestion of delimited data through the mapping pipeline:
     * the streaming twin of the batch Importer's csv path. Headers are
     * consumed by the csv reader; a per-file line ORDINAL does not exist on

@@ -133,6 +133,63 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming near-dup pairs match batch simhashPairs over a replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // 18 docs in 6 families of 3 near-identical texts (one word varies),
+    // all within the 1 h horizon — family members land within small
+    // hamming of each other, cross-family texts far apart
+    val docs = (0 until 18).map { i =>
+      val fam = i % 6
+      (i.toLong,
+        s"family $fam shares almost every word of this sentence variant v${i / 6}",
+        t(f"2024-01-01 10:${i * 3}%02d:00"))
+    }
+    val batch = graft.operators.TextDedup
+      .simhashPairs(docs.toDF("doc_id", "text", "ts"), "doc_id", "text",
+        bits = 16, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty, "replay must actually contain near-dup pairs")
+
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = nearDupPairsStream(in.toDF.toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", bits = 16, bands = 4, maxHamming = 3,
+        watermarkMs = 60 * 60 * 1000L)
+      .writeStream.format("memory").queryName("g_neardup").outputMode("append").start()
+    docs.grouped(7).foreach { b => in.addData(b); q.processAllAvailable() }
+    val streamed = spark.sql("select idA, idB, hamming from g_neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    q.stop()
+    assert(streamed.length == streamed.distinct.length,
+      "a pair must be emitted exactly once across bands and batches")
+    assert(streamed.toSet == batch,
+      s"stream/batch divergence:\n  stream-only: ${streamed.toSet -- batch}\n" +
+        s"  batch-only: ${batch -- streamed.toSet}")
+  }
+
+  test("near-dup stream prunes state past the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val text = "identical text every time for the horizon check"
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = nearDupPairsStream(in.toDF.toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", watermarkMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("g_ndhorizon").outputMode("append").start()
+    in.addData((1L, text, t("2024-01-01 10:00:00"))); q.processAllAvailable()
+    // push the watermark far past doc 1, then send its twin: the pair
+    // must NOT appear — doc 1's state was pruned at the horizon
+    in.addData((2L, "totally different words entirely", t("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    in.addData((3L, text, t("2024-01-01 12:01:00"))); q.processAllAvailable()
+    val pairs = spark.sql("select idA, idB from g_ndhorizon")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(!pairs.contains((1L, 3L)),
+      s"horizon-expired member still paired: $pairs")
+  }
+
   // ---------------------------------------------------------------------
   // Committed parity goldens: the full, deterministic output of each
   // streaming operator over a fixed replay, asserted byte-for-byte against
