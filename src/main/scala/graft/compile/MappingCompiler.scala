@@ -113,9 +113,11 @@ final class MappingCompiler(mapping: TableMapping) {
   }
 
   /** presence() — Ruby blank?/present? (`mapper.rb:190`): whitespace-only,
-    * empty and null are all "blank". */
-  private def presence(c: Column): Column =
-    when(c.isNull || trim(c) === "", lit(null).cast(StringType)).otherwise(c)
+    * empty and null are all "blank". Native single-eval
+    * ([[graft.functions.BlankToNull]]): the Column rendering referenced
+    * its argument three times and nested presence calls multiplied the
+    * underlying cell chain ~9× per field (n3_segments plan, r12). */
+  private def presence(c: Column): Column = graft.functions.BlankToNull.presence(c)
 
   private def isBlank(c: Column): Column = c.isNull || trim(c) === ""
 
@@ -183,8 +185,8 @@ final class MappingCompiler(mapping: TableMapping) {
            date_add(epoch, n.cast("int")).cast(StringType))
         .otherwise(raw)
     } else {
-      // default normalise M13: blank → null, else strip
-      presence(trim(raw))
+      // default normalise M13: blank → null, else strip (single-eval)
+      graft.functions.BlankToNull.stripPresence(raw)
     }
   }
 

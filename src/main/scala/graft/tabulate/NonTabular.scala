@@ -143,6 +143,17 @@ object NonTabular {
     // File-level facts (highest record id, whether the first start opens
     // the file) are windows over the GROUPS, not the lines — one row per
     // record instead of one per line, so no full-line buffering pass.
+    //
+    // collect_list(struct)+sort_array runs as an ObjectHashAggregate (no
+    // codegen) and is the single largest n3_segments cost at sf10 (~10 s
+    // of 27; SCALING.md r12). The obvious cure — pivot single-line
+    // selectors into per-position `max(when(rn = k))` columns — was
+    // BUILT AND MEASURED in r12 and did not pay: a string-valued
+    // aggregation buffer disqualifies HashAggregateExec, so the pivot
+    // planned as Sort(45M on (file, rec_id)) + SortAggregate plus two
+    // extra Window passes for the in-record ordinal, landing within
+    // noise of this shape (27.2 vs 26.6 s). Kept as the measurement; a
+    // future cure must make the buffer primitive, not just the value.
     val groups0 = perLine
       .filter(col("rec_id") >= 1)
       .groupBy(col("file"), col("rec_id"))
@@ -232,24 +243,25 @@ object NonTabular {
     }
 
     // Single-line selectors (`lines: k`, by far the common mapping shape)
-    // take a NO-ARRAY fast path: the capture chain runs as a top-level
-    // codegen'd expression on the one element. The general path below
-    // routes through `transform`/`filter`, which are higher-order
-    // functions and therefore evaluate INTERPRETED — measurably dominant
-    // on multi-million-record segmentations (same disease the native
-    // DotProduct cured for the embedding queries). Semantics are pinned
-    // identical by NonTabularSpec's goldens and the n3_segments oracle:
-    // a missing/out-of-range line, a failed capture, or a blank result
-    // all still produce the joined-empty cell ("").
+    // take a NO-ARRAY fast path: the whole capture chain is ONE fused
+    // native call ([[graft.functions.CaptureChain]]) on the one element.
+    // The composed rendering it replaces repeated the
+    // rlike→extract→strip chain in four CASE positions (subexpression
+    // elimination does not reach conditional branches) — ~7 regex
+    // executions per cell where one Matcher.find per pattern suffices;
+    // the general path below additionally routes through
+    // `transform`/`filter` higher-order functions, which evaluate
+    // interpreted (same disease the native DotProduct cured). Semantics
+    // are pinned identical by NonTabularSpec's goldens, CaptureChainSpec
+    // parity cases and the n3_segments oracle: a missing/out-of-range
+    // line, a failed capture, or a blank result all still produce the
+    // joined-empty cell ("").
     cell.lines.get match {
       case LineSelector.At(i) =>
         val el = when(n > 0, element_at(lines,
           if (i >= 0) lit(i + 1) else lit(i)))
-        val captured = capture(cell, el)
-        val keep =
-          if (cell.preserveBlankLines) captured.isNotNull
-          else captured.isNotNull && trim(captured) =!= ""
-        return when(keep, captured).otherwise(lit(""))
+        return graft.functions.CaptureChain.captureChain(
+          el, cell.capture.map(RubyTranslate.regex))
       case _ => ()
     }
 
