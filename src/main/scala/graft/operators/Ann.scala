@@ -883,4 +883,69 @@ object Ann {
           round(col("_l2"), 4).as("l2_dist"))
     }
   }
+
+  /** SemDedup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication over an embedding column. K-means cells give semantic
+    * locality; near-duplicate candidates meet within a cell; each
+    * duplicate pair keeps the member FARTHEST from its cell centroid
+    * (lowest centroid-cosine — the paper's keep-outliers policy, which
+    * preserves diversity at a given dedup rate). Emits the DROP LIST:
+    * one row per dropped vector with its cell, its centroid-cosine and
+    * its strongest surviving witness `(vec, cell, cent_cos, witness,
+    * cos_sim)`; consumers anti-join it against the corpus.
+    *
+    * Drop rule (deterministic, oracle-pinned): `b` is dropped iff some
+    * cell-mate `a` in the same LSH bucket has `cos(a,b) >= tau` and
+    * `(ccos_a, id_a) < (ccos_b, id_b)` lexicographically on the
+    * 4-dp-rounded centroid-cosines — the pairwise-greedy rendering of
+    * the paper's keep-one-per-group policy (ties broken by id, so both
+    * engines derive the identical kept set).
+    *
+    * Scale shape, where the paper's formulation would not hold: exact
+    * SemDedup compares ALL pairs within a cluster — Σpop², the same
+    * N^1.5 disease that demoted `x_ann_ivf` to a negative control. Here
+    * candidates must share `(cell, LSH bucket)` with a CORPUS-SIZED
+    * plane count ([[planesFor]], target bucket ~64), so pair work stays
+    * ~linear in N while the cluster key still scopes candidates
+    * semantically. Assignment is the narrow native argmin (no shuffle);
+    * the √N-row centroid frame joins as an explicit broadcast; the
+    * signature frame is checkpointed once (the index build) and both
+    * self-join sides read it — one exchange, reused. */
+  def semDedup(vectors: DataFrame, idCol: String, embCol: String,
+               centroids: Seq[(Long, Seq[Double])], planes: Seq[Seq[Int]],
+               tau: Double, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val ckpt = graft.runtime.Checkpoints.policy(spark, checkpointDir)
+    val cents = broadcast(centroids.toDF("_cent_id", "_cent"))
+    val sig = ckpt(assignCells(vectors, embCol, centroids)
+      .withColumn("bucket", lshBucket(col(embCol), planes))
+      .withColumn("_nrm", norm(col(embCol)))
+      .join(cents, col("cell") === col("_cent_id"))
+      // centroid-cosine: same operand order as the pair cosine below and
+      // the DuckDB twin, so the rounded doubles agree bit-for-bit
+      .withColumn("ccos", round(
+        dot(col(embCol), col("_cent")) / (col("_nrm") * norm(col("_cent"))), 4))
+      .select(col(idCol), col(embCol), col("cell"), col("bucket"),
+        col("_nrm"), col("ccos")))
+    val witness = sig.select(col(idCol).as("_w_id"), col(embCol).as("_w_emb"),
+      col("cell").as("_w_cell"), col("bucket").as("_w_bucket"),
+      col("_nrm").as("_w_nrm"), col("ccos").as("_w_ccos"))
+    // bucket populations are sized (~64), so the plain two-key
+    // shuffle-hash join needs no salting — AQE skew-split backs it up
+    val dropped = sig.hint("shuffle_hash").join(witness.hint("shuffle_hash"),
+        col("cell") === col("_w_cell") && col("bucket") === col("_w_bucket") &&
+        col(idCol) =!= col("_w_id"))
+      .filter(col("_w_ccos") < col("ccos") ||
+        (col("_w_ccos") === col("ccos") && col("_w_id") < col(idCol)))
+      .select(col(idCol), col("cell"), col("ccos"), col("_w_id"),
+        round(dot(col(embCol), col("_w_emb")) /
+              (col("_nrm") * col("_w_nrm")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+    dropped.groupBy(col(idCol), col("cell"), col("ccos"))
+      .agg(max_by(struct(col("_w_id").as("witness"), col("cos_sim")),
+                  struct(col("cos_sim"), -col("_w_id"))).as("_best"))
+      .select(col(idCol), col("cell"), col("ccos").as("cent_cos"),
+        col("_best.witness").as("witness"), col("_best.cos_sim").as("cos_sim"))
+  }
 }

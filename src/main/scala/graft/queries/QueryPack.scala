@@ -1254,6 +1254,46 @@ object QueryPack {
       |  SELECT (SELECT MIN(p) FROM range(1, 17) t(p)
       |          WHERE (SELECT count(*) FROM embeddings) <= (CAST(64 AS BIGINT) << p)) AS np),""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.Ann.semDedup]] as `x_semdedup`
+    * runs it: the ivf oracle's cents/assigned CTEs verbatim (same √N
+    * quantizer, same argmin tie-break), the sized bucket expression,
+    * centroid-cosine in the Spark operand order (vector first), then the
+    * lexicographic (ccos, id) drop rule and strongest-witness ranking.
+    * The pair cosine is dropped·witness with denominator b.nrm * a.nrm —
+    * matching the Spark side exactly so the 4-dp doubles hash equal. */
+  private val semDedupOracleSql: String = {
+    val bucketExpr = duckBucketExpr(sizedPlanes, sized = true)
+    def pairCos =
+      "round(list_sum(list_transform(range(1,65), j -> CAST(b.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE))) / (b.nrm * a.nrm), 4)"
+    s"""WITH $nplCte
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+       |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckSqDist("e.embedding", "c.cent")}, c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |sig AS (
+       |  SELECT a.vec_id, a.embedding, a.cell, $bucketExpr AS bucket,
+       |    sqrt(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)))) AS nrm,
+       |    round(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(c.cent[j] AS DOUBLE))) /
+       |      (sqrt(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)))) *
+       |       sqrt(list_sum(list_transform(range(1,65), j -> CAST(c.cent[j] AS DOUBLE) * CAST(c.cent[j] AS DOUBLE))))), 4) AS ccos
+       |  FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+       |pairs AS (
+       |  SELECT b.vec_id AS vec_id, b.cell AS cell, b.ccos AS cent_cos,
+       |    a.vec_id AS witness, $pairCos AS cos_sim
+       |  FROM sig a JOIN sig b
+       |    ON a.cell = b.cell AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+       |  WHERE (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+       |    AND $pairCos >= 0.2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, witness) AS rn
+       |  FROM pairs)
+       |SELECT vec_id, cell, cent_cos, witness, cos_sim FROM ranked WHERE rn = 1""".stripMargin
+  }
+
   private def dedupEmbeddingOracleSqlFor(planes: Seq[Seq[Int]], sized: Boolean): String = {
     val bucketExpr = duckBucketExpr(planes, sized)
     val npl = if (sized) nplCte + "\n" else ""
@@ -1777,6 +1817,18 @@ object QueryPack {
   def xDedupEmbeddingSized(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     dedupEmbedding(emb, sizedPlanesFor(emb.count()))
+  }
+
+  /** SemDedup ([[graft.operators.Ann.semDedup]], Abbas et al. 2023):
+    * cluster-scoped embedding dedup with the keep-farthest-from-centroid
+    * policy. √N deterministic cells (the ivf quantizer both engines
+    * replicate), corpus-sized LSH buckets bounding within-cell pair
+    * work, tau = 0.2 on the 4-dp cosine (the `x_dedup_embedding`
+    * threshold precedent — the synthetic embeddings' near-dup band). */
+  def xSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Ann.semDedup(emb, "vec_id", "embedding",
+      ivfCentroids(emb), sizedPlanesFor(emb.count()), tau = 0.2)
   }
 
   private def dedupEmbedding(emb: DataFrame, planes: Seq[Seq[Int]]): DataFrame = {
@@ -2441,6 +2493,7 @@ object QueryPack {
     "x_ann_pq_lloyd" -> (xAnnPqLloyd _),
     "x_dedup_embedding" -> (xDedupEmbedding _),
     "x_dedup_embedding_sized" -> (xDedupEmbeddingSized _),
+    "x_semdedup" -> (xSemDedup _),
     "w3_sliding" -> (w3Sliding _),
     "x_lang_id" -> (xLangId _),
     "x_quality" -> (xQuality _),
@@ -3497,6 +3550,7 @@ object QueryPack {
     "x_ann_pq_lloyd" -> pqLloydOracleSql,
     "x_dedup_embedding" -> dedupEmbeddingOracleSqlFor(lshPlanes, sized = false),
     "x_dedup_embedding_sized" -> dedupEmbeddingOracleSqlFor(sizedPlanes, sized = true),
+    "x_semdedup" -> semDedupOracleSql,
     "w3_sliding" ->
       """WITH base AS (
         |  SELECT event_type, epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS hour0 FROM events),
