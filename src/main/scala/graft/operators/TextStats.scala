@@ -359,6 +359,43 @@ object TextStats {
         sum(col("_c")).as("n_bigrams"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * split each language's documents into `nBuckets` equal-population
+    * perplexity tiers — bucket 1 = "head" (most fluent under the LM),
+    * the last = "tail". CCNet scores with a KenLM 5-gram; here the LM is
+    * the in-repo [[bigramLogProb]] (higher mean logprob = lower
+    * perplexity), ranked on its PUBLISHED 4-dp rounding with id
+    * tie-break so the tier assignment is reproducible from the scored
+    * table alone. Per-language, not global — a global cut would just
+    * re-discover language frequency (CCNet's stated reason).
+    *
+    * Scale shape: the LM pass is [[bigramLogProb]]'s (pre-aggregated
+    * in-row pairs, one (w1,w2) exchange); attaching the stratum is one
+    * id-keyed shuffle-hash join (corpus-sized on both sides — never
+    * broadcast); the `ntile` window shuffles (id, stratum, score) —
+    * three narrow columns, not documents — and partitions by language,
+    * so no global sort. Sub-two-token docs have no bigrams and no tier
+    * ([[bigramLogProb]]'s absence contract); route them to a quality
+    * gate instead of a perplexity tier. */
+  def perplexityBuckets(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, strataCol: String,
+                        nBuckets: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be at least 2, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLogProb(docs, idCol, textCol)
+      .hint("shuffle_hash")
+      .join(docs.select(col(idCol), col(strataCol)), Seq(idCol))
+    scored
+      .withColumn("bucket", ntile(nBuckets).over(Window.partitionBy(strataCol)
+        .orderBy(col("avg_logprob").desc, col(idCol))))
+      .select(col(idCol), col(strataCol), col("avg_logprob"), col("n_bigrams"),
+        col("bucket"),
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === nBuckets, lit("tail"))
+          .otherwise(lit("middle")).as("tier"))
+  }
+
   /** Temperature-based corpus mixing (the multilingual-pretraining
     * resampler): per-stratum target shares ∝ share^alpha, alpha in (0, 1]
     * — alpha = 1 keeps the natural mix, smaller alpha flattens it toward
@@ -900,5 +937,99 @@ object TextStats {
       .join(broadcast(vocabDf), Seq("_sym"), "left")
       .select(col(idCol), col("word_idx"), col("sym_idx"),
         coalesce(col("_vid"), lit(-1L)).as("token_id"))
+  }
+
+  /** The [[graft.functions.HashedNgramScore]] feature space rendered as
+    * relational rows: normalise to the scorer's exact token stream
+    * (whitespace runs → single space, ROOT lowercase), take the in-row
+    * unigram + adjacent-bigram count maps (disjoint key spaces — a
+    * unigram never contains a space — so `map_concat` is collision-free),
+    * and bucket each feature with the house h32 mod `buckets`. One row
+    * per distinct (doc, feature); never one per occurrence. */
+  private def hashedFeatureRows(docs: org.apache.spark.sql.DataFrame,
+                                cols: Seq[Column], textCol: String,
+                                buckets: Int): org.apache.spark.sql.DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "[ \n\t\r]+", " ")
+    docs.select(cols :+ explode(map_concat(
+        graft.functions.TermCounts.termCounts(norm),
+        graft.functions.PairCounts.pairCounts(norm))).as(Seq("_f", "_c")): _*)
+      .withColumn("_b",
+        conv(substring(md5(col("_f")), 1, 8), 16, 10).cast("long") % buckets)
+  }
+
+  /** DSIR importance log-ratios (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * fit two bag-of-hashed-ngrams unigram models — `p̂` over the TARGET
+    * rows (`isTarget`), `q̂` over the whole raw corpus — and return
+    * `λ_b = ln p̂_b − ln q̂_b` per bucket with add-`alpha` smoothing.
+    * A document's importance log-weight is then `Σ_b c_b λ_b`, exactly
+    * what [[graft.functions.HashedNgramScore]] computes with `λ` as its
+    * weight table (bias 0, sum = logit × n_features) — DSIR inference
+    * reuses the learned-quality scan unchanged.
+    *
+    * Scale shape: features come pre-aggregated per row from the native
+    * count maps ([[hashedFeatureRows]] — no per-occurrence explode),
+    * both models come out of ONE corpus pass (`sum` + conditional `sum`
+    * per bucket), partial aggregation caps what reaches the exchange at
+    * `buckets` rows per partition, and the result is O(buckets) driver
+    * state — the centroid/plan-literal convention (1024 doubles = 8 KB).
+    * Buckets no feature hashes to keep the pure-smoothing default; they
+    * are never probed, so the value is documentation, not behaviour. */
+  def dsirLogRatios(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                    isTarget: Column, buckets: Int = 1024,
+                    alpha: Double = 0.01): Array[Double] = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val rows = hashedFeatureRows(docs, Seq(isTarget.as("_t")), textCol, buckets)
+      .groupBy(col("_b"))
+      .agg(sum(when(col("_t"), col("_c")).otherwise(lit(0))).as("_ct"),
+        sum(col("_c")).as("_cr"))
+      .collect()
+    var nt = 0L; var nr = 0L
+    rows.foreach { r => nt += r.getLong(1); nr += r.getLong(2) }
+    require(nt > 0, "DSIR target selection matched no features")
+    val denomT = nt + alpha * buckets
+    val denomR = nr + alpha * buckets
+    val lam = Array.fill(buckets)(
+      math.log(alpha / denomT) - math.log(alpha / denomR))
+    rows.foreach { r =>
+      lam(r.getLong(0).toInt) =
+        math.log((r.getLong(1) + alpha) / denomT) -
+          math.log((r.getLong(2) + alpha) / denomR)
+    }
+    lam
+  }
+
+  /** DSIR importance scores: `logw = Σ_features λ[h32(f) % B]` per doc
+    * via ONE native [[graft.functions.HashedNgramScore]] pass (the
+    * weight table is the plan-literal `logRatios`; the scan's mean ×
+    * its feature count recovers the sum exactly). Zero shuffle; a doc
+    * with no features scores 0 (it carries no evidence either way). */
+  def dsirScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String,
+                logRatios: Array[Double]): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("_sc", graft.functions.HashedNgramScore.hashedNgramScore(
+        col(textCol), logRatios.toSeq, bias = 0.0, bigrams = true))
+      .select(col(idCol), col("_sc.n_features").as("n_features"),
+        round(col("_sc.logit") * col("_sc.n_features"), 4).as("logw"))
+
+  /** DSIR selection: the `k` docs whose hashed-ngram distribution is
+    * most target-like — greedy top-k by (4-dp `logw` desc, id), the
+    * deterministic rendering of the paper's Gumbel-top-k resample (both
+    * engines derive the identical set; the sampled variant composes by
+    * feeding `exp((logw − max)/β)` into [[weightedSample]]). Plans as
+    * `TakeOrderedAndProject`: a k-sized heap per partition, O(P·k)
+    * driver merge — the right shape while k is selection-sized (top
+    * 10⁵ of 10¹⁰); fraction-sized selection should threshold on `logw`
+    * instead (the [[calibrateByStratum]] calibration path). */
+  def dsirSelect(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, isTarget: Column, k: Int,
+                 buckets: Int = 1024,
+                 alpha: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val lam = dsirLogRatios(docs, textCol, isTarget, buckets, alpha)
+    dsirScore(docs, idCol, textCol, lam)
+      .orderBy(col("logw").desc, col(idCol))
+      .limit(k)
   }
 }

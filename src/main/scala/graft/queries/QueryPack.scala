@@ -1898,6 +1898,26 @@ object QueryPack {
     graft.operators.TextStats.learnedQuality(
       T(s, dir, "documents"), "doc_id", "text", learnedWeights, bias = 0.1)
 
+  /** DSIR data selection ([[graft.operators.TextStats.dsirSelect]],
+    * Xie et al. 2023): target = the English slice, raw = the whole
+    * corpus, B = 1024 hashed unigram+bigram buckets (the
+    * `x_quality_learned` table size), α = 0.01, top-200 by importance
+    * log-weight. The λ table is data-derived — the oracle recomputes
+    * both hashed-ngram models from the same corpus CTEs, so the row
+    * pins count fitting, smoothing, the h32 bucket convention AND the
+    * scoring scan end-to-end. */
+  def xDsirSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.dsirSelect(
+      T(s, dir, "documents"), "doc_id", "text",
+      isTarget = col("lang") === "en", k = 200)
+
+  /** CCNet perplexity tiers ([[graft.operators.TextStats
+    * .perplexityBuckets]], Wenzek et al. 2020): per-language
+    * equal-population head/middle/tail split on the bigram-LM score. */
+  def xPplBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.perplexityBuckets(
+      T(s, dir, "documents"), "doc_id", "text", "lang", nBuckets = 3)
+
   /** Quality scoring: token/char/punct stats composed into a score. */
   def xQuality(s: SparkSession, dir: String): DataFrame = {
     val nTok = col("n_tok")
@@ -2498,6 +2518,8 @@ object QueryPack {
     "x_lang_id" -> (xLangId _),
     "x_quality" -> (xQuality _),
     "x_quality_learned" -> (xQualityLearned _),
+    "x_dsir_select" -> (xDsirSelect _),
+    "x_ppl_buckets" -> (xPplBuckets _),
     "x_token_count" -> (xTokenCount _),
     "x_fingerprint" -> (xFingerprint _),
     "x_dedup_cluster" -> (xDedupCluster _),
@@ -3577,6 +3599,49 @@ object QueryPack {
     // rule, aggregate. Exactly the scale-hostile shape the native
     // expression replaces — fine at oracle scale, the measured loser at
     // sf1+ (SCALING.md).
+    "x_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \n\t\r]+'), t -> t != '') AS ts
+        |  FROM documents),
+        |feats AS (
+        |  SELECT t.doc_id, d.lang,
+        |    unnest(ts || list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS f
+        |  FROM toks t JOIN documents d USING (doc_id)),
+        |bf AS (
+        |  SELECT doc_id, lang, ('0x'||substr(md5(f),1,8))::BIGINT % 1024 AS b FROM feats),
+        |bcnt AS (
+        |  SELECT b, count(*) FILTER (WHERE lang = 'en') AS ct, count(*) AS cr
+        |  FROM bf GROUP BY b),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bcnt),
+        |lam AS (
+        |  SELECT b, ln((ct + 0.01) / (nt + 0.01*1024)) - ln((cr + 0.01) / (nr + 0.01*1024)) AS l
+        |  FROM bcnt CROSS JOIN tot),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS nf, sum(l) AS s FROM bf JOIN lam USING (b) GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(coalesce(sc.nf, 0) AS INT) AS n_features,
+        |  round(coalesce(sc.s, 0.0), 4) AS logw
+        |FROM toks t LEFT JOIN scored sc USING (doc_id)
+        |ORDER BY logw DESC, t.doc_id LIMIT 200""".stripMargin,
+    "x_ppl_buckets" ->
+      """WITH w0 AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws FROM documents),
+        |uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(ws) AS w FROM w0) GROUP BY 1),
+        |t AS (SELECT count(*) AS vsz FROM uni),
+        |bg AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |       FROM w0 WHERE len(ws) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |lm AS (SELECT doc_id,
+        |         round(avg(log10((c12 + 1)::DOUBLE / (c1 + vsz))), 4) AS avg_logprob,
+        |         count(*) AS n_bigrams
+        |       FROM bg JOIN bc USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN t
+        |       GROUP BY 1)
+        |SELECT doc_id, lang, avg_logprob, n_bigrams, bucket,
+        |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+        |       ELSE 'middle' END AS tier
+        |FROM (SELECT d.doc_id AS doc_id, d.lang AS lang, lm.avg_logprob, lm.n_bigrams,
+        |        ntile(3) OVER (PARTITION BY d.lang
+        |                       ORDER BY lm.avg_logprob DESC, d.doc_id) AS bucket
+        |      FROM lm JOIN documents d USING (doc_id))""".stripMargin,
     "x_quality_learned" ->
       """WITH toks AS (
         |  SELECT doc_id,
