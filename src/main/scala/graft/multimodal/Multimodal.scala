@@ -137,6 +137,90 @@ object Multimodal {
     }
   }
 
+  /** 64-bit audio perceptual hash — the [[imageDHash]] formulation
+    * (Krawetz dHash) applied to the mono energy ENVELOPE: decode the
+    * PCM, mix channels down, area-average the squared samples into 65
+    * time slots spanning the whole clip, and set bit `i` when slot `i`
+    * holds more energy than slot `i+1`. Comparisons are monotone in
+    * the energy, so the hash is invariant to volume scaling, and the
+    * duration-proportional slots make it invariant to sample rate —
+    * the same clip resampled or re-gained hashes close (small hamming,
+    * from quantisation at slot edges), while different material's
+    * envelope gradients are uncorrelated (expected hamming 32, the
+    * property [[graft.operators.TextDedup.bandedHammingPairs]]'s
+    * banding exploits). None for bytes the JDK can't decode. */
+  def audioDHash(bytes: Array[Byte]): Option[Long] = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16) { in.close(); None }
+      else {
+        val data = in.readAllBytes()
+        in.close()
+        val ch = math.max(1, fmt.getChannels)
+        val n = data.length / (2 * ch) // mono frames
+        if (n < 2) None
+        else {
+          val mono = new Array[Double](n)
+          var f = 0
+          while (f < n) {
+            var s = 0.0
+            var c = 0
+            while (c < ch) {
+              val i = (f * ch + c) * 2
+              val v =
+                if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+                else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+              s += v / 32768.0
+              c += 1
+            }
+            mono(f) = s / ch
+            f += 1
+          }
+          val slots = new Array[Double](65)
+          var k = 0
+          while (k < 65) {
+            val s0 = (k.toLong * n / 65).toInt
+            val s1 = math.max(s0 + 1, ((k + 1).toLong * n / 65).toInt)
+            var sum = 0.0
+            var i = s0
+            while (i < s1) { sum += mono(i) * mono(i); i += 1 }
+            slots(k) = sum / (s1 - s0)
+            k += 1
+          }
+          var hash = 0L
+          var b = 0
+          while (b < 64) {
+            if (slots(b) > slots(b + 1)) hash |= 1L << b
+            b += 1
+          }
+          Some(hash)
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-clip 64-bit perceptual hash column — the audio leg of the
+    * near-dup triad (text simhash, image dHash, THIS): feed straight
+    * into [[graft.operators.TextDedup.bandedHammingPairs]] (64 bits,
+    * 4 bands, maxHamming ≤ 3 exact by pigeonhole). Undecodable bytes
+    * fall back to the deterministic md5 stub hash ([[imagePHashes]]'s
+    * contract: uniform, so stubs pair only with byte-identical twins).
+    * Narrow mapPartitions, zero shuffle. */
+  def audioPHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "audio").map { r =>
+        val h = audioDHash(r.bytes).getOrElse {
+          val md = java.security.MessageDigest.getInstance("MD5").digest(r.bytes)
+          java.nio.ByteBuffer.wrap(md).getLong
+        }
+        (r.docId, h)
+      }
+    }.toDF("doc_id", "phash")
+  }
+
   /** STUB — sample k frames from a "video": returns k pseudo-frames. */
   def sampleFramesStub(bytes: Array[Byte], meta: MediaMeta, k: Int): Seq[Array[Byte]] =
     (0 until math.min(k, math.max(1, meta.nFrames))).map { i =>
