@@ -421,4 +421,35 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
     q.stop()
   }
+
+  test("DSIR scoring applies to a stream unchanged, equal to batch") {
+    // online data selection: the λ table is fit OFFLINE on a batch
+    // corpus (an aggregate — not streamable), but scoring is one
+    // stateless HashedNgramScore projection, so a trained selector
+    // gates an ingest stream verbatim; selection becomes a filter on
+    // logw rather than batch top-k
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextStats
+    val corpus = Seq(
+      ("alpha beta alpha", true), ("alpha beta", true),
+      ("gamma delta gamma", false), ("delta gamma", false))
+      .toDF("text", "is_tgt")
+    val lam = TextStats.dsirLogRatios(corpus, "text", col("is_tgt"), buckets = 64)
+    val texts = Seq("alpha beta", "gamma delta", "", "alpha gamma")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      TextStats.dsirScore(df.select(col("text").as("doc_id"), col("text")),
+        "doc_id", "text", lam)
+    val in = MemoryStream[String]
+    val q = proj(in.toDF.toDF("text"))
+      .writeStream.format("memory").queryName("dsir").outputMode("append").start()
+    in.addData(texts.take(2)); q.processAllAvailable()
+    in.addData(texts.drop(2)); q.processAllAvailable()
+    val streamed = spark.sql("select * from dsir").collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.head)
+    val batch = proj(texts.toDF("text")).collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.head)
+    assert(streamed.toSeq == batch.toSeq)
+    q.stop()
+  }
 }
