@@ -916,12 +916,40 @@ object TextStats {
     * training alphabet stays a lone unmergeable symbol and encodes as
     * −1 (the OOV contract, [[encodeTokens]]'s convention).
     *
-    * Scale shape: narrow per-row string ops (K literal replaces in one
-    * codegen'd projection — K is the merge count, a plan constant), an
+    * Scale shape: ONE native segmentation call per word row
+    * ([[graft.functions.BpeSegment]] — the merge loop over a small
+    * in-memory symbol array, merge table plan-literal via
+    * `addReferenceObj`; it replaced a per-word chain of one
+    * `regexp_replace` + K literal replaces + one `regexp_extract_all`
+    * whose ~18 intermediate allocations were the measured cost), an
     * in-row posexplode fan-out, and ONE broadcast-hash join against the
-    * O(A+K) vocabulary. No shuffle at all. */
+    * O(A+K) vocabulary. No shuffle at all. The replace-chain rendering
+    * remains the training loop's incremental form and the parity
+    * reference ([[bpeEncodeReplaceChain]], property-pinned in BpeSpec). */
   def bpeEncode(docs: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, model: BpeModel): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabDf = model.vocab.toDF("_sym", "_vid")
+    docs.select(col(idCol), posexplode(words(col(textCol))).as(Seq("word_idx", "_w")))
+      .filter(col("_w") =!= "")
+      .select(col(idCol), col("word_idx"),
+        posexplode(graft.functions.BpeSegment.bpeSegment(col("_w"),
+          model.merges.map(m => (m._1, m._2)))).as(Seq("sym_idx", "_sym")))
+      .join(broadcast(vocabDf), Seq("_sym"), "left")
+      .select(col(idCol), col("word_idx"), col("sym_idx"),
+        coalesce(col("_vid"), lit(-1L)).as("token_id"))
+  }
+
+  /** The composable replace-chain rendering of [[bpeEncode]] — the
+    * training loop's own framing/replace semantics applied from
+    * scratch, kept as the parity REFERENCE for the native
+    * [[graft.functions.BpeSegment]] fast path (BpeSpec pins them
+    * equal on randomized words; a semantics drift in the native merge
+    * loop fails the property, not the oracle three rounds later). */
+  private[graft] def bpeEncodeReplaceChain(docs: org.apache.spark.sql.DataFrame,
+                                           idCol: String, textCol: String,
+                                           model: BpeModel): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val vocabDf = model.vocab.toDF("_sym", "_vid")

@@ -60,6 +60,26 @@ class BpeSpec extends SparkSpec {
     assert(ids.forall(id => id >= 0 && id < m.alphabet.size + m.merges.size))
   }
 
+  test("native BpeSegment matches the replace-chain rendering on randomized words") {
+    // the native merge loop must reproduce the framing/replace semantics
+    // bit-for-bit: same (word_idx, sym_idx, token_id) triples on words
+    // drawn from a 3-letter alphabet (maximally merge-dense, so every
+    // overlap/adjacency edge case occurs), plus multi-code-point chars
+    val rnd = new scala.util.Random(42)
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(6))(
+        Seq.fill(1 + rnd.nextInt(8))("abc".charAt(rnd.nextInt(3))).mkString)
+        .mkString(" "))) :+
+      (999L, "naïve café 😀ab a😀b")
+    val df = docs.toDF("id", "text")
+    val m = TextStats.bpeTrain(df, "text", 12)
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.orderBy("id", "word_idx", "sym_idx").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(rows(TextStats.bpeEncode(df, "id", "text", m)) ==
+      rows(TextStats.bpeEncodeReplaceChain(df, "id", "text", m)))
+  }
+
   test("bpeModel.vocab collapses duplicate surface forms to the smallest id") {
     val m = BpeModel(Seq("a", "b", "c"),
       Seq(("a", "b", 9L), ("ab", "c", 5L), ("b", "c", 4L), ("a", "bc", 3L)))
