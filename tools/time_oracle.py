@@ -2,11 +2,23 @@
 """Time the DuckDB oracle suite (the same SQL the correctness gate runs)
 against a testdata dir: per-query median of 3 after one untimed warmup
 pass, 32 threads — mirroring graft.Bench's protocol so Spark-vs-DuckDB
-totals are comparable. Usage: time_oracle.py <sfdir> <oracle_sql.json>."""
-import sys, json, time, glob, os
+totals are comparable.
+
+Usage: time_oracle.py <sfdir> <oracle_sql.json> [timeout_sec] [skip,list]
+
+timeout_sec (default: none) interrupts any single execution via a
+watchdog thread + con.interrupt(); the query lands in "timed_out" and
+contributes NOTHING to the total (same no-silent-deflation rule as
+"failed"). skip,list names queries excluded up front — for queries with
+already-documented multi-hour aborts (e.g. x_semdedup at sf1,
+DUCKDB_semdedup_r12.json) where even one timed-out attempt per pass
+would dominate the wall clock; they land in "skipped"."""
+import sys, json, time, glob, os, threading
 import duckdb
 
 sfdir, oracle_path = sys.argv[1], sys.argv[2]
+timeout = float(sys.argv[3]) if len(sys.argv) > 3 and sys.argv[3] != "-" else None
+skip = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set()
 con = duckdb.connect()
 con.execute("SET threads TO 32")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -17,29 +29,51 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         src = f"{src}/*.parquet"
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
-oracle = json.load(open(oracle_path))
-for name, sql in sorted(oracle.items()):  # warmup, untimed
+
+def run_one(sql):
+    """Execute once; returns 'ok' | 'fail' | 'timeout'."""
+    timer = None
+    if timeout is not None:
+        timer = threading.Timer(timeout, con.interrupt)
+        timer.start()
     try:
         con.execute(sql).fetchall()
-    except Exception as e:
-        print(f"WARMUP-FAIL {name}: {str(e)[:120]}", file=sys.stderr)
+        return "ok"
+    except duckdb.InterruptException:
+        return "timeout"
+    except Exception:
+        return "fail"
+    finally:
+        if timer is not None:
+            timer.cancel()
 
-results, failed = {}, []
+
+oracle = {k: v for k, v in json.load(open(oracle_path)).items() if k not in skip}
+for name, sql in sorted(oracle.items()):  # warmup, untimed
+    st = run_one(sql)
+    if st != "ok":
+        print(f"WARMUP-{st.upper()} {name}", file=sys.stderr)
+
+results, failed, timed_out = {}, [], []
 for name, sql in sorted(oracle.items()):
-    times, ok = [], True
+    times, status = [], "ok"
     for _ in range(3):
         t0 = time.time()
-        try:
-            con.execute(sql).fetchall()
-        except Exception:
-            ok = False
+        st = run_one(sql)
+        if st != "ok":
+            status = st
+            break
         times.append(time.time() - t0)
-    # a failed query must NOT contribute its ~0s to the total — that would
-    # silently deflate the engine comparison; record it separately instead
-    if ok:
+    # a failed/timed-out query must NOT contribute to the total — that
+    # would silently deflate the engine comparison; record it separately
+    if status == "ok":
         results[name] = sorted(times)[1]
+    elif status == "timeout":
+        timed_out.append(name)
     else:
         failed.append(name)
 total = sum(results.values())
 print(json.dumps({"metric": "duckdb_total", "value": total, "unit": "sec",
-                  "queries": results, "failed": failed, "sf": sfdir}))
+                  "queries": results, "failed": failed,
+                  "timed_out": timed_out, "skipped": sorted(skip),
+                  "sf": sfdir}))
