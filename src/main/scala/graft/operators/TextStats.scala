@@ -1060,4 +1060,63 @@ object TextStats {
       .orderBy(col("logw").desc, col(idCol))
       .limit(k)
   }
+
+  /** TRAIN the [[learnedQuality]] classifier distributed — the other
+    * half of the fastText-style story (inference has been native since
+    * `HashedNgramScore`): full-batch logistic regression on the hashed
+    * unigram+bigram features, mean-pooled exactly as the scorer pools
+    * them (`logit = bias + Σ w[h(f)] / n_d`), so the returned
+    * `(weights, bias)` drop straight into [[learnedQuality]] /
+    * [[dsirScore]]-class scans. Deterministic by construction: zero
+    * init, fixed `lr`, full-batch gradients — no RNG, no sampling — so
+    * the whole TRAINING TRAJECTORY is oracle-checkable (the
+    * `x_quality_trained` oracle re-derives every iteration in SQL).
+    *
+    * Scale shape: the corpus collapses ONCE to the per-(doc, bucket)
+    * feature-count frame (`hashedFeatureRows` pre-aggregated maps — no
+    * per-occurrence rows past the first projection), checkpointed, and
+    * each iteration is bounded work over THAT frame: the current
+    * weights enter as an O(B) plan literal (`element_at` on a
+    * `typedlit` array — no join), per-doc logits are one id-keyed
+    * aggregate, the bucket gradient is one join-back + B-bounded
+    * aggregate, and the driver holds only the B-vector per iteration
+    * (8 KB at B = 1024 — the centroid convention). K iterations =
+    * K bounded shuffles; nothing corpus-sized reaches the driver.
+    * Docs with zero features carry no gradient and are absent from
+    * training (they still score `sigmoid(bias)` at inference). */
+  def trainQualityModel(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, label: Column, buckets: Int = 256,
+                        iters: Int = 4, lr: Double = 0.5,
+                        checkpointDir: Option[String] = None): (Array[Double], Double) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0, s"lr must be positive, got $lr")
+    import org.apache.spark.sql.expressions.Window
+    val ckpt = graft.runtime.Checkpoints.policy(docs.sparkSession, checkpointDir)
+    val base = ckpt(
+      hashedFeatureRows(docs,
+        Seq(col(idCol).as("_id"), label.cast("double").as("_y")), textCol, buckets)
+        .groupBy(col("_id"), col("_y"), col("_b"))
+        .agg(sum(col("_c")).cast("double").as("_cb"))
+        .withColumn("_nd", sum(col("_cb")).over(Window.partitionBy(col("_id")))))
+    val nDocs = base.select(col("_id")).distinct().count().toDouble
+    require(nDocs > 0, "no document produced any feature — nothing to train on")
+    val w = Array.fill(buckets)(0.0)
+    var bias = 0.0
+    for (_ <- 1 to iters) {
+      val wLit = typedlit(w.toSeq)
+      val contrib = col("_cb") * element_at(wLit, (col("_b") + 1).cast("int")) / col("_nd")
+      val errs = base.groupBy(col("_id"))
+        .agg(first(col("_y")).as("_yy"), (lit(bias) + sum(contrib)).as("_logit"))
+        .select(col("_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("_logit"))) - col("_yy")).as("_e"))
+      val biasGrad = errs.agg(avg(col("_e"))).head().getDouble(0)
+      val grads = base.hint("shuffle_hash").join(errs, "_id")
+        .groupBy(col("_b"))
+        .agg((sum(col("_e") * col("_cb") / col("_nd")) / nDocs).as("_g"))
+        .collect()
+      bias -= lr * biasGrad
+      grads.foreach(r => w(r.getLong(0).toInt) -= lr * r.getDouble(1))
+    }
+    (w, bias)
+  }
 }

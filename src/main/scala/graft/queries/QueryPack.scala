@@ -1254,6 +1254,69 @@ object QueryPack {
       |  SELECT (SELECT MIN(p) FROM range(1, 17) t(p)
       |          WHERE (SELECT count(*) FROM embeddings) <= (CAST(64 AS BIGINT) << p)) AS np),""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.TextStats.trainQualityModel]] as
+    * `x_quality_trained` runs it: the ENTIRE 4-iteration full-batch
+    * logistic-regression trajectory unrolled into CTEs — per-(doc,
+    * bucket) feature counts (the quality_learned tokenizer + h32
+    * convention), then per iteration the per-doc logit under the
+    * current weights, the sigmoid errors, the bias step and the
+    * per-bucket gradient step — finishing with the trained model
+    * applied through the same mean-pooled scoring the native scan
+    * uses. Per-term division (`cb * w / nd`) mirrors the Spark
+    * operand order so the 4-dp doubles agree. */
+  private val qualityTrainedOracleSql: String = {
+    val iters = 4
+    val lr = "0.5"
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[ \n\t\r]+'), t -> t != '') AS ts
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id,
+      |    unnest(ts || list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS f
+      |  FROM toks),
+      |bf AS (
+      |  SELECT doc_id, ('0x'||substr(md5(f),1,8))::BIGINT % 256 AS b FROM feats),
+      |docy AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+      |base AS (
+      |  SELECT doc_id, b, cb, sum(cb) OVER (PARTITION BY doc_id) AS nd
+      |  FROM (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS cb FROM bf GROUP BY 1, 2)),
+      |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM base),
+      |e0 AS (
+      |  SELECT d.doc_id, 0.5 - y.y AS e, d.nd
+      |  FROM (SELECT DISTINCT doc_id, nd FROM base) d JOIN docy y USING (doc_id)),
+      |""".stripMargin
+    sb ++= s"""bb1 AS (SELECT 0.0 - $lr * avg(e) AS bias FROM e0),
+      |w1 AS (
+      |  SELECT base.b, 0.0 - $lr * (sum(e0.e * base.cb / base.nd) / (SELECT n FROM nn)) AS w
+      |  FROM base JOIN e0 USING (doc_id) GROUP BY base.b),
+      |""".stripMargin
+    for (k <- 1 until iters) {
+      sb ++= s"""l$k AS (
+        |  SELECT base.doc_id,
+        |    (SELECT bias FROM bb$k) + sum(base.cb * w$k.w / base.nd) AS logit,
+        |    max(docy.y) AS y, max(base.nd) AS nd
+        |  FROM base JOIN w$k USING (b) JOIN docy USING (doc_id) GROUP BY base.doc_id),
+        |e$k AS (SELECT doc_id, 1.0/(1.0 + exp(-logit)) - y AS e, nd FROM l$k),
+        |bb${k + 1} AS (SELECT (SELECT bias FROM bb$k) - $lr * avg(e) AS bias FROM e$k),
+        |w${k + 1} AS (
+        |  SELECT w$k.b, w$k.w - $lr * g.g AS w
+        |  FROM w$k JOIN (
+        |    SELECT base.b, sum(e$k.e * base.cb / base.nd) / (SELECT n FROM nn) AS g
+        |    FROM base JOIN e$k USING (doc_id) GROUP BY base.b) g USING (b)),
+        |""".stripMargin
+    }
+    sb ++= s"""sc AS (
+      |  SELECT bf.doc_id, CAST(count(*) AS INT) AS nf, sum(w$iters.w) AS s
+      |  FROM bf JOIN w$iters USING (b) GROUP BY bf.doc_id)
+      |SELECT t.doc_id, coalesce(sc.nf, 0) AS n_features,
+      |  round(1.0/(1.0 + exp(-((SELECT bias FROM bb$iters) + coalesce(sc.s / sc.nf, 0.0)))), 4) AS q_learned
+      |FROM toks t LEFT JOIN sc USING (doc_id)""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB twin of [[graft.operators.Ann.semDedup]] as `x_semdedup`
     * runs it: the ivf oracle's cents/assigned CTEs verbatim (same √N
     * quantizer, same argmin tie-break), the sized bucket expression,
@@ -1898,6 +1961,23 @@ object QueryPack {
     graft.operators.TextStats.learnedQuality(
       T(s, dir, "documents"), "doc_id", "text", learnedWeights, bias = 0.1)
 
+  /** Distributed classifier TRAINING
+    * ([[graft.operators.TextStats.trainQualityModel]]): 4 full-batch
+    * logistic-regression iterations on B = 256 hashed unigram+bigram
+    * buckets, label = the English slice, lr = 0.5 — then the trained
+    * (weights, bias) scored through the SAME native scan
+    * `x_quality_learned` pins. Deterministic end to end (zero init,
+    * full batch, no RNG), so the oracle re-derives the ENTIRE training
+    * trajectory — every gradient, every weight update — in unrolled
+    * SQL, and the output hash pins all four iterations at once. */
+  def xQualityTrained(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val (w, b) = graft.operators.TextStats.trainQualityModel(
+      docs, "doc_id", "text", col("lang") === "en",
+      buckets = 256, iters = 4, lr = 0.5)
+    graft.operators.TextStats.learnedQuality(docs, "doc_id", "text", w.toSeq, b)
+  }
+
   /** DSIR data selection ([[graft.operators.TextStats.dsirSelect]],
     * Xie et al. 2023): target = the English slice, raw = the whole
     * corpus, B = 1024 hashed unigram+bigram buckets (the
@@ -2518,6 +2598,7 @@ object QueryPack {
     "x_lang_id" -> (xLangId _),
     "x_quality" -> (xQuality _),
     "x_quality_learned" -> (xQualityLearned _),
+    "x_quality_trained" -> (xQualityTrained _),
     "x_dsir_select" -> (xDsirSelect _),
     "x_ppl_buckets" -> (xPplBuckets _),
     "x_token_count" -> (xTokenCount _),
@@ -3599,6 +3680,7 @@ object QueryPack {
     // rule, aggregate. Exactly the scale-hostile shape the native
     // expression replaces — fine at oracle scale, the measured loser at
     // sf1+ (SCALING.md).
+    "x_quality_trained" -> qualityTrainedOracleSql,
     "x_dsir_select" ->
       """WITH toks AS (
         |  SELECT doc_id,
