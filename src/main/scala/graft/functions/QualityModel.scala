@@ -79,7 +79,7 @@ object HashedNgramScore {
   }
 
   /** h32 of a string's UTF-8 bytes — first 4 md5 bytes, big-endian. */
-  private def h32(s: String): Long = {
+  private[functions] def h32(s: String): Long = {
     val md = digest.get()
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

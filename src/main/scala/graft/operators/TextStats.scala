@@ -104,6 +104,16 @@ object TextStats {
       .select(col(idCol), col("_s.n_features").as("n_features"),
         round(lit(1.0) / (lit(1.0) + exp(-col("_s.logit"))), 4).as("q_learned"))
 
+  /** Hashing-trick dense document embedding
+    * ([[graft.functions.HashedEmbedding]]): raw text → L2-normalised
+    * `dim`-vector in one native row pass, no vocabulary, no model, no
+    * shuffle — the bridge that makes the WHOLE vector stack
+    * ([[Ann]] brute/LSH/IVF/PQ search, `semDedup`) applicable to a
+    * text corpus without external embeddings. Token-less docs return
+    * the zero vector; filter them on the INPUT side before ANN. */
+  def textEmbedding(text: Column, dim: Int = 64): Column =
+    graft.functions.HashedEmbedding.hashedEmbedding(text, dim)
+
   /** Normalised content fingerprint: md5 of the lowercased,
     * whitespace-collapsed text. Equal ⇒ same content modulo spacing/case. */
   def contentFingerprint(text: Column): Column =

@@ -1978,6 +1978,18 @@ object QueryPack {
     graft.operators.TextStats.learnedQuality(docs, "doc_id", "text", w.toSeq, b)
   }
 
+  /** Hashing-trick text embeddings
+    * ([[graft.operators.TextStats.textEmbedding]]): 64-dim L2-normalised
+    * vectors from one native pass, published at 4 dp. Token-less docs
+    * are filtered on the INPUT side (`rlike` on a raw column — never a
+    * filter on the computed embedding, which would re-run the scan). */
+  def xTextEmbed(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .filter(col("text").rlike("[^ \n\t\r]"))
+      .select(col("doc_id"),
+        transform(graft.operators.TextStats.textEmbedding(col("text"), 64),
+          x => round(x, 4)).as("emb"))
+
   /** DSIR data selection ([[graft.operators.TextStats.dsirSelect]],
     * Xie et al. 2023): target = the English slice, raw = the whole
     * corpus, B = 1024 hashed unigram+bigram buckets (the
@@ -2599,6 +2611,7 @@ object QueryPack {
     "x_quality" -> (xQuality _),
     "x_quality_learned" -> (xQualityLearned _),
     "x_quality_trained" -> (xQualityTrained _),
+    "x_text_embed" -> (xTextEmbed _),
     "x_dsir_select" -> (xDsirSelect _),
     "x_ppl_buckets" -> (xPplBuckets _),
     "x_token_count" -> (xTokenCount _),
@@ -3681,6 +3694,28 @@ object QueryPack {
     // expression replaces — fine at oracle scale, the measured loser at
     // sf1+ (SCALING.md).
     "x_quality_trained" -> qualityTrainedOracleSql,
+    "x_text_embed" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \n\t\r]+'), t -> t != '') AS ts
+        |  FROM documents WHERE regexp_matches(text, '[^ \n\t\r]')),
+        |feats AS (
+        |  SELECT doc_id,
+        |    unnest(ts || list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS f
+        |  FROM toks),
+        |hf AS (SELECT doc_id, ('0x'||substr(md5(f),1,8))::BIGINT AS h FROM feats),
+        |agg AS (
+        |  SELECT doc_id, h % 64 AS j,
+        |    sum(CASE WHEN h >= 2147483648 THEN -1.0 ELSE 1.0 END) AS v
+        |  FROM hf GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM agg GROUP BY 1),
+        |grid AS (SELECT t.doc_id, r.j FROM toks t CROSS JOIN range(0, 64) r(j)),
+        |vec AS (
+        |  SELECT g.doc_id, g.j, coalesce(a.v, 0.0) AS v
+        |  FROM grid g LEFT JOIN agg a ON g.doc_id = a.doc_id AND g.j = a.j)
+        |SELECT v.doc_id,
+        |  list(round(CASE WHEN n.n > 0 THEN v.v / n.n ELSE 0.0 END, 4) ORDER BY v.j) AS emb
+        |FROM vec v JOIN nrm n USING (doc_id) GROUP BY v.doc_id""".stripMargin,
     "x_dsir_select" ->
       """WITH toks AS (
         |  SELECT doc_id,
