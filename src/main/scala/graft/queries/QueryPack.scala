@@ -1980,15 +1980,19 @@ object QueryPack {
 
   /** Hashing-trick text embeddings
     * ([[graft.operators.TextStats.textEmbedding]]): 64-dim L2-normalised
-    * vectors from one native pass, published at 4 dp. Token-less docs
-    * are filtered on the INPUT side (`rlike` on a raw column — never a
+    * vectors from one native pass, published as a ','-joined 4-dp string
+    * (the driver comparator sorts rows with pandas and cannot sort raw
+    * array cells — every array-valued oracle row publishes a scalar).
+    * `+ 0.0` canonicalises -0.0 before formatting. Token-less docs are
+    * filtered on the INPUT side (`rlike` on a raw column — never a
     * filter on the computed embedding, which would re-run the scan). */
   def xTextEmbed(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .filter(col("text").rlike("[^ \n\t\r]"))
       .select(col("doc_id"),
-        transform(graft.operators.TextStats.textEmbedding(col("text"), 64),
-          x => round(x, 4)).as("emb"))
+        concat_ws(",",
+          transform(graft.operators.TextStats.textEmbedding(col("text"), 64),
+            x => format_string("%.4f", round(x, 4) + lit(0.0)))).as("emb_csv"))
 
   /** DSIR data selection ([[graft.operators.TextStats.dsirSelect]],
     * Xie et al. 2023): target = the English slice, raw = the whole
@@ -3714,7 +3718,9 @@ object QueryPack {
         |  SELECT g.doc_id, g.j, coalesce(a.v, 0.0) AS v
         |  FROM grid g LEFT JOIN agg a ON g.doc_id = a.doc_id AND g.j = a.j)
         |SELECT v.doc_id,
-        |  list(round(CASE WHEN n.n > 0 THEN v.v / n.n ELSE 0.0 END, 4) ORDER BY v.j) AS emb
+        |  string_agg(
+        |    printf('%.4f', round(CASE WHEN n.n > 0 THEN v.v / n.n ELSE 0.0 END, 4) + 0.0),
+        |    ',' ORDER BY v.j) AS emb_csv
         |FROM vec v JOIN nrm n USING (doc_id) GROUP BY v.doc_id""".stripMargin,
     "x_dsir_select" ->
       """WITH toks AS (
