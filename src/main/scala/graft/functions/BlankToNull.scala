@@ -37,11 +37,11 @@ case class BlankToNull(child: Expression, strip: Boolean)
     else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(input: Any): Any =
-    BlankToNull.eval(input.asInstanceOf[UTF8String], strip)
+    BlankToNull.blankToNull(input.asInstanceOf[UTF8String], strip)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val result = nullSafeCodeGen(ctx, ev, s =>
-      s"""${ev.value} = graft.functions.BlankToNull.eval($s, $strip);
+      s"""${ev.value} = graft.functions.BlankToNull.blankToNull($s, $strip);
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
     result
   }
@@ -52,8 +52,13 @@ case class BlankToNull(child: Expression, strip: Boolean)
 
 object BlankToNull {
 
-  /** Null for blank; else the (optionally trimmed) value. */
-  def eval(input: UTF8String, strip: Boolean): UTF8String = {
+  /** Null for blank; else the (optionally trimmed) value.
+    * (Named distinctly from Expression.eval: Scala emits NO static
+    * forwarder for a companion method whose name the class inherits,
+    * so codegen calling `BlankToNull.eval(UTF8String,...)` failed to
+    * janino-compile and silently demoted every containing stage to
+    * the interpreted path — found r13.) */
+  def blankToNull(input: UTF8String, strip: Boolean): UTF8String = {
     val t = input.trim()
     if (t.numBytes() == 0) null
     else if (strip) t

@@ -891,8 +891,10 @@ object Ann {
     * (lowest centroid-cosine — the paper's keep-outliers policy, which
     * preserves diversity at a given dedup rate). Emits the DROP LIST:
     * one row per dropped vector with its cell, its centroid-cosine and
-    * its strongest surviving witness `(vec, cell, cent_cos, witness,
-    * cos_sim)`; consumers anti-join it against the corpus.
+    * its strongest witness `(vec, cell, cent_cos, witness, cos_sim)` —
+    * the highest-cosine cell-mate that outranks it (which may itself be
+    * dropped by a third vector); consumers anti-join the drop list
+    * against the corpus.
     *
     * Drop rule (deterministic, oracle-pinned): `b` is dropped iff some
     * cell-mate `a` in the same LSH bucket has `cos(a,b) >= tau` and
@@ -942,9 +944,12 @@ object Ann {
         round(dot(col(embCol), col("_w_emb")) /
               (col("_nrm") * col("_w_nrm")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
+    // witness tie-break: highest cos_sim, then SMALLEST witness id —
+    // min_by on struct(-cos_sim, _w_id) orders any id type (a negated
+    // string id would implicit-cast to null and void the tie-break)
     dropped.groupBy(col(idCol), col("cell"), col("ccos"))
-      .agg(max_by(struct(col("_w_id").as("witness"), col("cos_sim")),
-                  struct(col("cos_sim"), -col("_w_id"))).as("_best"))
+      .agg(min_by(struct(col("_w_id").as("witness"), col("cos_sim")),
+                  struct(-col("cos_sim"), col("_w_id"))).as("_best"))
       .select(col(idCol), col("cell"), col("ccos").as("cent_cos"),
         col("_best.witness").as("witness"), col("_best.cos_sim").as("cos_sim"))
   }

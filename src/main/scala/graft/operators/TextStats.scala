@@ -879,8 +879,11 @@ object TextStats {
         val best = cur
           .select(col("freq"), reprToSyms(reprCol).as("_syms"))
           .filter(size(col("_syms")) >= 2)
-          .withColumn("_l", slice(col("_syms"), 1, 10000))
-          .withColumn("_r", slice(col("_syms"), 2, 10000))
+          // slice length = the actual symbol count (a fixed literal cap
+          // would silently drop pair statistics of over-length words —
+          // the no-silent-caps rule; advisor finding r12)
+          .withColumn("_l", slice(col("_syms"), lit(1), size(col("_syms")) - 1))
+          .withColumn("_r", slice(col("_syms"), lit(2), size(col("_syms")) - 1))
           .select(col("freq"), explode(arrays_zip(col("_l"), col("_r"))).as("_p"))
           .filter(col("_p._r").isNotNull)
           .groupBy(col("_p._l").as("l"), col("_p._r").as("r"))
@@ -987,7 +990,12 @@ object TextStats {
   private def hashedFeatureRows(docs: org.apache.spark.sql.DataFrame,
                                 cols: Seq[Column], textCol: String,
                                 buckets: Int): org.apache.spark.sql.DataFrame = {
-    val norm = regexp_replace(lower(col(textCol)), "[ \n\t\r]+", " ")
+    // ROOT-locale lowercase ([[graft.functions.RootLower]]) — the same
+    // mapping the inference scans apply per token, so training and
+    // inference hash identically on any JVM locale (Spark's lower()
+    // non-ASCII path follows the default locale; advisor finding r12)
+    val norm = regexp_replace(
+      graft.functions.RootLower.rootLower(col(textCol)), "[ \n\t\r]+", " ")
     docs.select(cols :+ explode(map_concat(
         graft.functions.TermCounts.termCounts(norm),
         graft.functions.PairCounts.pairCounts(norm))).as(Seq("_f", "_c")): _*)

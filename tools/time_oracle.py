@@ -33,19 +33,45 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 def run_one(sql):
     """Execute once; returns 'ok' | 'fail' | 'timeout'."""
     timer = None
+    # Guard against the cancel() race: Timer can fire AFTER the query
+    # finishes but BEFORE timer.cancel(), leaving a pending interrupt on
+    # the shared connection that would spuriously abort the NEXT
+    # execution. The flag is flipped under a lock before cancel(), and
+    # the callback re-checks it inside the same lock.
+    state = {"running": True}
+    lock = threading.Lock()
+
+    def _interrupt():
+        with lock:
+            if state["running"]:
+                state["fired"] = True
+                con.interrupt()
+
     if timeout is not None:
-        timer = threading.Timer(timeout, con.interrupt)
+        timer = threading.Timer(timeout, _interrupt)
         timer.start()
+    caught_interrupt = False
     try:
         con.execute(sql).fetchall()
         return "ok"
     except duckdb.InterruptException:
+        caught_interrupt = True
         return "timeout"
     except Exception:
         return "fail"
     finally:
+        with lock:
+            state["running"] = False
         if timer is not None:
             timer.cancel()
+        # interrupt fired but the query finished first: drain the pending
+        # interrupt on a throwaway statement so it cannot abort the next
+        # timed execution
+        if state.get("fired") and not caught_interrupt:
+            try:
+                con.execute("SELECT 1").fetchall()
+            except duckdb.InterruptException:
+                pass
 
 
 oracle = {k: v for k, v in json.load(open(oracle_path)).items() if k not in skip}
