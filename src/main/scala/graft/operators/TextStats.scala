@@ -813,29 +813,294 @@ object TextStats {
     regexp_extract_all(c, lit(SymL + "([^" + SymR + "]*)" + SymR), lit(1))
 
   /** Distributed byte-pair-encoding training
-    * (Sennrich/Haddow/Birch 2016's word-frequency formulation): collapse
-    * the corpus to its distinct-word frequency table ONCE (the corpus's
-    * only wide pass — pair statistics are identical because a pair
-    * occurs `freq` times per distinct word, never across word
-    * boundaries), then run `numMerges` bounded iterations: count
-    * adjacent symbol pairs weighted by word frequency, pick the winner
-    * by (count desc, left asc, right asc) — a total, engine-neutral
-    * order — and apply it as one literal `replace` over every word's
-    * symbol framing.
+    * (Sennrich/Haddow/Birch 2016's word-frequency formulation),
+    * SPECULATIVE-BATCH edition: collapse the corpus to its distinct-word
+    * frequency table ONCE (the corpus's only wide pass — pair statistics
+    * are identical because a pair occurs `freq` times per distinct word,
+    * never across word boundaries), then commit merges in ROUNDS of up
+    * to `specBatch + 1` instead of one Spark job per merge:
     *
-    * Scale shape: the word table is persisted (MEMORY_AND_DISK, freed in
-    * a finally — distinct words of a 100 TB corpus are GBs, not TBs),
-    * each iteration is one hash aggregate over it plus a
-    * TakeOrdered-limit(1) argmax (O(1) driver state per iteration,
-    * O(K) total — the centroid convention), and merge application is a
-    * narrow literal-replace projection, never a join. K iterations = K
-    * bounded shuffles; nothing corpus-sized ever reaches the driver.
-    * Words containing the framing control chars U+0002/U+0003 are
-    * dropped from training (logged) — they cannot be framed faithfully.
+    *  1. The driver guesses a tentative merge sequence T (up to
+    *     `specBatch` pairs) by running the EXACT greedy argmax on a
+    *     bounded SAMPLE — the top-`sampleWords` words by frequency,
+    *     kept in lockstep with the committed merges. Sample-BPE sees
+    *     created-pair winners ((th,e) immediately after (t,h)), the
+    *     failure mode that capped speculate-over-existing-pairs
+    *     variants at ~2-4 verified merges per round (both window
+    *     heuristics were built and measured before this one; plain
+    *     symbol-disjointness is additionally NOT order-equivalent —
+    *     a merge can boost a pair that tie-break-beats a later
+    *     tentative pair, so a batch without verification would be
+    *     silently wrong). The sample is a HEURISTIC ONLY; correctness
+    *     never depends on it. When the corpus has ≤ `sampleWords`
+    *     distinct words the sample is exact and every round verifies
+    *     fully.
+    *  2. ONE distributed pass simulates T per word: each word applies
+    *     the tentative merges in order (the exact greedy left-to-right
+    *     literal-replace semantics) and emits its pair-count DELTAS per
+    *     step. Aggregated, this yields the EXACT pair-count trajectory
+    *     `c_s` after each prefix T[1..s] — per-word state evolution is
+    *     row-local, so the whole trajectory costs one shuffle.
+    *  3. The driver reads the per-state argmaxes (engine-side
+    *     `min(struct(-count, l, r))` — the (count desc, left asc,
+    *     right asc) total order both engines share) and commits the
+    *     longest prefix of T that MATCHES the true argmax at every
+    *     step, plus ONE more merge: the argmax at the first divergent
+    *     state, which is exact because all earlier states verified.
+    *     The committed trajectory is therefore bit-identical to the
+    *     sequential algorithm's, by construction.
+    *
+    * Scale shape: the word table is persisted (MEMORY_AND_DISK, freed
+    * in a finally — distinct words of a 100 TB corpus are GBs, not
+    * TBs); each ROUND is one flatMap + bounded hash aggregate over it,
+    * one single-row argmax action and one TakeOrdered window action
+    * (O(specBatch) driver state — the centroid convention), and merge
+    * application is a narrow literal-replace projection, never a join.
+    * K merges ≈ K / (specBatch+1) rounds when speculation verifies
+    * (Zipf-shaped pair counts make non-interacting top pairs the common
+    * case); a mismatched round still commits ≥ 1 exact merge, so the
+    * WORST case equals the old merge-per-job engine, and the r12
+    * measured K-job serialization (What's wrong #2) is gone. Words
+    * containing the framing control chars U+0002/U+0003 are dropped
+    * from training — they cannot be framed faithfully.
     *
     * Training stops early if no pair remains (every word fully merged);
-    * the returned model then has fewer than `numMerges` ranks. */
+    * the returned model then has fewer than `numMerges` ranks.
+    * [[bpeTrainSequential]] keeps the merge-per-job engine as the
+    * parity REFERENCE (BpeSpec pins the two equal on randomized and
+    * adversarial corpora). */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               numMerges: Int, materializeEvery: Int = 8,
+               specBatch: Int = 16, sampleWords: Int = 4096): BpeModel = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(materializeEvery >= 1,
+      s"materializeEvery must be >= 1, got $materializeEvery")
+    require(specBatch >= 0, s"specBatch must be >= 0, got $specBatch")
+    require(sampleWords >= 0, s"sampleWords must be >= 0, got $sampleWords")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wordFreq = docs
+      .select(explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains(SymL) && !col("word").contains(SymR))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist(mem)
+    val alphabet = wordFreq
+      .select(explode(split(col("word"), "")).as("c"))
+      .filter(col("c") =!= "").distinct().orderBy("c")
+      .collect().map(_.getString(0)).toSeq
+    // speculation sample: the frequency head of the word table (word
+    // tie-break for determinism) — one bounded TakeOrdered on the
+    // already-persisted frame
+    val sample: Array[(Long, String)] = wordFreq
+      .orderBy(col("freq").desc, col("word")).limit(sampleWords)
+      .select(col("freq").cast("long"), col("word"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    var cur = wordFreq.select(col("freq"), charsToRepr(col("word")).as("repr"))
+      .persist(mem)
+    cur.count()
+    wordFreq.unpersist()
+    try {
+      var pending = Vector.empty[(String, String)]
+      def reprCol: Column = pending.foldLeft(col("repr")) {
+        case (acc, (l, r)) =>
+          replace(acc, lit(SymL + l + SymR + SymL + r + SymR), lit(SymL + l + r + SymR))
+      }
+      val merges = Seq.newBuilder[(String, String, Long)]
+      var done = 0
+      var exhausted = false
+
+      // Driver-side speculation state: the top-`sampleWords` words by
+      // frequency (O(V) driver state — the centroid convention), kept in
+      // lockstep with the committed merges. Running the EXACT greedy
+      // argmax on this sample predicts the true trajectory INCLUDING
+      // created-pair winners ((th,e) right after (t,h)) — the failure
+      // mode that capped window-of-existing-pairs speculation at ~2-4
+      // verified merges per round (measured; see scaladoc). When the
+      // corpus has fewer distinct words than the cap, the sample IS the
+      // corpus and every tentative verifies.
+      var sampleState: Array[(Long, Array[String])] = sample.map { case (f, w) =>
+        // split into code points — charsToRepr's "(.)" regex semantics
+        (f, w.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
+      }
+
+      // greedy sample-BPE: argmax by (count desc, l, r) over the sample's
+      // pair counts, `maxSteps` steps — a HEURISTIC trajectory (tail
+      // words outside the sample can flip close argmaxes; the String
+      // ordering is UTF-16 where the engine orders UTF-8 — both just
+      // cause a verified-prefix truncation, never a wrong commit)
+      def sampleTrajectory(maxSteps: Int): Vector[(String, String)] = {
+        var st = sampleState
+        val out = Vector.newBuilder[(String, String)]
+        var n = 0
+        var go = true
+        while (go && n < maxSteps) {
+          val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          st.foreach { case (f, syms) =>
+            var i = 0
+            while (i < syms.length - 1) {
+              val k = (syms(i), syms(i + 1))
+              counts.update(k, counts.getOrElse(k, 0L) + f)
+              i += 1
+            }
+          }
+          if (counts.isEmpty) go = false
+          else {
+            val best = counts.keysIterator.reduceLeft { (a, b) =>
+              val ca = counts(a); val cb = counts(b)
+              if (ca > cb) a
+              else if (cb > ca) b
+              else if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
+            }
+            out += best
+            st = st.map { case (f, syms) => (f, bpeApplyMerge(syms, best._1, best._2)) }
+            n += 1
+          }
+        }
+        out.result()
+      }
+
+      while (!exhausted && done < numMerges) {
+        val spec = sampleTrajectory(math.min(specBatch, numMerges - done - 1))
+        val m = spec.size
+        val pre = pending
+        // one distributed pass: per word, apply committed-but-unmaterialized
+        // merges, emit base pair counts (step 0) and per-step deltas under
+        // the tentative merges — the exact count trajectory, one shuffle
+        val simRows = cur.select(col("freq").cast("long"), col("repr"))
+          .as[(Long, String)]
+          .flatMap { case (freq, repr) =>
+            var syms = bpeParseRepr(repr)
+            pre.foreach { case (l, r) => syms = bpeApplyMerge(syms, l, r) }
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Long)]
+            var counts = bpePairCounts(syms)
+            counts.foreach { case ((l, r), c) => out += ((l, r, 0, c * freq)) }
+            var step = 1
+            spec.foreach { case (l, r) =>
+              if (counts.getOrElse((l, r), 0L) > 0L) {
+                syms = bpeApplyMerge(syms, l, r)
+                val after = bpePairCounts(syms)
+                after.foreach { case (p, c) =>
+                  val d = c - counts.getOrElse(p, 0L)
+                  if (d != 0L) out += ((p._1, p._2, step, d * freq))
+                }
+                counts.foreach { case (p, c) =>
+                  if (!after.contains(p)) out += ((p._1, p._2, step, -c * freq))
+                }
+                counts = after
+              }
+              step += 1
+            }
+            out
+          }
+        val cCols = (0 to m).map(s =>
+          sum(when(col("step") <= s, col("d")).otherwise(lit(0L))).as(s"c$s"))
+        val pairSteps = simRows.toDF("l", "r", "step", "d")
+          .groupBy("l", "r").agg(cCols.head, cCols.tail: _*)
+          .persist(mem)
+        try {
+          val argmaxCols = (0 to m).map(s =>
+            min(when(col(s"c$s") >= 1L,
+              struct((-col(s"c$s")).as("nc"), col("l"), col("r")))).as(s"a$s"))
+          val row = pairSteps.select(argmaxCols: _*).collect()(0)
+          var s = 0 // states 0..m; s = verified prefix length so far
+          val roundCommitted = Vector.newBuilder[(String, String)]
+          var continueRound = true
+          while (continueRound && done < numMerges) {
+            if (row.isNullAt(s)) { // no pair left after s verified merges
+              exhausted = true; continueRound = false
+            } else {
+              val st = row.getStruct(s)
+              val (cnt, al, ar) = (-st.getLong(0), st.getString(1), st.getString(2))
+              merges += ((al, ar, cnt))
+              pending :+= ((al, ar))
+              roundCommitted += ((al, ar))
+              done += 1
+              if (s < m && spec(s) == ((al, ar))) s += 1 // verified: next state
+              else continueRound = false // corrected exact merge: stop round
+            }
+          }
+          // keep the speculation sample in lockstep with the commits
+          // (a corrected merge absent from the sample applies as identity)
+          val rc = roundCommitted.result()
+          if (rc.nonEmpty && !exhausted && done < numMerges)
+            sampleState = sampleState.map { case (f, syms) =>
+              (f, rc.foldLeft(syms) { case (a, (l, r)) => bpeApplyMerge(a, l, r) })
+            }
+        } finally pairSteps.unpersist()
+        if (pending.size >= materializeEvery && done < numMerges && !exhausted) {
+          val next = cur.select(col("freq"), reprCol.as("repr")).persist(mem)
+          next.count()
+          cur.unpersist()
+          cur = next
+          pending = Vector.empty
+        }
+      }
+      BpeModel(alphabet, merges.result())
+    } finally cur.unpersist()
+  }
+
+  /** Parse a framed repr (␂sym␃␂sym␃…) back to its symbol array. */
+  private[operators] def bpeParseRepr(repr: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = repr.length
+    while (i < n) {
+      // repr is machine-built: SymL at i, matching SymR closes the symbol
+      val j = repr.indexOf(SymR, i + 1)
+      out += repr.substring(i + 1, j)
+      i = j + 1
+    }
+    out.toArray
+  }
+
+  /** Greedy left-to-right non-overlapping merge — EXACTLY the literal
+    * `replace(␂l␃␂r␃ → ␂lr␃)` semantics the repr engine applies: scan,
+    * merge on match, resume AFTER the replacement ("aaa" under (a,a) →
+    * [aa, a]). Identity when the pair never occurs. */
+  private[operators] def bpeApplyMerge(syms: Array[String], l: String,
+                                       r: String): Array[String] = {
+    var i = 0
+    val n = syms.length
+    var found = false
+    while (!found && i < n - 1) {
+      if (syms(i) == l && syms(i + 1) == r) found = true else i += 1
+    }
+    if (!found) syms
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var k = 0
+      while (k < i) { out += syms(k); k += 1 }
+      while (k < n) {
+        if (k < n - 1 && syms(k) == l && syms(k + 1) == r) {
+          out += (l + r); k += 2
+        } else { out += syms(k); k += 1 }
+      }
+      out.toArray
+    }
+  }
+
+  /** Adjacent-pair occurrence counts of one word's symbol array. */
+  private[operators] def bpePairCounts(
+      syms: Array[String]): scala.collection.mutable.HashMap[(String, String), Long] = {
+    val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    var i = 0
+    while (i < syms.length - 1) {
+      val k = (syms(i), syms(i + 1))
+      m.update(k, m.getOrElse(k, 0L) + 1L)
+      i += 1
+    }
+    m
+  }
+
+  /** The merge-per-job engine [[bpeTrain]] replaced — kept as the parity
+    * REFERENCE for the speculative round engine (BpeSpec pins the two
+    * equal on randomized and adversarial corpora; a drift in the
+    * simulate/verify logic fails the property, not the oracle three
+    * rounds later). One full pair-count aggregate + argmax collect per
+    * merge: K sequential Spark jobs — the r12-measured scale-killer. */
+  private[graft] def bpeTrainSequential(docs: org.apache.spark.sql.DataFrame, textCol: String,
                numMerges: Int, materializeEvery: Int = 8): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(materializeEvery >= 1,

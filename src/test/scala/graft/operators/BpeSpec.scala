@@ -80,6 +80,61 @@ class BpeSpec extends SparkSpec {
       rows(TextStats.bpeEncodeReplaceChain(df, "id", "text", m)))
   }
 
+  test("speculative rounds match the sequential engine on randomized corpora") {
+    // the exactness claim: the simulate-and-verify batch engine commits the
+    // bit-identical merge trajectory (pairs AND counts) the merge-per-job
+    // engine derives — on merge-dense random corpora over tiny alphabets
+    // (ties, overlapping runs and created-pair boosts all occur)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      val alpha = "ab" + ("cde".take(trial % 3))
+      val docs = Seq.tabulate(120)(i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(5))(
+          Seq.fill(1 + rnd.nextInt(9))(alpha.charAt(rnd.nextInt(alpha.length)))
+            .mkString).mkString(" "))).toDF("id", "text")
+      val k = 6 + rnd.nextInt(14)
+      val spec = TextStats.bpeTrain(docs, "text", k, specBatch = 5)
+      val seq = TextStats.bpeTrainSequential(docs, "text", k)
+      assert(spec == seq, s"trial $trial (k=$k): speculative != sequential")
+    }
+  }
+
+  test("speculative engine survives adversarial tie/boost corpora") {
+    // crafted so a naive non-interacting batch WOULD misorder: merging
+    // (a,b) creates (ab,y) occurrences that tie and tie-break-beat the
+    // next tentative pair — verification must truncate and correct
+    val docs = (Seq.fill(4)("x a b") ++ Seq.fill(4)("a b y") ++
+      Seq.fill(3)("ac d") ++ Seq.fill(2)("a a a a")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (k <- Seq(3, 5, 8)) {
+      val spec = TextStats.bpeTrain(docs, "text", k, specBatch = 6)
+      val seq = TextStats.bpeTrainSequential(docs, "text", k)
+      assert(spec == seq, s"k=$k: speculative != sequential")
+    }
+  }
+
+  test("speculative engine corrects a DIVERGENT sample (mismatch path)") {
+    // a 2-word sample of a 30-word corpus predicts a wrong trajectory —
+    // the verify pass must truncate the prefix and commit exact
+    // corrections, landing on the sequential trajectory regardless
+    val rnd = new scala.util.Random(11)
+    val docs = Seq.tabulate(150)(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(4))(
+        Seq.fill(1 + rnd.nextInt(7))("abcd".charAt(rnd.nextInt(4))).mkString)
+        .mkString(" "))).toDF("id", "text")
+    for (v <- Seq(0, 2, 5)) {
+      val spec = TextStats.bpeTrain(docs, "text", 12, specBatch = 6, sampleWords = v)
+      val seq = TextStats.bpeTrainSequential(docs, "text", 12)
+      assert(spec == seq, s"sampleWords=$v: speculative != sequential")
+    }
+  }
+
+  test("speculative engine: specBatch 0 degenerates to exact one-per-round") {
+    val docs = Seq((1L, "aa ab"), (2L, "aa")).toDF("id", "text")
+    val m = TextStats.bpeTrain(docs, "text", 5, specBatch = 0)
+    assert(m.merges == Seq(("a", "a", 2L), ("a", "b", 1L)))
+  }
+
   test("bpeModel.vocab collapses duplicate surface forms to the smallest id") {
     val m = BpeModel(Seq("a", "b", "c"),
       Seq(("a", "b", 9L), ("ab", "c", 5L), ("b", "c", 4L), ("a", "bc", 3L)))
