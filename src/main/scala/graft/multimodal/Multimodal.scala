@@ -442,4 +442,76 @@ object Multimodal {
   def withMediaColumns(df: DataFrame, bytesCol: String): DataFrame =
     df.withColumn("media_md5", md5(col(bytesCol)))
       .withColumn("media_size", length(col(bytesCol)))
+
+  /** Per-bit MAJORITY combine of a video's frame hashes into ONE 64-bit
+    * temporal signature: bit k is set iff strictly more than half the
+    * frames set it (ties → 0). Transient per-frame noise — a re-encoded
+    * frame, a dropped frame, a scene insert — flips any given bit in a
+    * minority of frames and VANISHES; content that persists across the
+    * clip survives, so near-dup videos land within a few bits, exactly
+    * the property [[graft.operators.TextDedup.bandedHammingPairs]]'s
+    * banding exploits (the same machinery the image and audio rows
+    * price). Row-local: a video's frames arrive in one MediaRow, so the
+    * combine needs NO aggregate, NO shuffle. */
+  def videoTemporalHash(frameHashes: Seq[Long], bits: Int = 64): Long = {
+    val n = frameHashes.length
+    var sig = 0L
+    var k = 0
+    while (k < bits) {
+      var cnt = 0
+      frameHashes.foreach { h => if (((h >> k) & 1L) == 1L) cnt += 1 }
+      if (2 * cnt > n) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
+  /** Engine-side twin of [[videoTemporalHash]] for per-(doc, frame) hash
+    * FRAMES-AS-ROWS inputs (and for the cross-engine oracle, which pins
+    * the majority rule in SQL): one hash aggregate with `bits` bounded
+    * conditional sums — the exchange carries (doc, 64 longs), never the
+    * frames. Parity with the row-local combine is property-pinned in
+    * MultimodalSpec. */
+  def videoSignatureFromFrames(frames: DataFrame, idCol: String,
+                               hashCol: String, bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be 1..64, got $bits")
+    val sums = (0 until bits).map(k =>
+      sum(shiftright(col(hashCol), k).bitwiseAND(lit(1L))).as(s"_b$k"))
+    val sig = (0 until bits).map(k =>
+      when(lit(2L) * col(s"_b$k") > col("_n"), lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    frames.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n"), sums: _*)
+      .select(col(idCol), sig.as("vhash"))
+  }
+
+  /** Video perceptual hash — the detect half of video dedup, completing
+    * the text/image/audio/video near-dup quartet on the SAME banded
+    * machinery: decode ≤ `k` evenly-spaced frames (real MJPEG from AVI
+    * or MP4 containers, [[mjpegAviFrames]]/[[Mp4.mjpegMp4Frames]]; the
+    * deterministic stub otherwise — the documented ffmpeg seam), dHash
+    * each frame ([[imageDHash]], md5-stub for undecodable frames), and
+    * majority-combine IN-ROW ([[videoTemporalHash]]). Narrow
+    * mapPartitions, zero shuffle; feed straight into
+    * `bandedHammingPairs(…, bits = 64, bands = 4, maxHamming = 3)`. */
+  def videoPHashes(media: Dataset[MediaRow], k: Int = 8): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "video").map { r =>
+        val avi = mjpegAviFrames(r.bytes)
+        val real = if (avi.nonEmpty) avi else Mp4.mjpegMp4Frames(r.bytes)
+        val frames =
+          if (real.isEmpty) sampleFramesStub(r.bytes, r.meta, k)
+          else if (real.length <= k) real
+          else (0 until k).map(i => real((i.toLong * real.length / k).toInt))
+        val hashes = frames.map { f =>
+          imageDHash(f).getOrElse {
+            val md = java.security.MessageDigest.getInstance("MD5").digest(f)
+            java.nio.ByteBuffer.wrap(md).getLong
+          }
+        }
+        (r.docId, videoTemporalHash(hashes.toSeq))
+      }
+    }.toDF("doc_id", "vhash")
+  }
 }

@@ -69,19 +69,17 @@ object TextPipeline {
     if (p != null) p.unpersist()
   }
 
-  def e2e(docs: DataFrame, idCol: String, textCol: String, strataCol: String,
-          benchmark: DataFrame, benchTextCol: String,
-          lexicon: Seq[String],
-          maxTop2GramCharFrac: Double = 0.20,
-          minQRank: Double = 0.1,
-          alpha: Double = 0.5,
-          budget: Long = 2000,
-          shards: Int = 8,
-          seed: String = "42",
-          contamN: Int = 10,
-          materialize: DataFrame => DataFrame =
-            _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      : DataFrame = {
+  /** Stages 1–5 (gates → dedup → decontaminate → calibrate →
+    * temperature), shared by [[e2e]] and [[e2eTokenized]]. Returns
+    * (training, mixed): `training` is the persisted post-dedup frame the
+    * caller must register for unpersist, `mixed` the stage-5 survivors. */
+  private def mixedStage(docs: DataFrame, idCol: String, textCol: String,
+                         strataCol: String, benchmark: DataFrame,
+                         benchTextCol: String, lexicon: Seq[String],
+                         maxTop2GramCharFrac: Double, minQRank: Double,
+                         alpha: Double, contamN: Int,
+                         materialize: DataFrame => DataFrame)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // 1. gates — both native scans evaluate exactly once, inside the
     // Filter (nothing downstream references the structs). Decisions
@@ -109,7 +107,25 @@ object TextPipeline {
         strataCol, col("_q"), idCol)
       .filter(col("q_rank") >= minQRank)
     // 5. temperature mixing (O(strata) collect + narrow filter)
-    val mixed = TextStats.applyTemperature(calibrated, strataCol, idCol, alpha)
+    (training, TextStats.applyTemperature(calibrated, strataCol, idCol, alpha))
+  }
+
+  def e2e(docs: DataFrame, idCol: String, textCol: String, strataCol: String,
+          benchmark: DataFrame, benchTextCol: String,
+          lexicon: Seq[String],
+          maxTop2GramCharFrac: Double = 0.20,
+          minQRank: Double = 0.1,
+          alpha: Double = 0.5,
+          budget: Long = 2000,
+          shards: Int = 8,
+          seed: String = "42",
+          contamN: Int = 10,
+          materialize: DataFrame => DataFrame =
+            _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      : DataFrame = {
+    val (training, mixed) = mixedStage(docs, idCol, textCol, strataCol,
+      benchmark, benchTextCol, lexicon, maxTop2GramCharFrac, minQRank,
+      alpha, contamN, materialize)
     // 6. pack
     val packed = TextStats.packSequences(mixed, strataCol, idCol,
       TextStats.spaceTokens(col(textCol)).cast("long"), budget)
@@ -117,6 +133,72 @@ object TextPipeline {
     val result = TextStats.shuffleShards(packed, idCol, shards, seed)
       .select(col(idCol), col(strataCol), col("seq_id"), col("seq_offset"),
         col("shard"), col("pos"))
+    persisted.put(result, training)
+    result
+  }
+
+  /** [[e2e]] ending where a PRODUCTION pipeline ends: tokenized, packed,
+    * sharded sequences. Stages 1–5 are identical; stage 6 ENCODES each
+    * survivor with a trained [[TextStats.BpeModel]] and stage 7 packs on
+    * the REAL token counts (not whitespace counts), so the sequence
+    * layout is the one the training job would consume.
+    *
+    * The encode stage is deliberately zero-shuffle and stays inside the
+    * corpus projection: one native [[graft.functions.BpeSegment]] call
+    * per word (merge table plan-literal via `addReferenceObj`), the
+    * vocabulary as a plan-literal `map()` probed with `element_at`
+    * (O(A+K) entries — the centroid convention; a join would exchange
+    * the corpus to bring in a 42-row table), OOV → −1
+    * ([[TextStats.encodeTokens]]'s contract). Emitted per doc:
+    * `n_tokens` (the packed budget unit) and `ids_fp` — the md5 of the
+    * ','-joined id sequence in (word, symbol) order, the
+    * `x_vocab_encode` fingerprint idiom — so the oracle pins the full
+    * id sequence of every surviving doc without an array column.
+    *
+    * Composition risks this variant exists to catch: `BpeSegment`
+    * inside `transform()` must not break the gates' codegen span, and
+    * the narrow encode projection must not cost the calibrate→pack
+    * exchange reuse (both plan-pinned in PlanQualitySpec). */
+  def e2eTokenized(docs: DataFrame, idCol: String, textCol: String,
+                   strataCol: String, benchmark: DataFrame,
+                   benchTextCol: String, lexicon: Seq[String],
+                   model: TextStats.BpeModel,
+                   maxTop2GramCharFrac: Double = 0.20,
+                   minQRank: Double = 0.1,
+                   alpha: Double = 0.5,
+                   budget: Long = 2000,
+                   shards: Int = 8,
+                   seed: String = "42",
+                   contamN: Int = 10,
+                   materialize: DataFrame => DataFrame =
+                     _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      : DataFrame = {
+    val (training, mixed) = mixedStage(docs, idCol, textCol, strataCol,
+      benchmark, benchTextCol, lexicon, maxTop2GramCharFrac, minQRank,
+      alpha, contamN, materialize)
+    // 6. encode: BPE ids in-row; _syms/_ids are multi-referenced aliases
+    // (withColumn first — CollapseProject keeps them single-eval; an
+    // inline flatten inside the downstream lambdas would re-run
+    // BpeSegment per reference)
+    val merges = model.merges.map(m => (m._1, m._2))
+    val vocabMap = map(model.vocab.sortBy(_._2)
+      .flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
+    val tokenized = mixed
+      .withColumn("_ws", filter(split(col(textCol), " "), w => w =!= ""))
+      .withColumn("_syms", flatten(transform(col("_ws"),
+        w => graft.functions.BpeSegment.bpeSegment(w, merges))))
+      .withColumn("_ids", transform(col("_syms"),
+        sym => coalesce(element_at(vocabMap, sym), lit(-1L))))
+      .withColumn("n_tokens", size(col("_syms")).cast("long"))
+      .withColumn("ids_fp",
+        md5(array_join(transform(col("_ids"), _.cast("string")), ",")))
+    // 7. pack on real token counts
+    val packed = TextStats.packSequences(tokenized, strataCol, idCol,
+      col("n_tokens"), budget)
+    // 8. shard shuffle
+    val result = TextStats.shuffleShards(packed, idCol, shards, seed)
+      .select(col(idCol), col(strataCol), col("n_tokens"), col("ids_fp"),
+        col("seq_id"), col("seq_offset"), col("shard"), col("pos"))
     persisted.put(result, training)
     result
   }

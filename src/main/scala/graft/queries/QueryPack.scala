@@ -926,6 +926,35 @@ object QueryPack {
         col("hamming"))
   }
 
+  /** Video near-dup pairs — the temporal-majority signature
+    * ([[graft.multimodal.Multimodal.videoSignatureFromFrames]]) into the
+    * banded Hamming machinery. The frame DECODE isn't SQL-expressible
+    * (MultimodalSpec pins real MJPEG-AVI clips, re-encode invariance and
+    * the row-local/engine-side combine parity); this row pins the
+    * MAJORITY COMBINE and the banded pair generation cross-engine on a
+    * deterministic per-(doc, frame) fixture: 5 frames per doc, each
+    * carrying the family base hash (`doc_id div 12`) ⊕ a PERSISTENT
+    * member bit (`doc_id % 56`, all frames) ⊕ a TRANSIENT per-frame bit
+    * (`(doc_id·31 + f) % 56`, one frame each). Majority must erase every
+    * transient bit and keep the persistent one — an or/and/xor-shaped
+    * combine bug changes the signatures and fails the hash — leaving
+    * within-family pairs at hamming ≤ 2, all generated under the 4-band
+    * pigeonhole guarantee (banded-not-all-pairs, plan-pinned). */
+  def xVideoDedupPairs(s: SparkSession, dir: String): DataFrame = {
+    val frames = T(s, dir, "documents")
+      .selectExpr("doc_id", "explode(sequence(0, 4)) as f")
+      .selectExpr("doc_id",
+        """cast(conv(substring(md5(concat('vfam:', cast(doc_id div 12 as string))), 1, 14), 16, 10) as bigint)
+           ^ shiftleft(cast(1 as bigint), cast(doc_id % 56 as int))
+           ^ shiftleft(cast(1 as bigint), cast((doc_id * 31 + f) % 56 as int)) as fhash""")
+    val sig = graft.multimodal.Multimodal.videoSignatureFromFrames(
+      frames, "doc_id", "fhash", bits = 56)
+    graft.operators.TextDedup.bandedHammingPairs(sig, "doc_id", "vhash",
+        bits = 56, bands = 4, maxHamming = 3)
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+        col("hamming"))
+  }
+
   /** N-gram Jaccard near-dup over a bounded candidate set (all-pairs on a
     * small id range — production path is LSH above). */
   def xJaccard(s: SparkSession, dir: String): DataFrame =
@@ -1324,19 +1353,21 @@ object QueryPack {
     * lexicographic (ccos, id) drop rule and strongest-witness ranking.
     * The pair cosine is dropped·witness with denominator b.nrm * a.nrm —
     * matching the Spark side exactly so the 4-dp doubles hash equal. */
-  private val semDedupOracleSql: String = {
+  private def semDedupOracleFor(src: String, tau: String, pre: String): String = {
     val bucketExpr = duckBucketExpr(sizedPlanes, sized = true)
     def pairCos =
       "round(list_sum(list_transform(range(1,65), j -> CAST(b.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE))) / (b.nrm * a.nrm), 4)"
-    s"""WITH $nplCte
-       |cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
-       |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+    s"""WITH ${pre}npl AS (
+       |  SELECT (SELECT MIN(p) FROM range(1, 17) t(p)
+       |          WHERE (SELECT count(*) FROM $src) <= (CAST(64 AS BIGINT) << p)) AS np),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM $src
+       |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM $src)),
        |assigned AS (
        |  SELECT vec_id, embedding, cent_id AS cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cent_id,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        ${duckSqDist("e.embedding", "c.cent")}, c.cent_id) AS rn
-       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |    FROM $src e CROSS JOIN cents c) WHERE rn = 1),
        |sig AS (
        |  SELECT a.vec_id, a.embedding, a.cell, $bucketExpr AS bucket,
        |    sqrt(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)))) AS nrm,
@@ -1350,12 +1381,44 @@ object QueryPack {
        |  FROM sig a JOIN sig b
        |    ON a.cell = b.cell AND a.bucket = b.bucket AND a.vec_id != b.vec_id
        |  WHERE (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
-       |    AND $pairCos >= 0.2),
+       |    AND $pairCos >= $tau),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, witness) AS rn
        |  FROM pairs)
        |SELECT vec_id, cell, cent_cos, witness, cos_sim FROM ranked WHERE rn = 1""".stripMargin
   }
+
+  private val semDedupOracleSql: String = semDedupOracleFor("embeddings", "0.2", "")
+
+  /** DuckDB twin of [[xSemDedupText]]: the x_text_embed CTEs compute the
+    * RAW (unrounded) hashed embedding per doc — v exact ±1 integer sums,
+    * n one sqrt, v/n one division, so both engines hold bit-identical
+    * doubles — then the semDedup body runs verbatim over the computed
+    * `temb` relation with its own count-derived npl/√N sizing. */
+  private val semDedupTextOracleSql: String = semDedupOracleFor("temb", "0.8",
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[ \n\t\r]+'), t -> t != '') AS ts
+      |  FROM documents WHERE regexp_matches(text, '[^ \n\t\r]')),
+      |feats AS (
+      |  SELECT doc_id,
+      |    unnest(ts || list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS f
+      |  FROM toks),
+      |hf AS (SELECT doc_id, ('0x'||substr(md5(f),1,8))::BIGINT AS h FROM feats),
+      |eagg AS (
+      |  SELECT doc_id, h % 64 AS j,
+      |    sum(CASE WHEN h >= 2147483648 THEN -1.0 ELSE 1.0 END) AS v
+      |  FROM hf GROUP BY 1, 2),
+      |enrm AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM eagg GROUP BY 1),
+      |egrid AS (SELECT t.doc_id, r.j FROM toks t CROSS JOIN range(0, 64) r(j)),
+      |evec AS (
+      |  SELECT g.doc_id, g.j, coalesce(a.v, 0.0) AS v
+      |  FROM egrid g LEFT JOIN eagg a ON g.doc_id = a.doc_id AND g.j = a.j),
+      |temb AS MATERIALIZED (
+      |  SELECT v.doc_id AS vec_id,
+      |    list(CASE WHEN n.n > 0 THEN v.v / n.n ELSE 0.0 END ORDER BY v.j) AS embedding
+      |  FROM evec v JOIN enrm n USING (doc_id) GROUP BY v.doc_id),
+      |""".stripMargin)
 
   private def dedupEmbeddingOracleSqlFor(planes: Seq[Seq[Int]], sized: Boolean): String = {
     val bucketExpr = duckBucketExpr(planes, sized)
@@ -1894,6 +1957,28 @@ object QueryPack {
       ivfCentroids(emb), sizedPlanesFor(emb.count()), tau = 0.2)
   }
 
+  /** RAW TEXT → [[graft.operators.TextStats.textEmbedding]] →
+    * [[graft.operators.Ann.semDedup]] — the advertised
+    * [[graft.functions.HashedEmbedding]] contract ("the bridge that
+    * makes the whole vector stack applicable to a text corpus without
+    * external embeddings") pinned END TO END: centroids and planes are
+    * derived from the EMBEDDED corpus by the same sizing laws the
+    * synthetic-embeddings row uses (first-⌈√N⌉-ids quantizer,
+    * `planesFor` bucket sizing), so the only new ingredient is the
+    * embedding scan itself. Token-less docs are filtered on the raw
+    * column ([[xTextEmbed]]'s input-side rule), which also guarantees
+    * no zero vectors reach the cosine (NaN comparison semantics differ
+    * across engines). tau = 0.8: hashed bag-of-ngram vectors of true
+    * near-dup docs sit near 1; unrelated docs share only stopword mass. */
+  def xSemDedupText(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "documents")
+      .filter(col("text").rlike("[^ \n\t\r]"))
+      .select(col("doc_id").as("vec_id"),
+        graft.operators.TextStats.textEmbedding(col("text"), 64).as("embedding"))
+    graft.operators.Ann.semDedup(emb, "vec_id", "embedding",
+      ivfCentroids(emb), sizedPlanesFor(emb.count()), tau = 0.8)
+  }
+
   private def dedupEmbedding(emb: DataFrame, planes: Seq[Seq[Int]]): DataFrame = {
     val sig = emb
       .withColumn("bucket", graft.operators.Ann.lshBucket(col("embedding"), planes))
@@ -2240,6 +2325,24 @@ object QueryPack {
       docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", "lang",
       docs.filter(col("doc_id") % 50 === 0), "text",
       lexicon = Seq("zebra", "slow"))
+  }
+
+  /** The pipeline ending where a PRODUCTION pipeline ends
+    * ([[graft.operators.TextPipeline.e2eTokenized]]): stages 1–5 as
+    * [[xPipelineE2e]], then every survivor BPE-ENCODED with the
+    * [[xBpeTrain]] model (trained on the full corpus — the tokenizer is
+    * an upstream artifact) and packed on the REAL token counts. The
+    * oracle re-derives training chain, vocabulary, per-survivor encode,
+    * id-sequence fingerprint, packing and sharding in one WITH chain —
+    * membership AND every doc's full token-id sequence must survive
+    * bit-for-bit. */
+  def xPipelineTok(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = graft.operators.TextStats.bpeTrain(docs, "text", bpeMergeCount)
+    graft.operators.TextPipeline.e2eTokenized(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", "lang",
+      docs.filter(col("doc_id") % 50 === 0), "text",
+      lexicon = Seq("zebra", "slow"), model = model)
   }
 
   /** Sliding token-window chunking
@@ -2592,6 +2695,7 @@ object QueryPack {
     "x_simhash_pairs" -> (xSimhashPairs _),
     "x_simhash_pairs_sized" -> (xSimhashPairsSized _),
     "x_image_dedup_pairs" -> (xImageDedupPairs _),
+    "x_video_dedup_pairs" -> (xVideoDedupPairs _),
     "x_jaccard" -> (xJaccard _),
     "x_ann_cosine" -> (xAnnCosine _),
     "x_ann_lsh" -> (xAnnLsh _),
@@ -2610,6 +2714,7 @@ object QueryPack {
     "x_dedup_embedding" -> (xDedupEmbedding _),
     "x_dedup_embedding_sized" -> (xDedupEmbeddingSized _),
     "x_semdedup" -> (xSemDedup _),
+    "x_semdedup_text" -> (xSemDedupText _),
     "w3_sliding" -> (w3Sliding _),
     "x_lang_id" -> (xLangId _),
     "x_quality" -> (xQuality _),
@@ -2642,6 +2747,7 @@ object QueryPack {
     "x_bpe_train" -> (xBpeTrain _),
     "x_bpe_encode" -> (xBpeEncode _),
     "x_pipeline_e2e" -> (xPipelineE2e _),
+    "x_pipeline_tok" -> (xPipelineTok _),
     "x_incremental_dedup" -> (xIncrementalDedup _),
     "x_cluster_topics" -> (xClusterTopics _),
     "x_quality_filter" -> (xQualityFilter _),
@@ -2786,23 +2892,14 @@ object QueryPack {
          |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin
     }.mkString("\nUNION ALL\n")
 
-  /** BPE encoding oracle: replay the training chain for the model, build
-    * the alphabet+merges vocabulary (duplicate surface forms collapsed to
-    * the smallest id — `BpeModel.vocab`'s contract), then frame every
-    * word of documents ∪ the OOV sentinel, apply the n merges in rank
-    * order, and id-join the resulting symbols. */
-  private def duckBpeEncode(n: Int): String = {
+  /** The alphabet+merges vocabulary CTEs (duplicate surface forms
+    * collapsed to the smallest id — `BpeModel.vocab`'s contract),
+    * appended after [[duckBpeChain]]. Shared by the encode and
+    * tokenized-pipeline oracles. */
+  private def duckBpeVocabCtes(n: Int): String = {
     val mergeUnion = (1 to n)
       .map(i => s"SELECT $i AS rank, l, r FROM b$i").mkString(" UNION ALL ")
-    val encChain = (1 to n).map { i =>
-      s""",
-       |e$i AS (SELECT doc_id, word_idx, replace(repr,
-       |    COALESCE((SELECT chr(2) || l || chr(3) || chr(2) || r || chr(3) FROM b$i),
-       |             chr(2) || chr(2)),
-       |    COALESCE((SELECT chr(2) || l || r || chr(3) FROM b$i), '')) AS repr
-       |  FROM e${i - 1})""".stripMargin
-    }.mkString
-    duckBpeChain(n) + s""",
+    s""",
        |alpha AS MATERIALIZED (
        |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
        |  FROM (SELECT DISTINCT c AS sym
@@ -2814,16 +2911,40 @@ object QueryPack {
        |    UNION ALL
        |    SELECT l || r AS sym, (SELECT count(*) FROM alpha) + rank - 1 AS id
        |    FROM ($mergeUnion)
-       |  ) GROUP BY 1),
+       |  ) GROUP BY 1)""".stripMargin
+  }
+
+  /** The per-(doc, word) merge-application chain: frame `srcCte`'s
+    * (doc_id, word_idx, w) rows and replay the n merges in rank order.
+    * CTE names prefixed `pfx` so two chains can coexist in one WITH. */
+  private def duckBpeEncChain(n: Int, srcCte: String, pfx: String): String = {
+    val chain = (1 to n).map { i =>
+      s""",
+       |$pfx$i AS (SELECT doc_id, word_idx, replace(repr,
+       |    COALESCE((SELECT chr(2) || l || chr(3) || chr(2) || r || chr(3) FROM b$i),
+       |             chr(2) || chr(2)),
+       |    COALESCE((SELECT chr(2) || l || r || chr(3) FROM b$i), '')) AS repr
+       |  FROM $pfx${i - 1})""".stripMargin
+    }.mkString
+    s""",
+       |${pfx}0 AS (SELECT doc_id, word_idx, ${duckBpeFrame("w")} AS repr FROM $srcCte)""".stripMargin +
+      chain
+  }
+
+  /** BPE encoding oracle: replay the training chain for the model, build
+    * the vocabulary, then frame every word of documents ∪ the OOV
+    * sentinel, apply the n merges in rank order, and id-join the
+    * resulting symbols. */
+  private def duckBpeEncode(n: Int): String = {
+    duckBpeChain(n) + duckBpeVocabCtes(n) + s""",
        |d AS (SELECT doc_id, text FROM documents
        |      UNION ALL SELECT CAST(-1 AS BIGINT), 'zz xx'),
        |tok AS (
        |  SELECT doc_id, CAST(j - 1 AS INT) AS word_idx, ws[j] AS w
        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
        |    unnest(generate_series(1, len(ws))) AS t(j)
-       |  WHERE ws[j] != ''),
-       |e0 AS (SELECT doc_id, word_idx, ${duckBpeFrame("w")} AS repr FROM tok)""".stripMargin +
-      encChain + s""",
+       |  WHERE ws[j] != '')""".stripMargin +
+      duckBpeEncChain(n, "tok", "e") + s""",
        |s AS (
        |  SELECT doc_id, word_idx, CAST(j - 1 AS INT) AS sym_idx, syms[j] AS sym
        |  FROM (SELECT doc_id, word_idx, ${duckBpeSyms("repr")} AS syms FROM e$n),
@@ -2832,6 +2953,124 @@ object QueryPack {
        |  COALESCE(v.id, CAST(-1 AS BIGINT)) AS token_id
        |FROM s LEFT JOIN vocab v ON s.sym = v.sym""".stripMargin
   }
+
+  /** Pipeline stages 1–5 (gates → dedup → decontaminate → calibrate →
+    * temperature) as CTEs `t0..s5` — shared by the e2e and tokenized
+    * pipeline oracles; each stage's idiom is copied verbatim from its
+    * single-operator oracle row. */
+  private val duckPipeStages: String =
+    """t0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 50 <> 0),
+      |g0 AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[ \n\t\r]+'), w -> w != '') AS wsa,
+      |    length(text) AS tlen
+      |  FROM t0),
+      |grams AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(wsa)), i -> wsa[i] || ' ' || wsa[i+1])) AS gram
+      |  FROM g0 WHERE len(wsa) >= 2),
+      |gagg AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+      |gtop AS (SELECT doc_id, cnt, gram,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk
+      |  FROM gagg),
+      |gfrac AS (SELECT g0.doc_id,
+      |    round(coalesce(t.cnt * len(t.gram), 0)::DOUBLE / g0.tlen, 4) AS frac
+      |  FROM g0 LEFT JOIN (SELECT doc_id, cnt, gram FROM gtop WHERE rk = 1) t USING (doc_id)),
+      |lh AS (SELECT doc_id,
+      |    count(*) FILTER (WHERE lower(tok) IN ('zebra', 'slow')) AS n_hits
+      |  FROM (SELECT doc_id, unnest(wsa) AS tok FROM g0) GROUP BY 1),
+      |s1 AS (SELECT t0.* FROM t0
+      |  JOIN gfrac USING (doc_id) LEFT JOIN lh USING (doc_id)
+      |  WHERE gfrac.frac <= 0.20 AND coalesce(lh.n_hits, 0) = 0),
+      |s2 AS (SELECT doc_id, lang, text FROM (
+      |    SELECT s1.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM s1) WHERE rn = 1),
+      |tgram AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(ws) - 8), i -> array_to_string(ws[i:i+9], ' ')))) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s2)
+      |  WHERE len(ws) >= 10),
+      |bgram AS (SELECT DISTINCT unnest(list_distinct(
+      |    list_transform(range(1, len(ws) - 8), i -> array_to_string(ws[i:i+9], ' ')))) AS gram
+      |  FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 50 = 0)
+      |  WHERE len(ws) >= 10),
+      |contam AS (SELECT DISTINCT tgram.doc_id FROM tgram JOIN bgram USING (gram)),
+      |s3 AS (SELECT s2.* FROM s2 WHERE NOT EXISTS
+      |  (SELECT 1 FROM contam c WHERE c.doc_id = s2.doc_id)),
+      |q AS (SELECT doc_id, lang, text,
+      |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
+      |      (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+      |        / length(text)), 4) AS qv
+      |  FROM s3),
+      |s4 AS (SELECT doc_id, lang, text FROM (
+      |    SELECT q.*, round(percent_rank() OVER (PARTITION BY lang ORDER BY qv, doc_id), 4) AS q_rank
+      |    FROM q) WHERE q_rank >= 0.1),
+      |c5 AS (SELECT lang, count(*) AS n FROM s4 GROUP BY 1),
+      |sh5 AS (SELECT lang, n, n::DOUBLE / SUM(n) OVER () AS share FROM c5),
+      |pw5 AS (SELECT lang, share, POW(share, 0.5) AS pw FROM sh5),
+      |z5 AS (SELECT lang, share, pw / SUM(pw) OVER () AS target FROM pw5),
+      |r5 AS (SELECT lang,
+      |    round((target / share) / MAX(target / share) OVER (), 4) AS rate FROM z5),
+      |s5 AS (SELECT s4.* FROM s4 JOIN r5 USING (lang)
+      |  WHERE ('0x' || substr(md5(s4.lang || ':' || CAST(s4.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+      |    < CAST(round(r5.rate * 10000) AS BIGINT))""".stripMargin
+
+  /** Seven-stage e2e pipeline oracle: stages 1–5 + whitespace-token pack
+    * + 8-shard seeded shuffle. */
+  private val duckPipelineE2e: String =
+    "WITH " + duckPipeStages + """,
+      |s6 AS (SELECT doc_id, lang,
+      |    lang || '#' || CAST((SUM(len(string_split(text, ' '))) OVER w
+      |        - len(string_split(text, ' '))) // 2000 AS VARCHAR) AS seq_id,
+      |    CAST((SUM(len(string_split(text, ' '))) OVER w
+      |        - len(string_split(text, ' '))) % 2000 AS BIGINT) AS seq_offset
+      |  FROM s5
+      |  WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING))
+      |SELECT doc_id, lang, seq_id, seq_offset,
+      |  CAST(hv % 8 AS INT) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
+      |FROM (SELECT s6.*,
+      |    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+      |  FROM s6)""".stripMargin
+
+  /** Tokenized pipeline oracle: the BPE training chain + vocabulary over
+    * the FULL corpus (the tokenizer is trained upstream of the pipeline,
+    * `x_bpe_train`'s framing), stages 1–5, then every surviving doc
+    * encoded through the merge chain, fingerprinted (md5 of the
+    * ','-joined id sequence in (word, symbol) order), and PACKED ON THE
+    * REAL TOKEN COUNTS. Word-less docs keep n_tokens 0 / md5('') — the
+    * Spark side's empty-array fingerprint. */
+  private def duckPipelineTok(n: Int): String =
+    duckBpeChain(n) + duckBpeVocabCtes(n) + ",\n" + duckPipeStages + s""",
+      |ptok AS (
+      |  SELECT doc_id, CAST(j - 1 AS INT) AS word_idx, ws[j] AS w
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s5),
+      |    unnest(generate_series(1, len(ws))) AS t(j)
+      |  WHERE ws[j] != '')""".stripMargin +
+      duckBpeEncChain(n, "ptok", "pe") + s""",
+      |psym AS (
+      |  SELECT doc_id, word_idx, CAST(j - 1 AS INT) AS sym_idx, syms[j] AS sym
+      |  FROM (SELECT doc_id, word_idx, ${duckBpeSyms("repr")} AS syms FROM pe$n),
+      |    unnest(generate_series(1, len(syms))) AS t(j)),
+      |pids AS (
+      |  SELECT doc_id, word_idx, sym_idx, COALESCE(v.id, CAST(-1 AS BIGINT)) AS id
+      |  FROM psym LEFT JOIN vocab v ON psym.sym = v.sym),
+      |ptk AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY word_idx, sym_idx)) AS ids_fp
+      |  FROM pids GROUP BY 1),
+      |s5t AS (SELECT s5.doc_id, s5.lang,
+      |    CAST(COALESCE(ptk.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |    COALESCE(ptk.ids_fp, md5('')) AS ids_fp
+      |  FROM s5 LEFT JOIN ptk USING (doc_id)),
+      |s6 AS (SELECT doc_id, lang, n_tokens, ids_fp,
+      |    lang || '#' || CAST((SUM(n_tokens) OVER w - n_tokens) // 2000 AS VARCHAR) AS seq_id,
+      |    CAST((SUM(n_tokens) OVER w - n_tokens) % 2000 AS BIGINT) AS seq_offset
+      |  FROM s5t
+      |  WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING))
+      |SELECT doc_id, lang, n_tokens, ids_fp, seq_id, seq_offset,
+      |  CAST(hv % 8 AS INT) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
+      |FROM (SELECT s6.*,
+      |    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+      |  FROM s6)""".stripMargin
 
   /** DuckDB equivalents. Shared md5-prefix hash:
     * `('0x'||substr(md5(x),1,8))::BIGINT` == Spark `conv(substr(md5(x),1,8),16,10)`. */
@@ -3073,72 +3312,8 @@ object QueryPack {
     // (x_gopher_quality's gram fragment, x_lexicon_hits, x_dedup_exact's
     // keeper, x_decontaminate at n = 10, x_quality_calibrated,
     // x_temperature_apply's window algebra, x_pack, x_shuffle_shards).
-    "x_pipeline_e2e" ->
-      """WITH t0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 50 <> 0),
-        |g0 AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '[ \n\t\r]+'), w -> w != '') AS wsa,
-        |    length(text) AS tlen
-        |  FROM t0),
-        |grams AS (SELECT doc_id,
-        |    unnest(list_transform(range(1, len(wsa)), i -> wsa[i] || ' ' || wsa[i+1])) AS gram
-        |  FROM g0 WHERE len(wsa) >= 2),
-        |gagg AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
-        |gtop AS (SELECT doc_id, cnt, gram,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk
-        |  FROM gagg),
-        |gfrac AS (SELECT g0.doc_id,
-        |    round(coalesce(t.cnt * len(t.gram), 0)::DOUBLE / g0.tlen, 4) AS frac
-        |  FROM g0 LEFT JOIN (SELECT doc_id, cnt, gram FROM gtop WHERE rk = 1) t USING (doc_id)),
-        |lh AS (SELECT doc_id,
-        |    count(*) FILTER (WHERE lower(tok) IN ('zebra', 'slow')) AS n_hits
-        |  FROM (SELECT doc_id, unnest(wsa) AS tok FROM g0) GROUP BY 1),
-        |s1 AS (SELECT t0.* FROM t0
-        |  JOIN gfrac USING (doc_id) LEFT JOIN lh USING (doc_id)
-        |  WHERE gfrac.frac <= 0.20 AND coalesce(lh.n_hits, 0) = 0),
-        |s2 AS (SELECT doc_id, lang, text FROM (
-        |    SELECT s1.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |    FROM s1) WHERE rn = 1),
-        |tgram AS (SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(ws) - 8), i -> array_to_string(ws[i:i+9], ' ')))) AS gram
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s2)
-        |  WHERE len(ws) >= 10),
-        |bgram AS (SELECT DISTINCT unnest(list_distinct(
-        |    list_transform(range(1, len(ws) - 8), i -> array_to_string(ws[i:i+9], ' ')))) AS gram
-        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 50 = 0)
-        |  WHERE len(ws) >= 10),
-        |contam AS (SELECT DISTINCT tgram.doc_id FROM tgram JOIN bgram USING (gram)),
-        |s3 AS (SELECT s2.* FROM s2 WHERE NOT EXISTS
-        |  (SELECT 1 FROM contam c WHERE c.doc_id = s2.doc_id)),
-        |q AS (SELECT doc_id, lang, text,
-        |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
-        |      (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
-        |        / length(text)), 4) AS qv
-        |  FROM s3),
-        |s4 AS (SELECT doc_id, lang, text FROM (
-        |    SELECT q.*, round(percent_rank() OVER (PARTITION BY lang ORDER BY qv, doc_id), 4) AS q_rank
-        |    FROM q) WHERE q_rank >= 0.1),
-        |c5 AS (SELECT lang, count(*) AS n FROM s4 GROUP BY 1),
-        |sh5 AS (SELECT lang, n, n::DOUBLE / SUM(n) OVER () AS share FROM c5),
-        |p5 AS (SELECT lang, share, POW(share, 0.5) AS pw FROM sh5),
-        |z5 AS (SELECT lang, share, pw / SUM(pw) OVER () AS target FROM p5),
-        |r5 AS (SELECT lang,
-        |    round((target / share) / MAX(target / share) OVER (), 4) AS rate FROM z5),
-        |s5 AS (SELECT s4.* FROM s4 JOIN r5 USING (lang)
-        |  WHERE ('0x' || substr(md5(s4.lang || ':' || CAST(s4.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
-        |    < CAST(round(r5.rate * 10000) AS BIGINT)),
-        |s6 AS (SELECT doc_id, lang,
-        |    lang || '#' || CAST((SUM(len(string_split(text, ' '))) OVER w
-        |        - len(string_split(text, ' '))) // 2000 AS VARCHAR) AS seq_id,
-        |    CAST((SUM(len(string_split(text, ' '))) OVER w
-        |        - len(string_split(text, ' '))) % 2000 AS BIGINT) AS seq_offset
-        |  FROM s5
-        |  WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING))
-        |SELECT doc_id, lang, seq_id, seq_offset,
-        |  CAST(hv % 8 AS INT) AS shard,
-        |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
-        |FROM (SELECT s6.*,
-        |    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hv
-        |  FROM s6)""".stripMargin,
+    "x_pipeline_e2e" -> duckPipelineE2e,
+    "x_pipeline_tok" -> duckPipelineTok(bpeMergeCount),
     "x_cluster_topics" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent
         |  FROM embeddings WHERE vec_id < 16),
@@ -3584,6 +3759,31 @@ object QueryPack {
         |FROM banded a JOIN banded b
         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin),
+    "x_video_dedup_pairs" -> (
+      """WITH fr AS (
+        |  SELECT doc_id,
+        |    xor(xor(('0x'||substr(md5('vfam:'||CAST(doc_id // 12 AS VARCHAR)),1,14))::BIGINT,
+        |            (CAST(1 AS BIGINT) << CAST(doc_id % 56 AS INT))),
+        |        (CAST(1 AS BIGINT) << CAST((doc_id * 31 + f) % 56 AS INT))) AS fhash
+        |  FROM documents, unnest(generate_series(0, 4)) AS t(f)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n,
+        |""".stripMargin +
+      (0 until 56).map(b => s"    sum((fhash >> $b) & 1) AS b$b").mkString(",\n") +
+      """
+        |  FROM fr GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |""".stripMargin +
+      (0 until 56).map(b => s"  (CASE WHEN 2 * b$b > n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+        .mkString(" |\n") +
+      """ AS sh FROM agg),
+        |banded AS (SELECT doc_id, sh, band, (sh >> (band * 14)) & 16383 AS key
+        |           FROM sig, unnest(generate_series(0, 3)) AS t(band))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin),
     "x_image_dedup_pairs" ->
       """WITH sig AS (
         |  SELECT doc_id,
@@ -3671,6 +3871,7 @@ object QueryPack {
     "x_dedup_embedding" -> dedupEmbeddingOracleSqlFor(lshPlanes, sized = false),
     "x_dedup_embedding_sized" -> dedupEmbeddingOracleSqlFor(sizedPlanes, sized = true),
     "x_semdedup" -> semDedupOracleSql,
+    "x_semdedup_text" -> semDedupTextOracleSql,
     "w3_sliding" ->
       """WITH base AS (
         |  SELECT event_type, epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS hour0 FROM events),

@@ -131,6 +131,92 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.collect().length == 3)
   }
 
+  /** A textured w×h frame: per-pixel luma from a seeded integer hash plus
+    * a horizontal gradient, optionally brightness-shifted — enough
+    * structure that dHash has real gradients to bite on. */
+  private def texturedFrame(seed: Int, shift: Int = 0,
+                            quality: Float = -1f): Array[Byte] = {
+    val (w, h) = (32, 24)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      // low-frequency 8×8 blocks with seed-driven levels: JPEG-robust
+      // (smooth within a block) yet structurally different per seed
+      val (bx, by) = (x / 8, y / 8)
+      val lvl = math.floorMod(
+        scala.util.hashing.MurmurHash3.productHash((bx, by, seed)), 9)
+      val v0 = math.min(255, math.max(0, 30 + 24 * lvl + shift))
+      img.setRGB(x, y, (v0 << 16) | (v0 << 8) | v0)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (quality < 0) javax.imageio.ImageIO.write(img, "jpg", bos)
+    else {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      writer.dispose(); ios.close()
+    }
+    bos.toByteArray
+  }
+
+  test("video near-dup: temporal majority signature is re-encode/brightness invariant") {
+    import spark.implicits._
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // clip A: 5 textured frames; A': the SAME content re-encoded at low
+    // JPEG quality AND brightness-shifted +12 — a classic near-dup; B: a
+    // different clip (different seeds)
+    val clipA  = mjpegAvi((0 until 5).map(i => texturedFrame(i)))
+    val clipA2 = mjpegAvi((0 until 5).map(i => texturedFrame(i, shift = 12, quality = 0.4f)))
+    val clipB  = mjpegAvi((0 until 5).map(i => texturedFrame(i + 100)))
+    val ds = Seq(
+      MediaRow(1, "video", clipA,  MediaMeta("avi", 32, 24, 5, 0)),
+      MediaRow(2, "video", clipA2, MediaMeta("avi", 32, 24, 5, 0)),
+      MediaRow(3, "video", clipB,  MediaMeta("avi", 32, 24, 5, 0))).toDS()
+    val sigs = videoPHashes(ds, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hamming(sigs(1L), sigs(2L)) <= 3,
+      s"near-dup clips drifted ${hamming(sigs(1L), sigs(2L))} bits apart")
+    assert(hamming(sigs(1L), sigs(3L)) >= 10,
+      s"distinct clips landed ${hamming(sigs(1L), sigs(3L))} bits apart")
+    // determinism
+    val again = videoPHashes(ds, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs == again)
+  }
+
+  test("video majority combine: transient frame noise vanishes, persistent bits survive") {
+    // one frame of five flips extra bits (a scene insert / corrupted
+    // frame) — the temporal hash must equal the clean majority content
+    val base = 0x5A5A5A5A5A5AL
+    val frames = Seq(base, base, base ^ 0xFF00L, base, base)
+    assert(Multimodal.videoTemporalHash(frames) == base)
+    // a bit present in 3 of 5 frames survives; 2 of 5 does not (strict)
+    val threeOfFive = Seq(1L, 1L, 1L, 0L, 0L)
+    assert(Multimodal.videoTemporalHash(threeOfFive) == 1L)
+    assert(Multimodal.videoTemporalHash(Seq(1L, 1L, 0L, 0L, 0L)) == 0L)
+    // tie (2 of 4) → 0, the documented strict-majority rule
+    assert(Multimodal.videoTemporalHash(Seq(1L, 1L, 0L, 0L)) == 0L)
+  }
+
+  test("video combine parity: row-local hash == engine-side aggregate on random frames") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val frames = (0 until 30).flatMap { d =>
+      (0 until 1 + rnd.nextInt(6)).map(f => (d.toLong, rnd.nextLong()))
+    }
+    val engine = Multimodal.videoSignatureFromFrames(
+        frames.toDF("doc_id", "fhash"), "doc_id", "fhash", bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = frames.groupBy(_._1).map { case (d, fs) =>
+      d -> Multimodal.videoTemporalHash(fs.map(_._2), bits = 64)
+    }
+    assert(engine == local)
+  }
+
   /** A minimal but structurally complete ISO-BMFF MP4: ftyp + mdat
     * (frames concatenated, split across `chunks`) + moov/trak/mdia with
     * real tkhd/mdhd/hdlr and full stbl sample tables (stsd/stts/stsc/

@@ -603,6 +603,81 @@ class PlanQualitySpec extends SparkSpec {
     } finally graft.operators.TextPipeline.unpersistPipeline(df)
   }
 
+  test("pipeline tok: encode stage adds NO scan, NO exchange, NO join — BPE stays in the projection") {
+    // the tokenized pipeline's composition claims: folding BPE encode into
+    // the plan must not cost anything structural —
+    //  - same scan discipline as e2e (cache feeds two consumers, one
+    //    parquet rescan for the benchmark side)
+    //  - calibrate+pack STILL share one lang exchange (the narrow encode
+    //    projection between them preserves the partitioning)
+    //  - the vocabulary is a plan-literal map probed by element_at, never
+    //    a join; the native BpeSegment runs inside the projection
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = QueryPack.xPipelineTok(spark, sf)
+    try {
+      assert(df.collect().nonEmpty, "tokenized pipeline produced no rows at sf0.001")
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      val ns = nodes(df.queryExecution.executedPlan)
+      val cacheScans = ns.count(_.isInstanceOf[InMemoryTableScanExec])
+      assert(cacheScans == 2,
+        s"training cache must feed exactly the two consumers, got $cacheScans")
+      val parquetScans = ns.count(_.isInstanceOf[FileSourceScanExec])
+      assert(parquetScans == 1,
+        s"only the benchmark side may rescan parquet, got $parquetScans")
+      val langExchanges = ns.collect {
+        case e: ShuffleExchangeLike => e.outputPartitioning
+      }.count {
+        case h: HashPartitioning => h.expressions.exists(_.toString.contains("lang"))
+        case _ => false
+      }
+      assert(langExchanges == 1,
+        s"calibrate+pack must share one lang exchange despite the encode stage, got $langExchanges")
+      val planStr = ns.mkString("\n")
+      assert(planStr.contains("graft_bpe_segment"),
+        "native BpeSegment missing from the encode projection")
+      assert(!planStr.contains("SortMergeJoin"),
+        "vocabulary lookup must be the plan-literal map, never a corpus join")
+      assert(planStr.contains("BroadcastHashJoin") && planStr.contains("LeftAnti"),
+        "contaminated-id anti join must broadcast at runtime")
+    } finally graft.operators.TextPipeline.unpersistPipeline(df)
+  }
+
+  test("semdedup text: embedding fused into the signature build — one scan, zero shuffle") {
+    // the advertised text→ANN bridge must add NOTHING structural over the
+    // synthetic-embeddings row: the hashed embedding, the centroid argmin
+    // and the LSH bucket all live in ONE narrow projection over the
+    // documents scan (the signature build semDedup checkpoints); the only
+    // exchange in the whole operator remains the pair join's
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").rlike("[^ \n\t\r]"))
+    val emb = docs.select(col("doc_id").as("vec_id"),
+      graft.operators.TextStats.textEmbedding(col("text"), 64).as("embedding"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    val sig = graft.operators.Ann.assignCells(emb, "embedding", cents)
+      .withColumn("bucket", graft.operators.Ann.lshBucket(col("embedding"),
+        graft.operators.Ann.hyperplanes(numPlanes = 4, dim = 64)))
+    val plan = formattedPlan(sig)
+    assert(plan.contains("graft_hashed_embedding"),
+      s"embedding scan missing from the signature build:\n$plan")
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"signature build must be narrow (embedding fused, no exchange):\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).size +
+      "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"signature build re-scanned the corpus:\n$plan")
+  }
+
   test("mapping pipeline stays narrow: records() plan has no exchange") {
     val yaml =
       """|klass: K
