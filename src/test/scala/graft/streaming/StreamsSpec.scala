@@ -452,4 +452,64 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
     q.stop()
   }
+
+  test("learned quality scoring applies to a stream unchanged, equal to batch") {
+    // online quality gating: the classifier is TRAINED offline
+    // (trainQualityModel is an iterative aggregate — not streamable),
+    // but inference is one stateless HashedNgramScore projection, so a
+    // trained model gates an ingest stream verbatim — the deploy shape
+    // of the x_quality_trained/x_quality_learned pair
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextStats
+    val corpus = Seq(
+      ("the quick brown fox is on the run", "en"),
+      ("the slow red fox is in the den", "en"),
+      ("zzz yyy xxx www", "xx"), ("qqq ppp ooo nnn", "xx"))
+      .toDF("text", "lang")
+    val (w, b) = TextStats.trainQualityModel(
+      corpus.withColumn("doc_id", monotonically_increasing_id()),
+      "doc_id", "text", col("lang") === "en", buckets = 64, iters = 2, lr = 0.5)
+    val texts = Seq("the quick fox", "zzz qqq", "", "the den")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      TextStats.learnedQuality(df.select(col("text").as("doc_id"), col("text")),
+        "doc_id", "text", w.toSeq, b)
+    val in = MemoryStream[String]
+    val q = proj(in.toDF.toDF("text"))
+      .writeStream.format("memory").queryName("lq").outputMode("append").start()
+    in.addData(texts.take(2)); q.processAllAvailable()
+    in.addData(texts.drop(2)); q.processAllAvailable()
+    val streamed = spark.sql("select * from lq").collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.head)
+    val batch = proj(texts.toDF("text")).collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.head)
+    assert(streamed.toSeq == batch.toSeq)
+    q.stop()
+  }
+
+  test("hashed text embedding applies to a stream unchanged, equal to batch") {
+    // streaming ingestion with embedding-at-ingest: HashedEmbedding is a
+    // row-local native scan (no vocabulary, no model, no cross-row
+    // state), so an ingest stream can emit ANN-ready vectors verbatim —
+    // the streaming half of the x_semdedup_text composition (the
+    // semDedup index build itself stays a batch job)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextStats
+    val texts = Seq("alpha beta gamma", "alpha beta", "", "one")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("text").as("doc_id"),
+        TextStats.textEmbedding(col("text"), 16).as("emb"))
+    val in = MemoryStream[String]
+    val q = proj(in.toDF.toDF("text"))
+      .writeStream.format("memory").queryName("temb").outputMode("append").start()
+    in.addData(texts.take(2)); q.processAllAvailable()
+    in.addData(texts.drop(2)); q.processAllAvailable()
+    val streamed = spark.sql("select * from temb").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+    val batch = proj(texts.toDF("text")).collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq)
+    q.stop()
+  }
 }
