@@ -85,7 +85,15 @@ object Bench {
       .filter(n => !picked.contains(n) && SparkEntry.queries.contains(n))
       .toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"protocol":"min-of-$runs","runs":$raw,"negative_controls_excluded":$excluded,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"protocol":"min-of-$runs","runs":$raw,"negative_controls_excluded":$excluded,"sf":"$sfDir"}"""
+    println(line)
+    // Stdout alone is lossy — the round-13 driver captured only a
+    // truncated tail, leaving BENCH_r13.json with `parsed: null`. Persist
+    // the same line to a file so the full per-query map always survives.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"bench-out write failed: $e") }
     spark.stop()
   }
 }

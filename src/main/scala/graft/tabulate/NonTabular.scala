@@ -76,6 +76,28 @@ object NonTabular {
     // N1: rstrip, absolute line numbers already present.
     val base = linesDf.select(col("file"), col("lineno"), rtrim(col("line")).as("rline"))
 
+    // Aggregate-free fast path (the r12 "primitive buffer" cure, taken to
+    // its conclusion): when every cell is a non-negative single-line
+    // selector, there is no end pattern, no remove_lines, and the start
+    // line is captured, a record's k-th captured line is simply lead(k)
+    // from its start line — so the whole tabulation is THREE window passes
+    // over one (file, lineno) sort with NO per-record aggregate at all.
+    // The r12 pivot attempt failed because max(when(rn=k, line)) keeps a
+    // string-valued aggregation buffer (SortAggregate); lead() keeps no
+    // buffer whatsoever. Semantics are pinned by NonTabularSpec's goldens
+    // (which route through tabulate()) and the n3_segments oracle hash.
+    val atOnly: Option[Seq[Int]] =
+      if (endPat.isEmpty && !spec.startInARecord && spec.captureStartLine &&
+          spec.removeLines.isEmpty) {
+        val idx = mapping.columns.map(_.nonTabularCell.get.lines.get).map {
+          case LineSelector.At(i) if i >= 0 => Some(i)
+          case _                            => None
+        }
+        if (idx.forall(_.isDefined)) Some(idx.map(_.get)) else None
+      } else None
+    if (atOnly.isDefined)
+      return fastTabulate(base, mapping, spec, startPat, atOnly.get, wOrd)
+
     // N2: remove_lines — block starts via lead() conjunction, then spread.
     val removeSeqs = spec.removeLines.values.toSeq.map(_.map(RubyTranslate.regex))
     val withBlockStarts = removeSeqs.zipWithIndex.foldLeft(base) {
@@ -223,6 +245,55 @@ object NonTabular {
       .select(col("file"), col("rec_id"), cells.as("cells"))
       .withColumn("lineno", row_number().over(wRec).cast("long") - 1)
       .select(col("file"), col("lineno"), col("cells"))
+  }
+
+  /** The aggregate-free rendering for all-`lines: k` mappings (see the
+    * guard in [[tabulate]]). With the start line captured and no end
+    * pattern, record r's captured lines are exactly the consecutive lines
+    * from its start marker up to (not including) the next start marker, so
+    * cell `At(k)` = `lead(rline, k)` from the start line, gated by
+    * `lead(rec_id, k) === rec_id` (beyond the record the lead lands in the
+    * next record — or off the file end, where lead is null). All three
+    * window passes share one (file, lineno) sort; the per-record
+    * collect_list/sort_array ObjectHashAggregate (the single largest
+    * n3_segments cost at sf10, ~10 s of 27 — SCALING.md r12) disappears
+    * along with its (file, rec_id) exchange of materialised arrays. */
+  private def fastTabulate(base: DataFrame, mapping: TableMapping,
+      spec: NonTabularSpec, startPat: String, idxs: Seq[Int],
+      wOrd: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    val c = base
+      .withColumn("is_start", col("rline").rlike(startPat))
+      .withColumn("rec_id", sum(col("is_start").cast("int")).over(wOrd))
+      .filter(col("rec_id") >= 1)
+    // One lead pair per DISTINCT referenced index (k = 0 is the start line
+    // itself). Computed on the full in-record stream BEFORE the start-line
+    // filter — lead must see the record's interior lines.
+    val ks = idxs.distinct.filter(_ > 0).sorted
+    val withLeads = ks.foldLeft(c) { (df, k) =>
+      df.withColumn(s"_ld$k",
+        when(lead(col("rec_id"), k).over(wOrd) === col("rec_id"),
+          lead(col("rline"), k).over(wOrd)))
+    }
+    val starts = withLeads.filter(col("is_start"))
+    // Validity (`table.rb:134-167`, endPat-None branch): every record here
+    // has n_cap >= 1 (its captured start line), so the trailing record is
+    // valid iff end_in_a_record.
+    val wFile = Window.partitionBy("file")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cells = array(mapping.columns.map { cm =>
+      val cell = cm.nonTabularCell.get
+      val i = cell.lines.get.asInstanceOf[LineSelector.At].i
+      val el = if (i == 0) col("rline") else col(s"_ld$i")
+      graft.functions.CaptureChain.captureChain(
+        el, cell.capture.map(RubyTranslate.regex))
+    }: _*)
+    val wRec = Window.partitionBy("file").orderBy("lineno")
+    starts
+      .withColumn("_max_rec", max(col("rec_id")).over(wFile))
+      .filter(col("rec_id") < col("_max_rec") || lit(spec.endInARecord))
+      .select(col("file"), col("lineno"), cells.as("cells"))
+      .withColumn("recno", row_number().over(wRec).cast("long") - 1)
+      .select(col("file"), col("recno").as("lineno"), col("cells"))
   }
 
   /** One column's `non_tabular_cell` as an expression over the record's

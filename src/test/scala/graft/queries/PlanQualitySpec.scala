@@ -507,11 +507,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), s"XML transform joins:\n$plan")
   }
 
-  test("n3_segments: segmentation is windows + one group-by, never a join") {
+  test("n3_segments: segmentation is pure windows over ONE exchange — no aggregate, no join") {
     val plan = formattedPlan(QueryPack.n3Segments(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"segmentation must not degrade to a product:\n$plan")
     assert(plan.contains("Window"), "per-file window state machine missing")
+    // the r14 fast path: all-`lines: k` mappings tabulate via lead() with
+    // NO per-record aggregate — losing this reintroduces the
+    // collect_list ObjectHashAggregate that cost ~10 s of 27 at sf10
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+      s"record assembly regressed to an object/sort aggregate:\n$plan")
+    val shuffles = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly the one per-file Exchange, got $shuffles:\n$plan")
   }
 
   test("source cap: rank-filter compiles to WindowGroupLimit (map-side top-k)") {
