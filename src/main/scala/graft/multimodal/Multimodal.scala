@@ -221,6 +221,30 @@ object Multimodal {
     }.toDF("doc_id", "phash")
   }
 
+  /** Engine-side twin of [[audioDHash]]'s slot-comparison loop for
+    * envelope SLOTS-AS-ROWS inputs (and for the cross-engine oracle,
+    * which pins the envelope→bit derivation in SQL): per id, pivot the
+    * `bits + 1` slot energies into primitive aggregation buffers (one
+    * codegen'd hash aggregate — the exchange carries (doc, 65 doubles),
+    * never samples) and set bit `b` iff slot `b` holds more energy than
+    * slot `b + 1`. The REAL path ([[audioPHashes]]) needs no aggregate at
+    * all — a clip's PCM arrives in one MediaRow and the envelope is
+    * computed in-row; this shape exists so the derivation is
+    * SQL-pinnable, exactly the [[videoSignatureFromFrames]] caveat. */
+  def envelopeSignatureFromSlots(slots: DataFrame, idCol: String,
+                                 slotCol: String, energyCol: String,
+                                 bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be 1..64, got $bits")
+    val es = (0 to bits).map(k =>
+      max(when(col(slotCol) === k, col(energyCol))).as(s"_e$k"))
+    val sig = (0 until bits).map(b =>
+      when(col(s"_e$b") > col(s"_e${b + 1}"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    slots.groupBy(col(idCol))
+      .agg(es.head, es.tail: _*)
+      .select(col(idCol), sig.as("ahash"))
+  }
+
   /** STUB — sample k frames from a "video": returns k pseudo-frames. */
   def sampleFramesStub(bytes: Array[Byte], meta: MediaMeta, k: Int): Seq[Array[Byte]] =
     (0 until math.min(k, math.max(1, meta.nFrames))).map { i =>

@@ -955,6 +955,36 @@ object QueryPack {
         col("hamming"))
   }
 
+  /** Audio near-dup pairs — the energy-envelope dHash derivation
+    * ([[graft.multimodal.Multimodal.audioDHash]]'s slot-comparison loop)
+    * into the banded Hamming machinery. The PCM decode isn't
+    * SQL-expressible (AudioDedupSpec pins real WAVs, resample/re-gain
+    * invariance); this row pins the ENVELOPE→BIT derivation and the
+    * banding cross-engine on a deterministic per-(doc, slot) fixture:
+    * the target family signature (family base hash ⊕ one member bit,
+    * the image-fixture shape) is ENCODED as a prefix-walk envelope —
+    * slot k holds k − 2·popcount(t & (2^k − 1)), so the walk steps DOWN
+    * exactly where t has a set bit and `slot b > slot b+1` recovers bit
+    * b. A >/<, bit-order or off-by-one-slot bug in the derivation
+    * changes every signature and fails the hash. Within-family pairs
+    * sit at hamming 2 — all generated under the 4-band pigeonhole
+    * guarantee (banded-not-all-pairs, plan-pinned). */
+  def xAudioDedupPairs(s: SparkSession, dir: String): DataFrame = {
+    val slots = T(s, dir, "documents")
+      .selectExpr("doc_id",
+        """cast(conv(substring(md5(concat('aufam:', cast(doc_id div 12 as string))), 1, 14), 16, 10) as bigint)
+           ^ shiftleft(cast(1 as bigint), cast(doc_id % 56 as int)) as t""")
+      .selectExpr("doc_id", "t", "explode(sequence(0, 56)) as k")
+      .selectExpr("doc_id", "k",
+        "cast(k as bigint) - 2 * cast(bit_count(t & (shiftleft(cast(1 as bigint), k) - 1)) as bigint) as e")
+    val sig = graft.multimodal.Multimodal.envelopeSignatureFromSlots(
+      slots, "doc_id", "k", "e", bits = 56)
+    graft.operators.TextDedup.bandedHammingPairs(sig, "doc_id", "ahash",
+        bits = 56, bands = 4, maxHamming = 3)
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+        col("hamming"))
+  }
+
   /** N-gram Jaccard near-dup over a bounded candidate set (all-pairs on a
     * small id range — production path is LSH above). */
   def xJaccard(s: SparkSession, dir: String): DataFrame =
@@ -2696,6 +2726,7 @@ object QueryPack {
     "x_simhash_pairs_sized" -> (xSimhashPairsSized _),
     "x_image_dedup_pairs" -> (xImageDedupPairs _),
     "x_video_dedup_pairs" -> (xVideoDedupPairs _),
+    "x_audio_dedup_pairs" -> (xAudioDedupPairs _),
     "x_jaccard" -> (xJaccard _),
     "x_ann_cosine" -> (xAnnCosine _),
     "x_ann_lsh" -> (xAnnLsh _),
@@ -3775,6 +3806,35 @@ object QueryPack {
         |sig AS (SELECT doc_id,
         |""".stripMargin +
       (0 until 56).map(b => s"  (CASE WHEN 2 * b$b > n THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+        .mkString(" |\n") +
+      """ AS sh FROM agg),
+        |banded AS (SELECT doc_id, sh, band, (sh >> (band * 14)) & 16383 AS key
+        |           FROM sig, unnest(generate_series(0, 3)) AS t(band))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin),
+    "x_audio_dedup_pairs" -> (
+      """WITH tt AS (
+        |  SELECT doc_id,
+        |    xor(('0x'||substr(md5('aufam:'||CAST(doc_id // 12 AS VARCHAR)),1,14))::BIGINT,
+        |        (CAST(1 AS BIGINT) << CAST(doc_id % 56 AS INT))) AS t
+        |  FROM documents),
+        |slots AS (
+        |  SELECT doc_id, k,
+        |    CAST(k AS BIGINT) - 2 * CAST(bit_count(t & ((CAST(1 AS BIGINT) << k) - 1)) AS BIGINT) AS e
+        |  FROM tt, unnest(generate_series(0, 56)) AS u(k)),
+        |agg AS (
+        |  SELECT doc_id,
+        |""".stripMargin +
+      (0 to 56).map(k => s"    max(CASE WHEN k = $k THEN e END) AS e$k").mkString(",\n") +
+      """
+        |  FROM slots GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |""".stripMargin +
+      (0 until 56).map(b =>
+        s"  (CASE WHEN e$b > e${b + 1} THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
         .mkString(" |\n") +
       """ AS sh FROM agg),
         |banded AS (SELECT doc_id, sh, band, (sh >> (band * 14)) & 16383 AS key
