@@ -1245,6 +1245,160 @@ object TextStats {
         coalesce(col("_vid"), lit(-1L)).as("token_id"))
   }
 
+  /** A trained unigram-LM tokenizer (Kudo 2018, "Subword Regularization:
+    * Improving Neural Network Translation Models with Multiple Subword
+    * Candidates") — the OTHER mainstream subword algorithm next to
+    * [[BpeModel]]: the surviving pieces with their unigram
+    * probabilities. O(vocab) driver state, the codebook convention.
+    * `oovLogProb` is the score a single out-of-vocabulary character
+    * takes in Viterbi decoding (it encodes as −1 — [[BpeModel]]'s OOV
+    * contract). */
+  final case class UnigramModel(pieces: Seq[(String, Double)],
+                                maxPieceLen: Int,
+                                oovLogProb: Double = -100.0) {
+    /** (piece, id): 0-based rank in piece SORT order — a float-free id
+      * convention, so ids never hinge on probability near-ties. */
+    def vocab: Seq[(String, Long)] =
+      pieces.map(_._1).sorted.zipWithIndex.map { case (s, i) => (s, i.toLong) }
+
+    /** (piece, ln p) — the Viterbi edge weights. */
+    def logProbs: Seq[(String, Double)] =
+      pieces.map { case (s, p) => (s, math.log(p)) }
+  }
+
+  /** Distributed unigram-LM tokenizer training (Kudo 2018's EM
+    * formulation, deterministic fixed schedule):
+    *
+    *  1. Collapse the corpus to its distinct-word frequency table ONCE
+    *     (the only corpus-wide pass — the [[bpeTrain]] collapse: piece
+    *     statistics are per-word, never across word boundaries).
+    *  2. SEED: every 1..`maxPieceLen` code-point substring, counted
+    *     with multiplicity and weighted by word frequency — INTEGER
+    *     counts, so seeding is exactly reproducible cross-engine. Keep
+    *     all single characters plus the top `seedMulti` longer pieces
+    *     by (count · len desc, piece asc) — SentencePiece's
+    *     count-times-length seed score. Initial p ∝ that score.
+    *  3. EM × `emIters`: the E-step runs forward–backward over each
+    *     word's segmentation lattice row-locally
+    *     ([[graft.functions.UnigramEStep]], piece table plan-literal),
+    *     ONE narrow projection + ONE bounded hash aggregate + an
+    *     O(vocab) collect per iteration; the M-step renormalises on the
+    *     driver (piece-sorted, so the driver-side sum order is
+    *     deterministic).
+    *  4. PRUNE to `vocabMulti` multi-character pieces by posterior
+    *     probability (rounded to 10 dp, piece-asc tie-break — the house
+    *     rounded-key convention, so exact-by-symmetry ties resolve
+    *     identically in both engines); single characters are never
+    *     pruned, so every word stays segmentable. Renormalise, then
+    *     EM × `emIters` again to settle the survivors.
+    *
+    * Documented simplifications vs the SentencePiece trainer: plain MLE
+    * EM (no Bayesian digamma smoothing), ONE prune round (the paper
+    * loops shrink-by-25% rounds; the mechanics here are the same loop
+    * body), and posterior-probability pruning rather than the
+    * likelihood-loss criterion. Scale shape: the word table is
+    * persisted once and freed in a finally; every EM iteration is one
+    * flatMap-shaped projection + bounded aggregate over it (at 100 TB
+    * the distinct-word table is GBs, and iteration count is fixed —
+    * nothing scales with corpus size but the initial collapse). */
+  def unigramLmTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     vocabMulti: Int = 24, seedMulti: Int = 48,
+                     maxPieceLen: Int = 4, emIters: Int = 2): UnigramModel = {
+    require(vocabMulti >= 1, s"vocabMulti must be >= 1, got $vocabMulti")
+    require(seedMulti >= vocabMulti,
+      s"seedMulti ($seedMulti) must be >= vocabMulti ($vocabMulti)")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    require(emIters >= 1, s"emIters must be >= 1, got $emIters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wordFreq = docs
+      .select(explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist(mem)
+    try {
+      val cand = wordFreq
+        .select(col("freq"), explode(graft.functions.UnigramLattice
+          .wordSubstrings(col("word"), maxPieceLen)).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+        .withColumn("score", col("cnt") * length(col("piece")))
+        .persist(mem)
+      val singles = cand.filter(length(col("piece")) === 1)
+        .select("piece", "score")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val multis = cand.filter(length(col("piece")) > 1)
+        .orderBy(col("score").desc, col("piece")).limit(seedMulti)
+        .select("piece", "score")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      cand.unpersist()
+      val seed = (singles ++ multis).toSeq
+      val seedTotal = seed.map(_._2).sum
+      var probs: Seq[(String, Double)] =
+        seed.map { case (s, sc) => (s, sc.toDouble / seedTotal.toDouble) }
+
+      // One EM iteration: expected counts via the native lattice kernel,
+      // renormalised on the driver in piece order.
+      def emIter(p: Seq[(String, Double)]): Seq[(String, Double)] = {
+        val rows = wordFreq
+          .select(explode(graft.functions.UnigramLattice
+            .unigramEStep(col("word"), col("freq"), p, maxPieceLen)).as("pc"))
+          .groupBy(col("pc.piece").as("piece")).agg(sum(col("pc.c")).as("c"))
+          .orderBy("piece")
+          .collect().map(r => (r.getString(0), r.getDouble(1)))
+        val tot = rows.map(_._2).sum
+        rows.map { case (s, c) => (s, c / tot) }.toSeq
+      }
+
+      (1 to emIters).foreach(_ => probs = emIter(probs))
+      val (one, many) =
+        probs.partition { case (s, _) => s.codePointCount(0, s.length) == 1 }
+      val kept = one ++ many
+        .sortBy { case (s, p) => (-(math.rint(p * 1e10) / 1e10), s) }
+        .take(vocabMulti)
+      val keptTotal = kept.map(_._2).sum
+      probs = kept.map { case (s, p) => (s, p / keptTotal) }
+      (1 to emIters).foreach(_ => probs = emIter(probs))
+      UnigramModel(probs.sortBy(_._1), maxPieceLen)
+    } finally { wordFreq.unpersist(); () }
+  }
+
+  /** The trained piece table as a DataFrame — (piece, logprob), ln p
+    * rounded to 4 dp (the house publication convention). O(vocab) rows
+    * from driver state. */
+  def unigramPiecesDf(spark: org.apache.spark.sql.SparkSession,
+                      model: UnigramModel): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    model.logProbs.toDF("piece", "_lp")
+      .select(col("piece"), round(col("_lp"), 4).as("logprob"))
+  }
+
+  /** Unigram-LM encoding against a trained model: per word, the Viterbi
+    * best segmentation ([[graft.functions.UnigramViterbi]] — cumulative
+    * scores rounded to 6 dp, longest-piece tie-break, single OOV
+    * characters admitted at [[UnigramModel.oovLogProb]]), one row per
+    * (doc, word, piece) — (idCol, word_idx, sym_idx, piece, token_id),
+    * indices 0-based, OOV pieces id −1.
+    *
+    * Scale shape: ONE native Viterbi call per word row (log-prob table
+    * plan-literal via `addReferenceObj`), an in-row posexplode, and a
+    * plan-literal id map probed by `element_at` (the tokenized-pipeline
+    * idiom) — no join, no shuffle at all. */
+  def unigramLmEncode(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String,
+                      model: UnigramModel): org.apache.spark.sql.DataFrame = {
+    val ids: Map[String, Long] = model.vocab.toMap
+    docs.select(col(idCol), posexplode(words(col(textCol))).as(Seq("word_idx", "_w")))
+      .filter(col("_w") =!= "")
+      .select(col(idCol), col("word_idx"),
+        posexplode(graft.functions.UnigramLattice.unigramViterbi(col("_w"),
+          model.logProbs, model.maxPieceLen, model.oovLogProb))
+          .as(Seq("sym_idx", "piece")))
+      .select(col(idCol), col("word_idx"), col("sym_idx"), col("piece"),
+        coalesce(element_at(typedLit(ids), col("piece")), lit(-1L))
+          .as("token_id"))
+  }
+
   /** The [[graft.functions.HashedNgramScore]] feature space rendered as
     * relational rows: normalise to the scorer's exact token stream
     * (whitespace runs → single space, ROOT lowercase), take the in-row

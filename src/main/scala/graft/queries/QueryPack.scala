@@ -2337,6 +2337,38 @@ object QueryPack {
     graft.operators.TextStats.bpeEncode(withOov, "doc_id", "text", model)
   }
 
+  /** Unigram-LM (SentencePiece) tokenizer training
+    * ([[graft.operators.TextStats.unigramLmTrain]], Kudo 2018) — the
+    * other mainstream subword algorithm next to BPE: the trained piece
+    * table (piece, ln p to 4 dp) after the fixed deterministic schedule
+    * (integer-exact substring seeding → EM×2 → prune to 24 multi-char
+    * pieces → EM×2). The DuckDB twin re-derives the WHOLE trajectory —
+    * forward–backward unrolled over the corpus's ≤8-char words as
+    * chained CTEs, identical term order, the same rounded-key prune —
+    * so the hash pins every EM iteration, not just the final table. */
+  def xUnigramTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.unigramPiecesDf(s,
+      graft.operators.TextStats.unigramLmTrain(T(s, dir, "documents"), "text"))
+
+  /** Unigram-LM Viterbi encoding
+    * ([[graft.operators.TextStats.unigramLmEncode]]) with the model
+    * trained by [[xUnigramTrain]]'s schedule: one row per (doc, word,
+    * piece) with the piece and its sort-rank id, plus the 'zz xx' OOV
+    * sentinel ([[xBpeEncode]]'s convention — z/x are outside the corpus
+    * alphabet, pinning the −1 contract). The oracle replays the decode
+    * with the same cumulative 6-dp rounding and longest-piece
+    * tie-break, unrolled per node. Spark-side plan is shuffle-free: one
+    * native Viterbi call per word row, in-row posexplode, plan-literal
+    * id map probed by `element_at`. */
+  def xUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents")
+    val model = graft.operators.TextStats.unigramLmTrain(docs, "text")
+    val withOov = docs.select(col("doc_id"), col("text"))
+      .unionAll(Seq((-1L, "zz xx")).toDF("doc_id", "text"))
+    graft.operators.TextStats.unigramLmEncode(withOov, "doc_id", "text", model)
+  }
+
   /** The canonical training-data pipeline COMPOSED as one job
     * ([[graft.operators.TextPipeline.e2e]]): gopher-repetition gate +
     * lexicon gate → exact dedup → 10-gram decontamination against the
@@ -2777,6 +2809,8 @@ object QueryPack {
     "x_vocab_encode" -> (xVocabEncode _),
     "x_bpe_train" -> (xBpeTrain _),
     "x_bpe_encode" -> (xBpeEncode _),
+    "x_unigram_train" -> (xUnigramTrain _),
+    "x_unigram_encode" -> (xUnigramEncode _),
     "x_pipeline_e2e" -> (xPipelineE2e _),
     "x_pipeline_tok" -> (xPipelineTok _),
     "x_incremental_dedup" -> (xIncrementalDedup _),
@@ -2886,6 +2920,156 @@ object QueryPack {
     * once, so inlining would blow up 3^n. The COALESCE guard turns an
     * exhausted rank into a no-op replace (`chr(2)||chr(2)` cannot occur
     * in a well-formed framing). */
+  /** Unigram-LM oracle constants: the corpus's words are ≤ `ugW` chars
+    * (the generator's fixed 31-word vocabulary at every scale), pieces ≤
+    * `ugL` chars — the lattice unrolls over exactly these bounds. Budgets
+    * mirror [[graft.operators.TextStats.unigramLmTrain]]'s defaults. */
+  private val ugW = 8
+  private val ugL = 4
+  private val ugSeedMulti = 48
+  private val ugVocabMulti = 24
+
+  /** `COALESCE(p(substr), 0)` — the lattice's piece-probability lookup. */
+  private def ugPp(tbl: String, i: Int, l: Int): String =
+    s"COALESCE((SELECT p FROM $tbl WHERE piece = substr(word, $i, $l)), 0.0)"
+
+  /** One EM iteration as chained CTEs: forward f0..f8 (term order l
+    * ascending — the kernel's accumulation order), backward b8..b0, the
+    * per-word normaliser z, expected counts over the (i, l) edge grid
+    * with each term evaluated `freq · f_i · p · b_j / z` left to right,
+    * and the renormalised output table `outTbl`. */
+  private def duckUnigramEm(pfx: String, inTbl: String, outTbl: String): String = {
+    val sb = new StringBuilder
+    sb ++= s""",
+       |${pfx}f0 AS (SELECT word, wl, CAST(freq AS DOUBLE) AS freqd, 1.0 AS f0 FROM wf)""".stripMargin
+    for (j <- 1 to ugW) {
+      val terms = (1 to math.min(ugL, j))
+        .map(l => s"f${j - l} * ${ugPp(inTbl, j - l + 1, l)}").mkString(" + ")
+      sb ++= s""",
+       |${pfx}f$j AS (SELECT *, CASE WHEN wl >= $j THEN ($terms) ELSE 0.0 END AS f$j FROM ${pfx}f${j - 1})""".stripMargin
+    }
+    sb ++= s""",
+       |${pfx}b$ugW AS (SELECT *, CASE WHEN wl = $ugW THEN 1.0 ELSE 0.0 END AS b$ugW FROM ${pfx}f$ugW)""".stripMargin
+    for (i <- (ugW - 1) to 0 by -1) {
+      val terms = (1 to math.min(ugL, ugW - i))
+        .map(l => s"${ugPp(inTbl, i + 1, l)} * b${i + l}").mkString(" + ")
+      sb ++= s""",
+       |${pfx}b$i AS (SELECT *, CASE WHEN wl = $i THEN 1.0 WHEN wl < $i THEN 0.0 ELSE ($terms) END AS b$i FROM ${pfx}b${i + 1})""".stripMargin
+    }
+    val zSel = (1 to ugW).map(j => s"WHEN $j THEN f$j").mkString(" ")
+    val fSel = (1 to ugW).map(i => s"WHEN $i THEN f${i - 1}").mkString(" ")
+    val bSel = (1 to ugW).map(j => s"WHEN $j THEN b$j").mkString(" ")
+    sb ++= s""",
+       |${pfx}z AS (SELECT *, CASE wl $zSel END AS z FROM ${pfx}b0),
+       |${pfx}e AS (
+       |  SELECT pr.piece,
+       |    sum(lat.freqd * (CASE i $fSel END) * pr.p * (CASE i + l - 1 $bSel END) / lat.z) AS c
+       |  FROM ${pfx}z lat, unnest(generate_series(1, $ugW)) AS ti(i),
+       |    unnest(generate_series(1, $ugL)) AS tl(l), $inTbl pr
+       |  WHERE i + l - 1 <= lat.wl AND pr.piece = substr(lat.word, i, l)
+       |  GROUP BY 1),
+       |$outTbl AS MATERIALIZED (
+       |  SELECT piece, c / (SELECT sum(c) FROM ${pfx}e) AS p FROM ${pfx}e)""".stripMargin
+    sb.result()
+  }
+
+  /** The full training trajectory — integer-exact seed → EM×2 → rounded-key
+    * prune → renormalise → EM×2 — ending at table `q2`. Shared by the
+    * train and encode oracles. */
+  private def duckUnigramTrainCtes: String =
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT w AS word, count(*) AS freq, length(w) AS wl
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w != '' GROUP BY 1),
+       |cand AS (
+       |  SELECT substr(word, i, l) AS piece, sum(freq) AS cnt
+       |  FROM wf, unnest(generate_series(1, $ugW)) AS ti(i),
+       |    unnest(generate_series(1, $ugL)) AS tl(l)
+       |  WHERE i + l - 1 <= wl GROUP BY 1),
+       |seed AS (
+       |  SELECT piece, cnt * length(piece) AS score FROM cand WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt * length(piece) AS score FROM (
+       |    SELECT piece, cnt FROM cand WHERE length(piece) > 1
+       |    ORDER BY cnt * length(piece) DESC, piece LIMIT $ugSeedMulti)),
+       |p0 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(score AS DOUBLE) / CAST((SELECT sum(score) FROM seed) AS DOUBLE) AS p
+       |  FROM seed)""".stripMargin +
+      duckUnigramEm("u1", "p0", "p1") +
+      duckUnigramEm("u2", "p1", "p2") +
+      s""",
+       |keep AS (
+       |  SELECT piece, p FROM p2 WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, p FROM (
+       |    SELECT piece, p FROM p2 WHERE length(piece) > 1
+       |    ORDER BY round(p, 10) DESC, piece LIMIT $ugVocabMulti)),
+       |q0 AS MATERIALIZED (
+       |  SELECT piece, p / (SELECT sum(p) FROM keep) AS p FROM keep)""".stripMargin +
+      duckUnigramEm("u3", "q0", "q1") +
+      duckUnigramEm("u4", "q1", "q2")
+
+  private def duckUnigramTrain: String =
+    duckUnigramTrainCtes + "\nSELECT piece, round(ln(p), 4) AS logprob FROM q2"
+
+  /** Viterbi decode oracle: per distinct word, chained per-node CTEs —
+    * candidates (cumulative score rounded to 6 dp), node best via
+    * `greatest`, and the chosen path as a chr(31)-joined piece string
+    * with the longest-candidate-first CASE reproducing the kernel's
+    * tie-break — then re-joined to (doc, word_idx) and id-joined. */
+  private def duckUnigramEncode: String = {
+    val sb = new StringBuilder
+    sb ++= duckUnigramTrainCtes
+    sb ++= s""",
+       |lpt AS MATERIALIZED (SELECT piece, ln(p) AS lp FROM q2),
+       |vid AS MATERIALIZED (
+       |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS id FROM q2),
+       |d AS (SELECT doc_id, text FROM documents
+       |      UNION ALL SELECT CAST(-1 AS BIGINT), 'zz xx'),
+       |tok AS (
+       |  SELECT doc_id, CAST(j - 1 AS INT) AS word_idx, ws[j] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+       |    unnest(generate_series(1, len(ws))) AS t(j)
+       |  WHERE ws[j] != ''),
+       |v0 AS (SELECT w, length(w) AS wl, 0.0 AS s0, '' AS g0 FROM (SELECT DISTINCT w FROM tok))""".stripMargin
+    for (j <- 1 to ugW) {
+      val ls = (1 to math.min(ugL, j)).reverse
+      val cands = ls.map { l =>
+        val sub = s"substr(w, ${j - l + 1}, $l)"
+        val lp =
+          if (l == 1) s"COALESCE((SELECT lp FROM lpt WHERE piece = $sub), -100.0)"
+          else s"(SELECT lp FROM lpt WHERE piece = $sub)"
+        s"CASE WHEN $j <= wl THEN round(s${j - l} + $lp, 6) END AS c${j}_$l"
+      }.mkString(",\n    ")
+      val grExpr =
+        if (ls.size == 1) s"c${j}_1"
+        else "greatest(" + ls.map(l => s"COALESCE(c${j}_$l, -1e18)").mkString(", ") + ")"
+      val arms = ls.map { l =>
+        s"WHEN c${j}_$l IS NOT NULL AND c${j}_$l = s$j THEN g${j - l} || chr(31) || substr(w, ${j - l + 1}, $l)"
+      }.mkString("\n    ")
+      val prev = if (j == 1) "v0" else s"v${j - 1}c"
+      sb ++= s""",
+       |v${j}a AS (SELECT *,
+       |    $cands
+       |  FROM $prev),
+       |v${j}b AS (SELECT *, CASE WHEN $j <= wl THEN $grExpr END AS s$j FROM v${j}a),
+       |v${j}c AS (SELECT *, CASE WHEN $j > wl THEN NULL
+       |    $arms END AS g$j FROM v${j}b)""".stripMargin
+    }
+    val gSel = (1 to ugW).map(j => s"WHEN $j THEN g$j").mkString(" ")
+    sb ++= s""",
+       |vout AS (SELECT w, CASE wl $gSel END AS path FROM v${ugW}c),
+       |seg AS (
+       |  SELECT w, CAST(j - 1 AS INT) AS sym_idx, ps[j] AS piece
+       |  FROM (SELECT w, string_split(substr(path, 2), chr(31)) AS ps FROM vout),
+       |    unnest(generate_series(1, len(ps))) AS t(j))
+       |SELECT t.doc_id, t.word_idx, s.sym_idx, s.piece,
+       |  COALESCE(v.id, CAST(-1 AS BIGINT)) AS token_id
+       |FROM tok t JOIN seg s ON s.w = t.w LEFT JOIN vid v ON v.piece = s.piece""".stripMargin
+    sb.result()
+  }
+
   private def duckBpeChain(n: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH wf AS MATERIALIZED (
@@ -3338,6 +3522,8 @@ object QueryPack {
         |FROM enc GROUP BY doc_id""".stripMargin,
     "x_bpe_train" -> duckBpeTrain(bpeMergeCount),
     "x_bpe_encode" -> duckBpeEncode(bpeMergeCount),
+    "x_unigram_train" -> duckUnigramTrain,
+    "x_unigram_encode" -> duckUnigramEncode,
     // The seven-stage composition re-derived relationally; each stage's
     // idiom is copied verbatim from its single-operator oracle row
     // (x_gopher_quality's gram fragment, x_lexicon_hits, x_dedup_exact's
