@@ -9,7 +9,10 @@ package graft
   * jobs is unusable at a production tokenizer's K≈32k).
   *
   * args: docsDir (default scratch/sf10), K (default 256),
-  * specBatch (default 16), engines (default "both" | "spec" | "seq").
+  * specBatch (default 16), engines (default "both" | "spec" | "seq"),
+  * sampleWords (default 4096 — the engine default takes the driver-exact
+  * path on this 31-word corpus; pass e.g. 16 to force the distributed
+  * speculative engine with a genuinely partial sample).
   */
 object BpeProbe {
   def main(args: Array[String]): Unit = {
@@ -17,6 +20,7 @@ object BpeProbe {
     val k = args.lift(1).map(_.toInt).getOrElse(256)
     val specBatch = args.lift(2).map(_.toInt).getOrElse(16)
     val engines = args.lift(3).getOrElse("both")
+    val sampleWords = args.lift(4).map(_.toInt).getOrElse(4096)
     val spark = graft.runtime.GraftSession.builder(
       master = "local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -35,8 +39,9 @@ object BpeProbe {
 
     val spec =
       if (engines != "seq")
-        Some(run(s"speculative(M=$specBatch)") {
-          graft.operators.TextStats.bpeTrain(docs, "text", k, specBatch = specBatch)
+        Some(run(s"speculative(M=$specBatch,V=$sampleWords)") {
+          graft.operators.TextStats.bpeTrain(docs, "text", k,
+            specBatch = specBatch, sampleWords = sampleWords)
         })
       else None
     val seq =

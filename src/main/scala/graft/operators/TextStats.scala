@@ -850,17 +850,34 @@ object TextStats {
     *     The committed trajectory is therefore bit-identical to the
     *     sequential algorithm's, by construction.
     *
+    * When the +1-overfetched sample turns out to COVER the whole
+    * distinct-word table (≤ `sampleWords` words), speculation is not a
+    * heuristic at all: sample-BPE on the full table IS the engine's
+    * argmax rule (same weighted counts, same UTF-8 code-point
+    * tie-break — [[bpeGreedyTrajectory]]), so training completes
+    * driver-side off that ONE distributed job, bit-identical by the
+    * same argument with zero simulation rounds. Real corpora overflow
+    * the sample and take the speculative engine; the exact path kills
+    * the small-table scheduling floor (a 31-word table needs no
+    * cluster).
+    *
     * Scale shape: the word table is persisted (MEMORY_AND_DISK, freed
     * in a finally — distinct words of a 100 TB corpus are GBs, not
-    * TBs); each ROUND is one flatMap + bounded hash aggregate over it,
-    * one single-row argmax action and one TakeOrdered window action
-    * (O(specBatch) driver state — the centroid convention), and merge
-    * application is a narrow literal-replace projection, never a join.
-    * K merges ≈ K / (specBatch+1) rounds when speculation verifies
-    * (Zipf-shaped pair counts make non-interacting top pairs the common
-    * case); a mismatched round still commits ≥ 1 exact merge, so the
-    * WORST case equals the old merge-per-job engine, and the r12
-    * measured K-job serialization (What's wrong #2) is gone. Words
+    * TBs); each ROUND is one flatMap + bounded hash aggregate over it
+    * collected as one single-row argmax action (O(specBatch) driver
+    * state — the centroid convention), and merge application is a
+    * narrow literal-replace projection, never a join. Speculation
+    * depth is ADAPTIVE: it doubles after a fully-verified round (to a
+    * 64-state cap — the argmax aggregate carries m+1 generated
+    * columns, the measured K-proportional-codegen ceiling) and halves
+    * (floor 1) after a correction, so a well-predicted trajectory
+    * converges to K/64 rounds and a persistently mispredicted one
+    * stops paying deep per-word simulation, without a tuning knob. K
+    * merges ≈ K / (specBatch+1) rounds even without growth
+    * (Zipf-shaped pair counts make non-interacting top pairs the
+    * common case); a mismatched round still commits ≥ 1 exact merge,
+    * so the WORST case equals the old merge-per-job engine, and the
+    * r12 measured K-job serialization (What's wrong #2) is gone. Words
     * containing the framing control chars U+0002/U+0003 are dropped
     * from training — they cannot be framed faithfully.
     *
@@ -871,7 +888,8 @@ object TextStats {
     * adversarial corpora). */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
                numMerges: Int, materializeEvery: Int = 8,
-               specBatch: Int = 16, sampleWords: Int = 4096): BpeModel = {
+               specBatch: Int = 16, sampleWords: Int = 4096,
+               checkpointDir: Option[String] = None): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(materializeEvery >= 1,
       s"materializeEvery must be >= 1, got $materializeEvery")
@@ -886,20 +904,43 @@ object TextStats {
         !col("word").contains(SymL) && !col("word").contains(SymR))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .persist(mem)
+    // speculation sample: the frequency head of the word table (word
+    // tie-break for determinism) — one bounded TakeOrdered on the
+    // already-persisted frame. The +1 overfetch detects EXACTNESS: if
+    // the table has ≤ sampleWords distinct words the sample IS the
+    // corpus, sample-BPE is the engine's own argmax rule (same counts,
+    // same UTF-8 tie-break), and training completes DRIVER-SIDE off
+    // this one job — no simulation rounds at all. Real 100 TB corpora
+    // overflow any sample and take the speculative engine below; the
+    // exact path is the small-table floor-killer (a merge-per-job
+    // engine on a 31-word table is pure scheduling overhead).
+    val sample: Array[(Long, String)] = wordFreq
+      .orderBy(col("freq").desc, col("word")).limit(sampleWords + 1)
+      .select(col("freq").cast("long"), col("word"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    if (sample.length <= sampleWords) {
+      wordFreq.unpersist()
+      val alphabet = sample
+        .flatMap { case (_, w) =>
+          w.codePoints().toArray.map(cp => new String(Character.toChars(cp))) }
+        .distinct.sortWith(utf8Less).toSeq
+      val st = sample.map { case (f, w) =>
+        (f, w.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
+      }
+      return BpeModel(alphabet, bpeGreedyTrajectory(st, numMerges)._1)
+    }
     val alphabet = wordFreq
       .select(explode(split(col("word"), "")).as("c"))
       .filter(col("c") =!= "").distinct().orderBy("c")
       .collect().map(_.getString(0)).toSeq
-    // speculation sample: the frequency head of the word table (word
-    // tie-break for determinism) — one bounded TakeOrdered on the
-    // already-persisted frame
-    val sample: Array[(Long, String)] = wordFreq
-      .orderBy(col("freq").desc, col("word")).limit(sampleWords)
-      .select(col("freq").cast("long"), col("word"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    var cur = wordFreq.select(col("freq"), charsToRepr(col("word")).as("repr"))
-      .persist(mem)
-    cur.count()
+    // Rolling checkpoint (localCheckpoint by default, parquet spill
+    // under `checkpointDir` on clusters — TextDedup.cluster's loop
+    // convention): each materialization CUTS the plan lineage, so a
+    // correction-heavy K≈32k run never accumulates hundreds of nested
+    // cached-plan layers (measured: the layered lineage OOM'd the plan
+    // string builder itself around round ~250 before this).
+    val roll = new graft.runtime.Checkpoints.Rolling(spark, checkpointDir)
+    var cur = roll(wordFreq.select(col("freq"), charsToRepr(col("word")).as("repr")))
     wordFreq.unpersist()
     try {
       var pending = Vector.empty[(String, String)]
@@ -914,55 +955,29 @@ object TextStats {
       // Driver-side speculation state: the top-`sampleWords` words by
       // frequency (O(V) driver state — the centroid convention), kept in
       // lockstep with the committed merges. Running the EXACT greedy
-      // argmax on this sample predicts the true trajectory INCLUDING
-      // created-pair winners ((th,e) right after (t,h)) — the failure
-      // mode that capped window-of-existing-pairs speculation at ~2-4
-      // verified merges per round (measured; see scaladoc). When the
-      // corpus has fewer distinct words than the cap, the sample IS the
-      // corpus and every tentative verifies.
+      // argmax on this sample ([[bpeGreedyTrajectory]] — same counts,
+      // same UTF-8 tie-break as the engine) predicts the true trajectory
+      // INCLUDING created-pair winners ((th,e) right after (t,h)) — the
+      // failure mode that capped window-of-existing-pairs speculation at
+      // ~2-4 verified merges per round (measured; see scaladoc). Tail
+      // words outside the sample can still flip close argmaxes — that
+      // only truncates the verified prefix, never commits wrongly.
       var sampleState: Array[(Long, Array[String])] = sample.map { case (f, w) =>
         // split into code points — charsToRepr's "(.)" regex semantics
         (f, w.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
       }
 
-      // greedy sample-BPE: argmax by (count desc, l, r) over the sample's
-      // pair counts, `maxSteps` steps — a HEURISTIC trajectory (tail
-      // words outside the sample can flip close argmaxes; the String
-      // ordering is UTF-16 where the engine orders UTF-8 — both just
-      // cause a verified-prefix truncation, never a wrong commit)
-      def sampleTrajectory(maxSteps: Int): Vector[(String, String)] = {
-        var st = sampleState
-        val out = Vector.newBuilder[(String, String)]
-        var n = 0
-        var go = true
-        while (go && n < maxSteps) {
-          val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-          st.foreach { case (f, syms) =>
-            var i = 0
-            while (i < syms.length - 1) {
-              val k = (syms(i), syms(i + 1))
-              counts.update(k, counts.getOrElse(k, 0L) + f)
-              i += 1
-            }
-          }
-          if (counts.isEmpty) go = false
-          else {
-            val best = counts.keysIterator.reduceLeft { (a, b) =>
-              val ca = counts(a); val cb = counts(b)
-              if (ca > cb) a
-              else if (cb > ca) b
-              else if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
-            }
-            out += best
-            st = st.map { case (f, syms) => (f, bpeApplyMerge(syms, best._1, best._2)) }
-            n += 1
-          }
-        }
-        out.result()
-      }
+      // Adaptive speculation depth: double (to a 64-state cap — the
+      // argmax aggregate carries m+1 generated columns, the
+      // K-proportional-codegen ceiling) after a fully-verified round,
+      // halve back toward `specBatch` after a correction. The K=256
+      // campaign measured M=32 beating M=16 when the sample keeps
+      // verifying; this buys that without a tuning knob.
+      var curBatch = specBatch
 
       while (!exhausted && done < numMerges) {
-        val spec = sampleTrajectory(math.min(specBatch, numMerges - done - 1))
+        val spec = bpeGreedyTrajectory(sampleState,
+          math.min(curBatch, numMerges - done - 1))._1.map(t => (t._1, t._2))
         val m = spec.size
         val pre = pending
         // one distributed pass: per word, apply committed-but-unmaterialized
@@ -996,49 +1011,114 @@ object TextStats {
           }
         val cCols = (0 to m).map(s =>
           sum(when(col("step") <= s, col("d")).otherwise(lit(0L))).as(s"c$s"))
+        // single-use aggregate — collected once, so no persist
         val pairSteps = simRows.toDF("l", "r", "step", "d")
           .groupBy("l", "r").agg(cCols.head, cCols.tail: _*)
-          .persist(mem)
-        try {
-          val argmaxCols = (0 to m).map(s =>
-            min(when(col(s"c$s") >= 1L,
-              struct((-col(s"c$s")).as("nc"), col("l"), col("r")))).as(s"a$s"))
-          val row = pairSteps.select(argmaxCols: _*).collect()(0)
-          var s = 0 // states 0..m; s = verified prefix length so far
-          val roundCommitted = Vector.newBuilder[(String, String)]
-          var continueRound = true
-          while (continueRound && done < numMerges) {
-            if (row.isNullAt(s)) { // no pair left after s verified merges
-              exhausted = true; continueRound = false
-            } else {
-              val st = row.getStruct(s)
-              val (cnt, al, ar) = (-st.getLong(0), st.getString(1), st.getString(2))
-              merges += ((al, ar, cnt))
-              pending :+= ((al, ar))
-              roundCommitted += ((al, ar))
-              done += 1
-              if (s < m && spec(s) == ((al, ar))) s += 1 // verified: next state
-              else continueRound = false // corrected exact merge: stop round
-            }
+        val argmaxCols = (0 to m).map(s =>
+          min(when(col(s"c$s") >= 1L,
+            struct((-col(s"c$s")).as("nc"), col("l"), col("r")))).as(s"a$s"))
+        val row = pairSteps.select(argmaxCols: _*).collect()(0)
+        var s = 0 // states 0..m; s = verified prefix length so far
+        val roundCommitted = Vector.newBuilder[(String, String)]
+        var continueRound = true
+        var corrected = false
+        while (continueRound && done < numMerges) {
+          if (row.isNullAt(s)) { // no pair left after s verified merges
+            exhausted = true; continueRound = false
+          } else {
+            val st = row.getStruct(s)
+            val (cnt, al, ar) = (-st.getLong(0), st.getString(1), st.getString(2))
+            merges += ((al, ar, cnt))
+            pending :+= ((al, ar))
+            roundCommitted += ((al, ar))
+            done += 1
+            if (s < m && spec(s) == ((al, ar))) s += 1 // verified: next state
+            else if (s < m) { corrected = true; continueRound = false }
+            else continueRound = false // spec fully consumed: round complete
           }
-          // keep the speculation sample in lockstep with the commits
-          // (a corrected merge absent from the sample applies as identity)
-          val rc = roundCommitted.result()
-          if (rc.nonEmpty && !exhausted && done < numMerges)
-            sampleState = sampleState.map { case (f, syms) =>
-              (f, rc.foldLeft(syms) { case (a, (l, r)) => bpeApplyMerge(a, l, r) })
-            }
-        } finally pairSteps.unpersist()
+        }
+        // double after a fully-verified round; halve (floor 1 — a
+        // persistently wrong sample must not keep paying 16-deep
+        // simulation for 1-merge rounds) after a correction
+        curBatch =
+          if (corrected) math.max(1, curBatch / 2)
+          else math.min(math.max(curBatch * 2, curBatch), 64)
+        // keep the speculation sample in lockstep with the commits
+        // (a corrected merge absent from the sample applies as identity)
+        val rc = roundCommitted.result()
+        if (rc.nonEmpty && !exhausted && done < numMerges)
+          sampleState = sampleState.map { case (f, syms) =>
+            (f, rc.foldLeft(syms) { case (a, (l, r)) => bpeApplyMerge(a, l, r) })
+          }
         if (pending.size >= materializeEvery && done < numMerges && !exhausted) {
-          val next = cur.select(col("freq"), reprCol.as("repr")).persist(mem)
-          next.count()
-          cur.unpersist()
-          cur = next
+          cur = roll(cur.select(col("freq"), reprCol.as("repr")))
           pending = Vector.empty
         }
       }
       BpeModel(alphabet, merges.result())
-    } finally cur.unpersist()
+    } finally { cur.unpersist(); () }
+  }
+
+  /** Code-point order — identical to the engine's UTF8String binary
+    * ordering (UTF-8 byte order IS code-point order), where Java's
+    * `String.compareTo` (UTF-16 unit order) diverges for supplementary
+    * characters vs U+E000..U+FFFF. The driver-side greedy argmax MUST
+    * use this ordering for its tie-breaks to be exact. */
+  private[operators] def utf8Less(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    i == a.length && j < b.length
+  }
+
+  /** Greedy BPE over an in-memory (freq, symbols) word table: argmax by
+    * (count desc, left asc, right asc) — the EXACT (and exactly
+    * tie-broken) rule the distributed argmax applies — for up to
+    * `maxSteps` merges, with weighted counts. Mutates nothing; returns
+    * the (possibly shorter, if pairs run out) trajectory and the final
+    * state. Used as the speculation HEURISTIC over a frequency-head
+    * sample, and as the EXACT trainer when the sample is the whole
+    * distinct-word table. */
+  private[operators] def bpeGreedyTrajectory(
+      state: Array[(Long, Array[String])], maxSteps: Int)
+      : (Vector[(String, String, Long)], Array[(Long, Array[String])]) = {
+    var st = state
+    val out = Vector.newBuilder[(String, String, Long)]
+    var n = 0
+    var go = true
+    while (go && n < maxSteps) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      st.foreach { case (f, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) go = false
+      else {
+        val best = counts.keysIterator.reduceLeft { (a, b) =>
+          val ca = counts(a); val cb = counts(b)
+          if (ca > cb) a
+          else if (cb > ca) b
+          else if (utf8Less(a._1, b._1)) a
+          else if (a._1 != b._1) b
+          else if (utf8Less(a._2, b._2) || a._2 == b._2) a
+          else b
+        }
+        out += ((best._1, best._2, counts(best)))
+        st = st.map { case (f, syms) => (f, bpeApplyMerge(syms, best._1, best._2)) }
+        n += 1
+      }
+    }
+    (out.result(), st)
   }
 
   /** Parse a framed repr (␂sym␃␂sym␃…) back to its symbol array. */
@@ -1127,10 +1207,11 @@ object TextStats {
     // linearly with K — the janino/JIT code-size ceiling this repo has
     // measured elsewhere (SCALING.md, K-proportional codegen). With it,
     // per-scan expression depth is ≤ materializeEvery and total work is
-    // O(K) scans of the word table.
-    var cur = wordFreq.select(col("freq"), charsToRepr(col("word")).as("repr"))
-      .persist(mem)
-    cur.count()
+    // O(K) scans of the word table. Rolling checkpoint so each
+    // materialization also CUTS the plan lineage (K/materializeEvery
+    // nested cached-plan layers OOM'd the driver around K≈250 before).
+    val roll = new graft.runtime.Checkpoints.Rolling(docs.sparkSession, None)
+    var cur = roll(wordFreq.select(col("freq"), charsToRepr(col("word")).as("repr")))
     wordFreq.unpersist()
     try {
       var pending = Vector.empty[(String, String)]
@@ -1161,16 +1242,13 @@ object TextStats {
           merges += ((l, r, c))
           pending :+= ((l, r))
           if (pending.size >= materializeEvery && i < numMerges) {
-            val next = cur.select(col("freq"), reprCol.as("repr")).persist(mem)
-            next.count()
-            cur.unpersist()
-            cur = next
+            cur = roll(cur.select(col("freq"), reprCol.as("repr")))
             pending = Vector.empty
           }
         }
       }
       BpeModel(alphabet, merges.result())
-    } finally cur.unpersist()
+    } finally { cur.unpersist(); () }
   }
 
   /** The [[bpeTrain]] merge list as a DataFrame —

@@ -2921,10 +2921,12 @@ object QueryPack {
     * exhausted rank into a no-op replace (`chr(2)||chr(2)` cannot occur
     * in a well-formed framing). */
   /** Unigram-LM oracle constants: the corpus's words are ≤ `ugW` chars
-    * (the generator's fixed 31-word vocabulary at every scale), pieces ≤
-    * `ugL` chars — the lattice unrolls over exactly these bounds. Budgets
-    * mirror [[graft.operators.TextStats.unigramLmTrain]]'s defaults. */
-  private val ugW = 8
+    * (31 base words of ≤8 chars at the testdata scales; the ScaleGen
+    * scratch corpora add suffixed variants up to 11 — 12 gives headroom),
+    * pieces ≤ `ugL` chars — the lattice unrolls over exactly these
+    * bounds. Budgets mirror
+    * [[graft.operators.TextStats.unigramLmTrain]]'s defaults. */
+  private val ugW = 12
   private val ugL = 4
   private val ugSeedMulti = 48
   private val ugVocabMulti = 24

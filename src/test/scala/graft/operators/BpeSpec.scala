@@ -93,10 +93,38 @@ class BpeSpec extends SparkSpec {
           Seq.fill(1 + rnd.nextInt(9))(alpha.charAt(rnd.nextInt(alpha.length)))
             .mkString).mkString(" "))).toDF("id", "text")
       val k = 6 + rnd.nextInt(14)
-      val spec = TextStats.bpeTrain(docs, "text", k, specBatch = 5)
+      // sampleWords below the distinct-word count forces the DISTRIBUTED
+      // speculative engine (a covering sample takes the driver-exact path,
+      // pinned separately below)
+      val spec = TextStats.bpeTrain(docs, "text", k, specBatch = 5, sampleWords = 10)
       val seq = TextStats.bpeTrainSequential(docs, "text", k)
       assert(spec == seq, s"trial $trial (k=$k): speculative != sequential")
     }
+  }
+
+  test("driver-exact path (sample covers the word table) matches the sequential engine") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val docs = Seq.tabulate(80)(i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(4))(
+          Seq.fill(1 + rnd.nextInt(8))("abc".charAt(rnd.nextInt(3)))
+            .mkString).mkString(" "))).toDF("id", "text")
+      val k = 5 + rnd.nextInt(12)
+      val exact = TextStats.bpeTrain(docs, "text", k) // default sample covers all
+      val seq = TextStats.bpeTrainSequential(docs, "text", k)
+      assert(exact == seq, s"trial $trial (k=$k): exact path != sequential")
+    }
+  }
+
+  test("driver-exact tie-break is UTF-8 code-point order, not UTF-16") {
+    // U+FB00 (ﬀ) < U+1D552 (𝕒) in code-point/UTF-8 order, but 𝕒's lead
+    // surrogate 0xD835 < 0xFB00 makes Java String order disagree — a
+    // UTF-16 comparator would pick the wrong side of this tie
+    val docs = Seq((1L, "ﬀz 𝕒z")).toDF("id", "text")
+    val exact = TextStats.bpeTrain(docs, "text", 1)
+    val seq = TextStats.bpeTrainSequential(docs, "text", 1)
+    assert(exact == seq)
+    assert(exact.merges.head._1 == "ﬀ", s"got ${exact.merges.head}")
   }
 
   test("speculative engine survives adversarial tie/boost corpora") {
@@ -107,7 +135,7 @@ class BpeSpec extends SparkSpec {
       Seq.fill(3)("ac d") ++ Seq.fill(2)("a a a a")).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     for (k <- Seq(3, 5, 8)) {
-      val spec = TextStats.bpeTrain(docs, "text", k, specBatch = 6)
+      val spec = TextStats.bpeTrain(docs, "text", k, specBatch = 6, sampleWords = 4)
       val seq = TextStats.bpeTrainSequential(docs, "text", k)
       assert(spec == seq, s"k=$k: speculative != sequential")
     }
@@ -131,7 +159,7 @@ class BpeSpec extends SparkSpec {
 
   test("speculative engine: specBatch 0 degenerates to exact one-per-round") {
     val docs = Seq((1L, "aa ab"), (2L, "aa")).toDF("id", "text")
-    val m = TextStats.bpeTrain(docs, "text", 5, specBatch = 0)
+    val m = TextStats.bpeTrain(docs, "text", 5, specBatch = 0, sampleWords = 1)
     assert(m.merges == Seq(("a", "a", 2L), ("a", "b", 1L)))
   }
 
