@@ -369,6 +369,56 @@ object TextStats {
         sum(col("_c")).as("n_bigrams"))
   }
 
+  /** Hashed-bucket rendering of [[bigramLogProb]] — the O(B) exchange
+    * variant (the hashed/Bloom-LM trick: Talbot & Osborne 2007): bigram
+    * counts are kept per h32(w1·w2) mod `buckets` BUCKET instead of per
+    * (w1, w2) pair, so the model table is bounded by `buckets` (or by
+    * the corpus's bigram-type count, whichever is smaller) and
+    * BROADCASTS to the scoring pass. Collisions only INFLATE a count —
+    * with B=2M and ~50k bigram types the expected inflated-type
+    * fraction is types/2B ≈ 1%%, far below tier-boundary resolution
+    * (A/B'd; see SCALING.md).
+    *
+    * Why this is the 100 TB shape: [[bigramLogProb]]'s exact form
+    * exchanges the corpus's per-doc pair rows on (w1, w2) — a
+    * vocabulary²-keyed, corpus-sized shuffle. Here NOTHING corpus-sized
+    * is ever exchanged: the bucket table is one pass with map-side
+    * combine (≤ B rows out per partition), the unigram table is
+    * vocabulary-sized, both broadcast into the scoring scan, and the
+    * only remaining exchange is the per-doc mean's O(docs) combine.
+    * Same add-one smoothing, same exact-unigram denominator, same
+    * published 4-dp rounding. */
+  def bigramLogProbHashed(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String,
+                          buckets: Int = 1 << 21): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val bkt = docs
+      .select(explode(graft.functions.PairCounts.pairCounts(col(textCol)))
+        .as(Seq("_bg", "_c")))
+      .groupBy((graft.operators.TextDedup.h32(col("_bg")) % buckets).as("_b"))
+      .agg(sum(col("_c").cast("long")).as("_c12"))
+    val uni = docs
+      .select(explode(graft.functions.TermCounts.termCounts(col(textCol)))
+        .as(Seq("_uw", "_utf")))
+      .groupBy(col("_uw")).agg(sum(col("_utf")).as("_c1"))
+    val v = uni.agg(count(lit(1)).as("_v"))
+    docs
+      .select(col(idCol),
+        explode(graft.functions.PairCounts.pairCounts(col(textCol)))
+          .as(Seq("_bg", "_c")))
+      .withColumn("_b", graft.operators.TextDedup.h32(col("_bg")) % buckets)
+      .withColumn("_w1", substring_index(col("_bg"), " ", 1))
+      .withColumn("_c", col("_c").cast("long"))
+      .join(broadcast(bkt), Seq("_b"))
+      .join(broadcast(uni), col("_w1") === col("_uw"))
+      .crossJoin(broadcast(v))
+      .withColumn("_lp",
+        log10((col("_c12") + 1).cast("double") / (col("_c1") + col("_v"))))
+      .groupBy(idCol)
+      .agg(round(sum(col("_c") * col("_lp")) / sum(col("_c")), 4).as("avg_logprob"),
+        sum(col("_c")).as("n_bigrams"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
     * split each language's documents into `nBuckets` equal-population
@@ -390,10 +440,15 @@ object TextStats {
     * gate instead of a perplexity tier. */
   def perplexityBuckets(docs: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, strataCol: String,
-                        nBuckets: Int = 3): org.apache.spark.sql.DataFrame = {
+                        nBuckets: Int = 3,
+                        hashedLmBuckets: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be at least 2, got $nBuckets")
     import org.apache.spark.sql.expressions.Window
-    val scored = bigramLogProb(docs, idCol, textCol)
+    val lm = hashedLmBuckets match {
+      case Some(b) => bigramLogProbHashed(docs, idCol, textCol, b)
+      case None    => bigramLogProb(docs, idCol, textCol)
+    }
+    val scored = lm
       .hint("shuffle_hash")
       .join(docs.select(col(idCol), col(strataCol)), Seq(idCol))
     scored

@@ -2499,6 +2499,23 @@ object QueryPack {
   def xBigramLogprob(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextStats.bigramLogProb(T(s, dir, "documents"), "doc_id", "text")
 
+  /** Hashed-bucket bigram LM
+    * ([[graft.operators.TextStats.bigramLogProbHashed]], Talbot &
+    * Osborne 2007's Bloom-LM idea on the house h32): counts keyed by
+    * h32(bigram) mod 2²¹ instead of the pair itself, so the model table
+    * is O(min(B, types)) and BROADCASTS — nothing corpus-sized is ever
+    * exchanged. Both engines hash identically, so collisions are
+    * deterministic and the row pins the whole bucket convention. NOT
+    * adopted for `x_ppl_buckets` (A/B'd, SCALING.md): at B=2M the 2.3%
+    * type-collision rate touches 58% of docs and scrambles the
+    * tie-dense ntile tiers to 47.8% agreement, and locally the second
+    * corpus scan costs more than the exchange it saves — the hashed
+    * shape is the one to reach for when the (w1,w2) exchange IS the
+    * bottleneck. */
+  def xBigramLogprobHashed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats.bigramLogProbHashed(
+      T(s, dir, "documents"), "doc_id", "text", 1 << 21)
+
   /** Inverted-index statistics over the corpus: per-term document
     * frequency, collection frequency, BM25 idf and a bounded posting-list
     * sample. The sample is row_number-bounded BEFORE aggregation so no
@@ -2800,6 +2817,7 @@ object QueryPack {
     "x_pack_salted" -> (xPackSalted _),
     "x_unigram_logprob" -> (xUnigramLogprob _),
     "x_bigram_logprob" -> (xBigramLogprob _),
+    "x_bigram_logprob_hashed" -> (xBigramLogprobHashed _),
     "x_inverted_index" -> (xInvertedIndex _),
     "x_bm25" -> (xBm25 _),
     "x_rrf_hybrid" -> (xRrfHybrid _),
@@ -3588,6 +3606,22 @@ object QueryPack {
         |  round(avg(log10((c12 + 1)::DOUBLE / (c1 + vsz))), 4) AS avg_logprob,
         |  count(*) AS n_bigrams
         |FROM bg JOIN bc USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN t
+        |GROUP BY 1""".stripMargin,
+    "x_bigram_logprob_hashed" ->
+      """WITH w0 AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws FROM documents),
+        |uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(ws) AS w FROM w0) GROUP BY 1),
+        |t AS (SELECT count(*) AS vsz FROM uni),
+        |bg AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |       FROM w0 WHERE len(ws) >= 2),
+        |hc AS (SELECT ('0x'||substr(md5(w1||' '||w2),1,8))::BIGINT % 2097152 AS b,
+        |         count(*) AS c12
+        |       FROM bg GROUP BY 1)
+        |SELECT doc_id,
+        |  round(avg(log10((c12 + 1)::DOUBLE / (c1 + vsz))), 4) AS avg_logprob,
+        |  count(*) AS n_bigrams
+        |FROM bg
+        |  JOIN hc ON hc.b = ('0x'||substr(md5(bg.w1||' '||bg.w2),1,8))::BIGINT % 2097152
+        |  JOIN uni ON bg.w1 = uni.w CROSS JOIN t
         |GROUP BY 1""".stripMargin,
     "x_inverted_index" ->
       """WITH toks AS (

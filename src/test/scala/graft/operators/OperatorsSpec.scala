@@ -252,6 +252,28 @@ class OperatorsSpec extends SparkSpec {
     assert(noisy.getLong(2) == 1)
   }
 
+  test("bigramLogProbHashed: collision-free bucketing equals the exact LM bit-for-bit") {
+    // with B >> types the hashed bucket count IS the exact pair count, so
+    // the O(B)-exchange rendering must reproduce bigramLogProb exactly —
+    // any drift is a bucketing/hash/join bug, not collision noise
+    val docs = Seq((1L, "a b"), (2L, "a b a"), (3L, "c a b c"), (4L, "x"))
+      .toDF("id", "t")
+    val exact = TextStats.bigramLogProb(docs, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val hashed = TextStats.bigramLogProbHashed(docs, "id", "t", buckets = 1 << 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(hashed == exact, s"hashed $hashed vs exact $exact")
+    // a FORCED collision regime (B=2): counts merge across buckets —
+    // hash-dependent but fully deterministic, and the absence contract
+    // (sub-two-token docs) still holds
+    val collided = TextStats.bigramLogProbHashed(docs, "id", "t", buckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(collided.keySet == Set(1L, 2L, 3L))
+    val again = TextStats.bigramLogProbHashed(docs, "id", "t", buckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(collided == again, "collided bucketing must be deterministic")
+  }
+
   test("sharedNgramSpans: stride-1 catches any alignment; strided mode provably cannot") {
     // docs 1 and 2 share the exact 5-token run "p q r s t" at DIFFERENT
     // alignments (run starts at token 1 vs token 2); doc 3 unique; doc 4
