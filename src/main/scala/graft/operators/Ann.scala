@@ -953,4 +953,23 @@ object Ann {
       .select(col(idCol), col("cell"), col("ccos").as("cent_cos"),
         col("_best.witness").as("witness"), col("_best.cos_sim").as("cos_sim"))
   }
+
+  /** A [[semDedup]] index PACKED for lookup: one row per (cell, LSH
+    * bucket) with the member (id, emb, norm) structs inlined as an
+    * array. Bucket populations are held ~64 by [[planesFor]]'s sizing
+    * law, so a member array is a bounded in-row object, and an ingest
+    * stream can probe the whole index with ONE stateless stream-static
+    * equi-join ([[graft.streaming.Streams.semDropAtIngest]]) instead of
+    * a stateful pair stage. Member order inside an array is
+    * nondeterministic (collect_list); every consumer must select
+    * witnesses by VALUE (max cos, then min id), never by position. */
+  def semIndexBuckets(vectors: DataFrame, idCol: String, embCol: String,
+                      centroids: Seq[(Long, Seq[Double])],
+                      planes: Seq[Seq[Int]]): DataFrame =
+    assignCells(vectors, embCol, centroids)
+      .withColumn("bucket", lshBucket(col(embCol), planes))
+      .withColumn("_nrm", norm(col(embCol)))
+      .groupBy(col("cell"), col("bucket"))
+      .agg(collect_list(struct(col(idCol).as("id"), col(embCol).as("emb"),
+        col("_nrm").as("nrm"))).as("members"))
 }

@@ -255,4 +255,60 @@ object Streams {
     }(org.apache.spark.sql.Encoders.row(outSchema))
     MappingCompiler(mapping).records(withId)
   }
+
+  /** Semantic drop-at-ingest against a BATCH-BUILT SemDedup index: each
+    * arriving embedded document is assigned its nearest centroid
+    * (plan-literal, row-local native argmin), LSH-bucketed (plan-literal
+    * planes), probed against the packed index
+    * ([[graft.operators.Ann.semIndexBuckets]]) with ONE stream-static
+    * left equi-join on (cell, bucket), and judged IN-ROW over the
+    * bucket's ~64 members — dropped iff some indexed member reaches
+    * `cos ≥ tau` (4-dp rounded, [[graft.operators.Ann.semDedup]]'s
+    * rounding). One output row per ingested doc: (id, cell, cent_cos,
+    * witness, cos_sim, dropped) — witness = highest-cosine member,
+    * ties to the smallest id (selected by VALUE via an array_min over
+    * (−cos, id) structs, so collect_list's member order never matters).
+    *
+    * STATELESS by construction — every operator is row-local or a
+    * stream-static join, so the query runs in append mode with no
+    * watermark and no keyed state; the same DataFrame code runs
+    * unchanged on a batch frame (StreamsSpec pins the two bit-equal).
+    * Policy note: ingest priority, not [[graft.operators.Ann.semDedup]]'s
+    * symmetric greedy — an arriving duplicate always loses to the
+    * index, whatever its centroid-cosine; self-ids already present in
+    * the index are excluded so re-ingest replays are idempotent.
+    *
+    * Scale shape: the index is O(corpus) but bucket-PACKED (~64-member
+    * rows); the stream side never shuffles — the join is the static
+    * side's lookup. The in-row member scan is two interpreted HOFs over
+    * ≤~64 elements around the native dot; if ingest throughput ever
+    * makes that the measured bottleneck, the upgrade path is a native
+    * best-witness expression (the BpeSegment playbook). */
+  def semDropAtIngest(docs: DataFrame, idCol: String, embCol: String,
+                      index: DataFrame,
+                      centroids: Seq[(Long, Seq[Double])],
+                      planes: Seq[Seq[Int]], tau: Double): DataFrame = {
+    import graft.operators.Ann
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.toDF("_cent_id", "_cent"))
+    Ann.assignCells(docs, embCol, centroids)
+      .withColumn("bucket", Ann.lshBucket(col(embCol), planes))
+      .withColumn("_nrm", Ann.norm(col(embCol)))
+      .join(cents, col("cell") === col("_cent_id"))
+      .withColumn("cent_cos", round(
+        Ann.dot(col(embCol), col("_cent")) / (col("_nrm") * Ann.norm(col("_cent"))), 4))
+      .join(index, Seq("cell", "bucket"), "left")
+      .withColumn("_cands", filter(
+        transform(col("members"), m => struct(
+          (-round(Ann.dot(col(embCol), m.getField("emb")) /
+            (col("_nrm") * m.getField("nrm")), 4)).as("ncos"),
+          m.getField("id").as("witness"))),
+        c => (-c.getField("ncos") >= tau) && c.getField("witness") =!= col(idCol)))
+      .withColumn("_best", array_min(col("_cands")))
+      .select(col(idCol), col("cell"), col("cent_cos"),
+        col("_best.witness").as("witness"),
+        (-col("_best.ncos")).as("cos_sim"),
+        col("_best").isNotNull.as("dropped"))
+  }
 }

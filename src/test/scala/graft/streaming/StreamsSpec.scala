@@ -512,4 +512,51 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
     q.stop()
   }
+
+  test("semantic drop-at-ingest against a batch-built semDedup index: batch parity + policy") {
+    // stateless ingest gate (Streams.semDropAtIngest): nearest centroid +
+    // LSH bucket + one stream-static join against the PACKED index, the
+    // drop decision judged in-row — no keyed state, no watermark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Ann
+    import graft.streaming.Streams
+    val centroids = Seq(0L -> Seq(1.0, 0, 0, 0), 1L -> Seq(0.0, 1, 0, 0))
+    val planes = Seq(Seq(1, 1, 1, 1), Seq(1, -1, 1, -1))
+    val tau = 0.95
+    val indexed = Seq(
+      (1L, Seq(1.0, 0.1, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.0, 0.2, 0.0)),
+      (4L, Seq(1.0, 0.0, 0.2, 0.0)) // identical to 3 — witness tie material
+    ).toDF("doc_id", "emb")
+    val index = Ann.semIndexBuckets(indexed, "doc_id", "emb", centroids, planes)
+    val ingest = Seq(
+      (11L, Seq(1.0, 0.11, 0.0, 0.0)), // near-dup of 1 → dropped, witness 1
+      (12L, Seq(0.0, 1.0, 0.0, 0.0)),  // novel cell → kept
+      (13L, Seq(1.0, 0.8, 0.0, 0.0)),  // same (cell, bucket) as 1, cos ≈ .84 < τ → kept
+      (14L, Seq(1.0, 0.0, 0.19, 0.0)), // equal cos to 3 and 4 → witness min id 3
+      (1L, Seq(1.0, 0.1, 0.0, 0.0))    // re-ingest of 1: self excluded, 3 wins
+    )
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      Streams.semDropAtIngest(df, "doc_id", "emb", index, centroids, planes, tau)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = gate(in.toDF.toDF("doc_id", "emb"))
+      .writeStream.format("memory").queryName("semgate").outputMode("append").start()
+    in.addData(ingest.take(2)); q.processAllAvailable()
+    in.addData(ingest.drop(2)); q.processAllAvailable()
+    val streamed = spark.sql("select * from semgate").collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.head)
+    val batch = gate(ingest.toDF("doc_id", "emb")).collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.head)
+    assert(streamed.toSeq == batch.toSeq, "stream and batch renderings must be bit-equal")
+    q.stop()
+    val rows = gate(ingest.toDF("doc_id", "emb")).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(5), Option(r.get(3)).map(String.valueOf)))
+      .toMap
+    assert(rows(11L) == ((true, Some("1"))), s"near-dup must drop against 1: ${rows(11L)}")
+    assert(rows(12L)._1 == false, "novel doc must be kept")
+    assert(rows(13L)._1 == false, "same-bucket but below tau must be kept")
+    assert(rows(14L) == ((true, Some("3"))), s"witness ties break to min id: ${rows(14L)}")
+    assert(rows(1L) == ((true, Some("3"))), s"re-ingest excludes itself: ${rows(1L)}")
+  }
 }
