@@ -148,7 +148,7 @@ object UnigramLattice {
           else if (l == 1) oovLp
           else Double.NaN
         if (!lp.isNaN && best(j - l) != Double.NegativeInfinity) {
-          val s = math.rint((best(j - l) + lp) * 1e6) / 1e6
+          val s = round6(best(j - l) + lp)
           if (s > best(j)) {
             best(j) = s
             choice(j) = l
@@ -171,6 +171,15 @@ object UnigramLattice {
     }
     new GenericArrayData(out)
   }
+
+  /** 6-dp rounding, half AWAY FROM ZERO — the convention Spark's
+    * `round(x, 6)` (BigDecimal HALF_UP) and DuckDB's `round(x, 6)`
+    * (std::round) share. `math.rint` (half-to-EVEN) would diverge from
+    * both engines on a cumulative score landing exactly on a
+    * half-microunit; allocation-free so the Viterbi inner loop stays
+    * cheap. */
+  private[graft] def round6(v: Double): Double =
+    math.copySign(math.floor(math.abs(v) * 1e6 + 0.5), v) / 1e6
 
   private[functions] def toMap(
       entries: Seq[(String, Double)]): java.util.HashMap[String, java.lang.Double] = {

@@ -1390,9 +1390,15 @@ object TextStats {
                                 maxPieceLen: Int,
                                 oovLogProb: Double = -100.0) {
     /** (piece, id): 0-based rank in piece SORT order — a float-free id
-      * convention, so ids never hinge on probability near-ties. */
+      * convention, so ids never hinge on probability near-ties. The sort
+      * is UTF-8/code-point order ([[TextStats.utf8Less]]), matching the
+      * engine's UTF8String binary ordering and the oracle's
+      * `row_number() OVER (ORDER BY piece)` (UTF-8 binary) — Java's
+      * default `.sorted` (UTF-16 unit order) would assign different ids
+      * for supplementary-plane pieces vs U+E000..U+FFFF. */
     def vocab: Seq[(String, Long)] =
-      pieces.map(_._1).sorted.zipWithIndex.map { case (s, i) => (s, i.toLong) }
+      pieces.map(_._1).sortWith(TextStats.utf8Less)
+        .zipWithIndex.map { case (s, i) => (s, i.toLong) }
 
     /** (piece, ln p) — the Viterbi edge weights. */
     def logProbs: Seq[(String, Double)] =
@@ -1486,13 +1492,21 @@ object TextStats {
       (1 to emIters).foreach(_ => probs = emIter(probs))
       val (one, many) =
         probs.partition { case (s, _) => s.codePointCount(0, s.length) == 1 }
+      // Prune tie-break in UTF-8/code-point piece order (utf8Less), the
+      // same comparator the engine/oracle use — UTF-16 `sortBy` order
+      // would resolve rounded-posterior ties differently for
+      // supplementary-plane pieces (the BpeSpec ﬀ/𝕒 divergence class).
       val kept = one ++ many
-        .sortBy { case (s, p) => (-(math.rint(p * 1e10) / 1e10), s) }
+        .sortWith { case ((sa, pa), (sb, pb)) =>
+          val ra = math.rint(pa * 1e10) / 1e10
+          val rb = math.rint(pb * 1e10) / 1e10
+          if (ra != rb) ra > rb else utf8Less(sa, sb)
+        }
         .take(vocabMulti)
       val keptTotal = kept.map(_._2).sum
       probs = kept.map { case (s, p) => (s, p / keptTotal) }
       (1 to emIters).foreach(_ => probs = emIter(probs))
-      UnigramModel(probs.sortBy(_._1), maxPieceLen)
+      UnigramModel(probs.sortWith((a, b) => utf8Less(a._1, b._1)), maxPieceLen)
     } finally { wordFreq.unpersist(); () }
   }
 

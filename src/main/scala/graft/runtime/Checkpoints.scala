@@ -41,6 +41,7 @@ object Checkpoints {
     * (one per loop), like the loops that own it. */
   final class Rolling(spark: SparkSession, dir: Option[String]) {
     private var last: Option[String] = None
+    private var lastLocal: Option[DataFrame] = None
     def apply(df: DataFrame): DataFrame = dir match {
       case Some(d) =>
         val path = s"${d.stripSuffix("/")}/ckpt-${java.util.UUID.randomUUID()}"
@@ -48,9 +49,30 @@ object Checkpoints {
         last.foreach(delete(spark, _))
         last = Some(path)
         out
-      case None => df.localCheckpoint()
+      case None =>
+        // localCheckpoint() is eager: by the time it returns, the new
+        // round's blocks are pinned, so the PREVIOUS round's blocks can be
+        // released deterministically instead of waiting on driver GC +
+        // ContextCleaner — a K-round loop would otherwise pin K copies in
+        // MEMORY_AND_DISK (mirrors the Some branch's delete of the prior
+        // spill). Never unpersists the most recent checkpoint: the loop's
+        // final result reads from it.
+        val out = df.localCheckpoint()
+        lastLocal.foreach(releaseLocal)
+        lastLocal = Some(out)
+        out
     }
   }
+
+  /** Frees a superseded `localCheckpoint()`'s pinned blocks. The blocks
+    * live on the checkpointed internal RDD, NOT in the cache manager, so
+    * `Dataset.unpersist()` (an `uncacheQuery`) would be a no-op — the RDD
+    * behind the plan's `LogicalRDD` leaf must be unpersisted directly. */
+  private def releaseLocal(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => () // not a checkpoint-shaped plan; nothing pinned here
+    }
 
   /** Scoped spill lifecycle: runs `body` against a fresh subdirectory of
     * `dir`, eagerly materialises the body's result, then deletes the

@@ -164,6 +164,24 @@ class OperatorsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("Rolling with dir=None unpersists the superseded localCheckpoint") {
+    // localCheckpoint pins the internal RDD (not a cacheManager entry),
+    // so observe through the SparkContext's persistent-RDD registry
+    def pinned() = spark.sparkContext.getPersistentRDDs.keySet
+    val before = pinned()
+    val roll = new graft.runtime.Checkpoints.Rolling(spark, None)
+    val a = roll(Seq(1, 2, 3).toDF("x"))
+    val afterA = pinned() -- before
+    assert(afterA.size == 1, s"first round pins one RDD, got $afterA")
+    val b = roll(Seq(4, 5).toDF("x"))
+    // a K-round loop must hold ONE pinned copy, not K: the previous
+    // round's blocks release deterministically when the next materialises
+    val afterB = pinned() -- before
+    assert(afterB.size == 1, s"superseded round must release, got $afterB")
+    assert((afterB & afterA).isEmpty, "the survivor is the LATEST round")
+    assert(b.collect().map(_.getInt(0)).sorted.toSeq == Seq(4, 5))
+  }
+
   test("withCheckpointScope empties the dir after a CC run, result stays live") {
     val dir = java.nio.file.Files.createTempDirectory("cc-scope").toFile
     try {

@@ -84,10 +84,12 @@ class UnigramSpec extends SparkSpec {
     (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
   }
 
-  /** The decoder's own cumulative 6-dp-rounded score of a piece path. */
+  /** The decoder's own cumulative 6-dp-rounded score of a piece path —
+    * the SAME half-away-from-zero rounding the kernel uses (shared
+    * helper), so the test can't silently bless a rounding divergence. */
   private def pathScore(p: Seq[String], logp: Map[String, Double], oov: Double) =
     p.foldLeft(0.0)((acc, piece) =>
-      math.rint((acc + logp.getOrElse(piece, oov)) * 1e6) / 1e6)
+      UnigramLattice.round6(acc + logp.getOrElse(piece, oov)))
 
   test("viterbi attains the brute-force maximum cumulative-rounded score") {
     val rnd = new scala.util.Random(11)
@@ -136,6 +138,25 @@ class UnigramSpec extends SparkSpec {
     val m2 = TextStats.unigramLmTrain(corpus, "text",
       vocabMulti = 6, seedMulti = 20, maxPieceLen = 3)
     assert(m.pieces == m2.pieces, "training is deterministic")
+  }
+
+  test("vocab ids and prune tie-break follow UTF-8 code-point order, not UTF-16") {
+    // U+FB00 (ﬀ) < U+1D552 (𝕒) in code-point/UTF-8 order, but 𝕒's lead
+    // surrogate 0xD835 < 0xFB00 makes Java String order disagree — the
+    // same divergence class BpeSpec pins for the BPE argmax tie-break.
+    val m = UnigramModel(Seq(("𝕒", 0.5), ("ﬀ", 0.5)), maxPieceLen = 2)
+    assert(m.vocab == Seq(("ﬀ", 0L), ("𝕒", 1L)),
+      s"vocab must rank ﬀ before 𝕒 (UTF-8 order), got ${m.vocab}")
+    // end-to-end: "ﬀz" and "𝕒z" are exactly symmetric, so their pruned
+    // posteriors tie at 10 dp; the vocabMulti=1 survivor must be the
+    // UTF-8-lesser piece ﬀz (a UTF-16 tie-break would keep 𝕒z)
+    val docs = Seq((1L, "ﬀz 𝕒z")).toDF("doc_id", "text")
+    val trained = TextStats.unigramLmTrain(docs, "text",
+      vocabMulti = 1, seedMulti = 2, maxPieceLen = 2)
+    val multis = trained.pieces.map(_._1)
+      .filter(s => s.codePointCount(0, s.length) > 1)
+    assert(multis == Seq("ﬀz"),
+      s"prune tie must keep the UTF-8-lesser piece, got $multis")
   }
 
   test("train then encode: reconstruction, ids, OOV contract") {
