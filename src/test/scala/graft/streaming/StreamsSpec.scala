@@ -513,6 +513,62 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("BPE encoding applies to a stream unchanged, equal to batch") {
+    // tokenize-at-ingest: the merge table is TRAINED offline (bpeTrain is
+    // iterative — not streamable), but encoding is one row-local
+    // BpeSegment projection plus a stream-static broadcast vocab join —
+    // both streaming-legal, so a trained tokenizer encodes an ingest
+    // stream verbatim (the deploy shape of x_bpe_train/x_bpe_encode)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextStats
+    val corpus = Seq((1L, "aab aab ab b"), (2L, "aab ab ab"), (3L, "b aab"))
+      .toDF("doc_id", "text")
+    val model = TextStats.bpeTrain(corpus, "text", 3)
+    val texts = Seq((10L, "aab ab"), (11L, "b zq"), (12L, ""), (13L, "ab aab b"))
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      TextStats.bpeEncode(df, "doc_id", "text", model)
+    val in = MemoryStream[(Long, String)]
+    val q = enc(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bpest").outputMode("append").start()
+    in.addData(texts.take(2)); q.processAllAvailable()
+    in.addData(texts.drop(2)); q.processAllAvailable()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))
+    val streamed = spark.sql("select * from bpest").collect().map(key).sorted
+    val batch = enc(texts.toDF("doc_id", "text")).collect().map(key).sorted
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    q.stop()
+  }
+
+  test("unigram-LM encoding applies to a stream unchanged, equal to batch") {
+    // same deploy shape for the OTHER tokenizer: unigramLmEncode is one
+    // row-local Viterbi projection with a plan-literal piece table and a
+    // plan-literal id map (typedLit) — no join at all, so the stream
+    // side never shuffles and needs no state
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextStats
+    val corpus = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "a fat cat"))
+      .toDF("doc_id", "text")
+    val model = TextStats.unigramLmTrain(corpus, "text",
+      vocabMulti = 4, seedMulti = 10, maxPieceLen = 3)
+    val texts = Seq((10L, "the cat"), (11L, "zq fat"), (12L, ""), (13L, "a ran sat"))
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      TextStats.unigramLmEncode(df, "doc_id", "text", model)
+    val in = MemoryStream[(Long, String)]
+    val q = enc(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("unist").outputMode("append").start()
+    in.addData(texts.take(2)); q.processAllAvailable()
+    in.addData(texts.drop(2)); q.processAllAvailable()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4))
+    val streamed = spark.sql("select * from unist").collect().map(key).sorted
+    val batch = enc(texts.toDF("doc_id", "text")).collect().map(key).sorted
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    q.stop()
+  }
+
   test("semantic drop-at-ingest against a batch-built semDedup index: batch parity + policy") {
     // stateless ingest gate (Streams.semDropAtIngest): nearest centroid +
     // LSH bucket + one stream-static join against the PACKED index, the
