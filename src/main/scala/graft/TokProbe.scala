@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PRODUCTION-VOCAB tokenizer point — round-14 verdict task 2: the
+  * claim that [[graft.functions.BpeSegment]]/[[graft.functions.UnigramLattice]]
+  * keep generated code O(1) in vocabulary size (plan-literal tables via
+  * `addReferenceObj`, vs the replace-chain rendering whose generated
+  * code grows with K and hits the janino ceiling) was inferred from the
+  * r12 K-wide-distance-table observation, never MEASURED at K≈32k.
+  *
+  * Measures, on `SPARK_GRAFT_SF_DIR`'s documents table:
+  *   - `bpeTrain` at K = SPARK_GRAFT_BPE_K (default 32768). On the
+  *     scratch corpora the merge space EXHAUSTS below 32k (sf10: 3100
+  *     distinct words × ≤10 merges each ≈ 31k possible merges), so the
+  *     probe reports the ACHIEVED merge count alongside the time — the
+  *     trainer must run the full trajectory to find exhaustion.
+  *   - `bpeEncode` with the trained (production-sized) model.
+  *   - `unigramLmTrain` at vocabMulti = SPARK_GRAFT_UNI_V (default
+  *     32768, capped by available multi-char pieces) + `unigramLmEncode`.
+  * Encode passes are noop-forced, median of 3 (training runs once —
+  * it IS the measurement; a 32k trajectory is minutes, not noise).
+  *
+  * Prints one JSON line with achieved sizes and seconds. */
+object TokProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/scratch/sf1")
+    val kReq = sys.env.getOrElse("SPARK_GRAFT_BPE_K", "32768").toInt
+    val vReq = sys.env.getOrElse("SPARK_GRAFT_UNI_V", "32768").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.TextStats
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.write.format("noop").mode("overwrite").save() // page-cache warm
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def median(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+
+    val (bpe, tTrain) = time(TextStats.bpeTrain(docs, "text", kReq))
+    val (_, w0) = time(force(TextStats.bpeEncode(docs, "doc_id", "text", bpe)))
+    val encTimes = (1 to 3).map(_ =>
+      time(force(TextStats.bpeEncode(docs, "doc_id", "text", bpe)))._2)
+
+    val (uni, tUTrain) = time(TextStats.unigramLmTrain(docs, "text",
+      vocabMulti = vReq, seedMulti = 2 * vReq, maxPieceLen = 4))
+    val (_, uw0) = time(force(TextStats.unigramLmEncode(docs, "doc_id", "text", uni)))
+    val uEncTimes = (1 to 3).map(_ =>
+      time(force(TextStats.unigramLmEncode(docs, "doc_id", "text", uni)))._2)
+
+    println(f"""{"metric":"tok_probe","unit":"sec","k_req":$kReq,"k_achieved":${bpe.merges.length},"bpe_train":$tTrain%.1f,"bpe_encode_warm":${median(encTimes)}%.3f,"bpe_encode_cold":$w0%.3f,"v_req":$vReq,"v_achieved":${uni.pieces.length},"uni_train":$tUTrain%.1f,"uni_encode_warm":${median(uEncTimes)}%.3f,"uni_encode_cold":$uw0%.3f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

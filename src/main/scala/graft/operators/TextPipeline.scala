@@ -69,16 +69,40 @@ object TextPipeline {
     if (p != null) p.unpersist()
   }
 
-  /** Stages 1–5 (gates → dedup → decontaminate → calibrate →
-    * temperature), shared by [[e2e]] and [[e2eTokenized]]. Returns
-    * (training, mixed): `training` is the persisted post-dedup frame the
-    * caller must register for unpersist, `mixed` the stage-5 survivors. */
+  /** Stages 1–5 (gates → dedup → [near-dup keeper] → decontaminate →
+    * calibrate → temperature), shared by [[e2e]] and [[e2eTokenized]].
+    * Returns (training, mixed): `training` is the persisted post-dedup
+    * frame the caller must register for unpersist, `mixed` the stage-5
+    * survivors.
+    *
+    * Stage 2b (`nearDedup = true`): SIMHASH-CLUSTER keeper between the
+    * exact dedup and decontamination — the stage order real training
+    * pipelines run (exact dedup catches byte-identical crawls; near-dup
+    * catches boilerplate-variant renderings of the same page). Shape:
+    *  - signature build is ONE row-local [[graft.functions.SimhashScan]]
+    *    pass over the cached corpus (no second parquet scan), width
+    *    sized by [[TextDedup.simhashWidthFor]] from the post-dedup count
+    *    (the count doubles as the cache-warming action);
+    *  - candidates via [[TextDedup.bandedHammingPairs]] (banded
+    *    equi-join, never all-pairs; pigeonhole-exact at hamming ≤ 3);
+    *  - clusters via [[TextDedup.connectedComponents]] (O(log d)
+    *    pointer jumping, checkpointed);
+    *  - keeper = best quality (4-dp [[TextStats.quality]], id asc
+    *    tie-break) per component, ranked by a window over the MEMBER
+    *    set only — component labels join back to the cached corpus
+    *    first, so the window's input is the (bucket-bounded, tiny)
+    *    near-dup membership, never a corpus-wide component exchange;
+    *  - survivors = corpus LEFT-ANTI the non-keeper ids. Like the
+    *    contamination anti join, deliberately UNHINTED: near-dup losers
+    *    ≪ corpus, so AQE resolves it to a runtime broadcast. */
   private def mixedStage(docs: DataFrame, idCol: String, textCol: String,
                          strataCol: String, benchmark: DataFrame,
                          benchTextCol: String, lexicon: Seq[String],
                          maxTop2GramCharFrac: Double, minQRank: Double,
                          alpha: Double, contamN: Int,
-                         materialize: DataFrame => DataFrame)
+                         materialize: DataFrame => DataFrame,
+                         nearDedup: Boolean = false,
+                         checkpointDir: Option[String] = None)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // 1. gates — both native scans evaluate exactly once, inside the
@@ -96,11 +120,44 @@ object TextPipeline {
         row_number().over(Window.partitionBy(col("_fp")).orderBy(col(idCol))))
       .filter(col("_rn") === 1).drop("_fp", "_rn")
     val training = materialize(deduped)
-    // 3. decontamination
+    // 2b. near-dup cluster keeper (see scaladoc). The loser-id set is
+    // materialised EAGERLY (checkpoint policy) so the member window runs
+    // exactly once — lazily it would re-plan inside every downstream
+    // consumer of the survivor set.
+    val losers: Option[DataFrame] =
+      if (!nearDedup) None
+      else {
+        val n = training.count()
+        val bits = 4 * TextDedup.simhashWidthFor(n)
+        val pairs = TextDedup.simhashPairs(training, idCol, textCol, bits,
+          wideHash = true, checkpointDir = checkpointDir)
+        val comp = TextDedup
+          .connectedComponents(pairs, s"${idCol}_a", s"${idCol}_b",
+            checkpointDir = checkpointDir)
+          .select(col("id").as(idCol), col("component"))
+        val ckpt = graft.runtime.Checkpoints.policy(
+          training.sparkSession, checkpointDir)
+        Some(ckpt(training
+          .select(col(idCol), TextStats.quality(col(textCol)).as("_nq"))
+          .join(comp, Seq(idCol)) // members only — comp is tiny, AQE broadcasts
+          .withColumn("_rk", row_number().over(
+            Window.partitionBy(col("component"))
+              .orderBy(col("_nq").desc, col(idCol))))
+          .filter(col("_rk") > 1).select(col(idCol))))
+      }
+    // 3. decontamination. Contamination is PER-DOC against the benchmark
+    // (independent of which near-dups survive), so the gram branch runs
+    // over the cache and the near-dup losers simply UNION into the drop
+    // set: ONE anti join carries both exclusions, and the cache keeps
+    // exactly two consumers (gram branch + main branch) in every mode.
+    // Dropping contaminated(training) vs contaminated(survivors) is
+    // equivalent set algebra: survivors ∖ contaminated(survivors) =
+    // training ∖ losers ∖ contaminated(training).
     val contaminated = TextDedup
       .decontaminate(training, idCol, textCol, benchmark, benchTextCol, n = contamN)
       .select(col(idCol))
-    val clean = training.join(contaminated, Seq(idCol), "left_anti")
+    val toDrop = losers.fold(contaminated)(_.union(contaminated))
+    val clean = training.join(toDrop, Seq(idCol), "left_anti")
     // 4. calibrated quality gate
     val calibrated = TextStats.calibrateByStratum(
         clean.withColumn("_q", TextStats.quality(col(textCol))),
@@ -121,11 +178,13 @@ object TextPipeline {
           seed: String = "42",
           contamN: Int = 10,
           materialize: DataFrame => DataFrame =
-            _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          nearDedup: Boolean = false,
+          checkpointDir: Option[String] = None)
       : DataFrame = {
     val (training, mixed) = mixedStage(docs, idCol, textCol, strataCol,
       benchmark, benchTextCol, lexicon, maxTop2GramCharFrac, minQRank,
-      alpha, contamN, materialize)
+      alpha, contamN, materialize, nearDedup, checkpointDir)
     // 6. pack
     val packed = TextStats.packSequences(mixed, strataCol, idCol,
       TextStats.spaceTokens(col(textCol)).cast("long"), budget)
@@ -171,11 +230,13 @@ object TextPipeline {
                    seed: String = "42",
                    contamN: Int = 10,
                    materialize: DataFrame => DataFrame =
-                     _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+                     _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+                   nearDedup: Boolean = false,
+                   checkpointDir: Option[String] = None)
       : DataFrame = {
     val (training, mixed) = mixedStage(docs, idCol, textCol, strataCol,
       benchmark, benchTextCol, lexicon, maxTop2GramCharFrac, minQRank,
-      alpha, contamN, materialize)
+      alpha, contamN, materialize, nearDedup, checkpointDir)
     // 6. encode: BPE ids in-row; _syms/_ids are multi-referenced aliases
     // (withColumn first — CollapseProject keeps them single-eval; an
     // inline flatten inside the downstream lambdas would re-run

@@ -2407,6 +2407,24 @@ object QueryPack {
       lexicon = Seq("zebra", "slow"), model = model)
   }
 
+  /** The pipeline with the stage real training runs between exact dedup
+    * and decontamination: a SIMHASH-CLUSTER best-quality keeper
+    * ([[graft.operators.TextPipeline.e2e]] with `nearDedup = true`) —
+    * sized-width signature built in ONE row-local pass over the cached
+    * corpus, banded-hamming candidate pairs, connected components, and
+    * a keeper window over the member set only. The oracle replays the
+    * keeper with `x_simhash_pairs_sized`'s sizing/signature idiom,
+    * `x_dedup_cluster`'s recursive labelling and
+    * `x_dedup_cluster_best`'s quality rank, so MEMBERSHIP of the final
+    * packed shards pins the whole composition. */
+  def xPipelineNear(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.TextPipeline.e2e(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", "lang",
+      docs.filter(col("doc_id") % 50 === 0), "text",
+      lexicon = Seq("zebra", "slow"), nearDedup = true)
+  }
+
   /** Sliding token-window chunking
     * ([[graft.operators.TextStats.chunkTokens]]): every document cut into
     * 64-token windows stepping by 48 (overlap 16) — the RAG-index /
@@ -2831,6 +2849,7 @@ object QueryPack {
     "x_unigram_encode" -> (xUnigramEncode _),
     "x_pipeline_e2e" -> (xPipelineE2e _),
     "x_pipeline_tok" -> (xPipelineTok _),
+    "x_pipeline_near" -> (xPipelineNear _),
     "x_incremental_dedup" -> (xIncrementalDedup _),
     "x_cluster_topics" -> (xClusterTopics _),
     "x_quality_filter" -> (xQualityFilter _),
@@ -3189,11 +3208,10 @@ object QueryPack {
        |FROM s LEFT JOIN vocab v ON s.sym = v.sym""".stripMargin
   }
 
-  /** Pipeline stages 1–5 (gates → dedup → decontaminate → calibrate →
-    * temperature) as CTEs `t0..s5` — shared by the e2e and tokenized
-    * pipeline oracles; each stage's idiom is copied verbatim from its
-    * single-operator oracle row. */
-  private val duckPipeStages: String =
+  /** Pipeline stages 1–2 (gates → exact dedup) as CTEs `t0..s2` —
+    * shared by every pipeline oracle; each stage's idiom is copied
+    * verbatim from its single-operator oracle row. */
+  private val duckPipeStages12: String =
     """t0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 50 <> 0),
       |g0 AS (SELECT doc_id,
       |    list_filter(string_split_regex(text, '[ \n\t\r]+'), w -> w != '') AS wsa,
@@ -3215,20 +3233,25 @@ object QueryPack {
       |s1 AS (SELECT t0.* FROM t0
       |  JOIN gfrac USING (doc_id) LEFT JOIN lh USING (doc_id)
       |  WHERE gfrac.frac <= 0.20 AND coalesce(lh.n_hits, 0) = 0),
-      |s2 AS (SELECT doc_id, lang, text FROM (
+      |s2 AS MATERIALIZED (SELECT doc_id, lang, text FROM (
       |    SELECT s1.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-      |    FROM s1) WHERE rn = 1),
-      |tgram AS (SELECT doc_id, unnest(list_distinct(
+      |    FROM s1) WHERE rn = 1)""".stripMargin
+
+  /** Pipeline stages 3–5 (decontaminate → calibrate → temperature),
+    * parameterised by the post-dedup source CTE (`s2` for the plain
+    * pipelines, `s2n` when the near-dup keeper sits in between). */
+  private def duckPipeStages35(src: String): String =
+    s"""tgram AS (SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, len(ws) - 8), i -> array_to_string(ws[i:i+9], ' ')))) AS gram
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s2)
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src)
       |  WHERE len(ws) >= 10),
       |bgram AS (SELECT DISTINCT unnest(list_distinct(
       |    list_transform(range(1, len(ws) - 8), i -> array_to_string(ws[i:i+9], ' ')))) AS gram
       |  FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 50 = 0)
       |  WHERE len(ws) >= 10),
       |contam AS (SELECT DISTINCT tgram.doc_id FROM tgram JOIN bgram USING (gram)),
-      |s3 AS (SELECT s2.* FROM s2 WHERE NOT EXISTS
-      |  (SELECT 1 FROM contam c WHERE c.doc_id = s2.doc_id)),
+      |s3 AS (SELECT $src.* FROM $src WHERE NOT EXISTS
+      |  (SELECT 1 FROM contam c WHERE c.doc_id = $src.doc_id)),
       |q AS (SELECT doc_id, lang, text,
       |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
       |      (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
@@ -3247,11 +3270,72 @@ object QueryPack {
       |  WHERE ('0x' || substr(md5(s4.lang || ':' || CAST(s4.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
       |    < CAST(round(r5.rate * 10000) AS BIGINT))""".stripMargin
 
-  /** Seven-stage e2e pipeline oracle: stages 1–5 + whitespace-token pack
-    * + 8-shard seeded shuffle. */
-  private val duckPipelineE2e: String =
-    "WITH " + duckPipeStages + """,
-      |s6 AS (SELECT doc_id, lang,
+  /** Pipeline stages 1–5 as one block (the plain `s2`-fed chain) —
+    * shared by the e2e and tokenized pipeline oracles. */
+  private val duckPipeStages: String =
+    duckPipeStages12 + ",\n" + duckPipeStages35("s2")
+
+  /** Stage 2b: the sized-simhash near-dup CLUSTER KEEPER between exact
+    * dedup (`s2`) and decontamination — `s2n` = the best-quality doc
+    * (4-dp quality, doc_id asc tie-break) per connected component of the
+    * banded-hamming pair graph, plus every unpaired doc. Width sizing,
+    * signature, banding and the hamming verify are copied verbatim from
+    * the `x_simhash_pairs_sized` oracle (over `s2` instead of
+    * `documents`); the component labelling is `x_dedup_cluster`'s
+    * recursive min-propagation; the keeper rank is
+    * `x_dedup_cluster_best`'s window. Requires WITH RECURSIVE. */
+  private val duckNearKeeper: String =
+    """nw AS (
+      |  SELECT MIN(p) AS w FROM range(8, 15) t(p)
+      |  WHERE (SELECT count(*) FROM s2) <= (CAST(64 AS BIGINT) << p)),
+      |nex AS (
+      |  SELECT doc_id, ('0x'||substr(md5(w),1,14))::BIGINT AS h
+      |  FROM s2, unnest(string_split(text, ' ')) AS t(w)),
+      |nagg AS (
+      |  SELECT doc_id,
+      |""".stripMargin +
+    (0 until 56).map(b => s"    sum(((h >> $b) & 1) * 2 - 1) AS s$b")
+      .mkString(",\n") +
+    """
+      |  FROM nex GROUP BY doc_id),
+      |nsig AS MATERIALIZED (SELECT doc_id,
+      |""".stripMargin +
+    (0 until 56).map(b =>
+      s"  (CASE WHEN $b < 4 * (SELECT w FROM nw) AND s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" +\n") +
+    """ AS sh FROM nagg),
+      |nband AS (SELECT doc_id, sh, band,
+      |    (sh >> (band * (SELECT w FROM nw)))
+      |      & ((CAST(1 AS BIGINT) << (SELECT w FROM nw)) - 1) AS key
+      |  FROM nsig, unnest(generate_series(0, 3)) AS t(band)),
+      |npairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM nband a JOIN nband b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |nedges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM npairs
+      |  UNION SELECT doc_b, doc_a FROM npairs),
+      |ncc(id, comp) AS (
+      |  SELECT DISTINCT src, src FROM nedges
+      |  UNION
+      |  SELECT e.src, ncc.comp FROM nedges e JOIN ncc ON ncc.id = e.dst),
+      |ncomp AS MATERIALIZED (SELECT id, min(comp) AS component FROM ncc GROUP BY id),
+      |nq AS MATERIALIZED (SELECT doc_id,
+      |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
+      |      (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+      |        / length(text)), 4) AS q
+      |  FROM s2),
+      |ndrop AS MATERIALIZED (SELECT doc_id FROM (
+      |    SELECT m.id AS doc_id,
+      |      row_number() OVER (PARTITION BY m.component ORDER BY nq.q DESC, m.id) AS rk
+      |    FROM ncomp m JOIN nq ON nq.doc_id = m.id) WHERE rk > 1),
+      |s2n AS MATERIALIZED (SELECT s2.* FROM s2 WHERE NOT EXISTS
+      |  (SELECT 1 FROM ndrop d WHERE d.doc_id = s2.doc_id))""".stripMargin
+
+  /** The shared e2e tail: whitespace-token pack + 8-shard seeded
+    * shuffle over the stage-5 survivors. */
+  private val duckPipeTailE2e: String =
+    """s6 AS (SELECT doc_id, lang,
       |    lang || '#' || CAST((SUM(len(string_split(text, ' '))) OVER w
       |        - len(string_split(text, ' '))) // 2000 AS VARCHAR) AS seq_id,
       |    CAST((SUM(len(string_split(text, ' '))) OVER w
@@ -3264,6 +3348,18 @@ object QueryPack {
       |FROM (SELECT s6.*,
       |    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hv
       |  FROM s6)""".stripMargin
+
+  /** Seven-stage e2e pipeline oracle: stages 1–5 + whitespace-token pack
+    * + 8-shard seeded shuffle. */
+  private val duckPipelineE2e: String =
+    "WITH " + duckPipeStages + ",\n" + duckPipeTailE2e
+
+  /** Eight-stage near-dup pipeline oracle: stages 1–2, the simhash
+    * cluster keeper (stage 2b, recursive component labelling), stages
+    * 3–5 over the keeper's survivors, then the shared e2e tail. */
+  private val duckPipelineNear: String =
+    "WITH RECURSIVE " + duckPipeStages12 + ",\n" + duckNearKeeper + ",\n" +
+      duckPipeStages35("s2n") + ",\n" + duckPipeTailE2e
 
   /** Tokenized pipeline oracle: the BPE training chain + vocabulary over
     * the FULL corpus (the tokenizer is trained upstream of the pipeline,
@@ -3551,6 +3647,7 @@ object QueryPack {
     // x_temperature_apply's window algebra, x_pack, x_shuffle_shards).
     "x_pipeline_e2e" -> duckPipelineE2e,
     "x_pipeline_tok" -> duckPipelineTok(bpeMergeCount),
+    "x_pipeline_near" -> duckPipelineNear,
     "x_cluster_topics" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent
         |  FROM embeddings WHERE vec_id < 16),

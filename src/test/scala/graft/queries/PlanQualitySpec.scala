@@ -659,6 +659,65 @@ class PlanQualitySpec extends SparkSpec {
     } finally graft.operators.TextPipeline.unpersistPipeline(df)
   }
 
+  test("pipeline near: keeper adds NO parquet rescan; member window, anti joins broadcast") {
+    // the near-dup stage's composition claims:
+    //  - the corpus parquet is STILL read once (the signature build and
+    //    the keeper's quality branch both consume the post-dedup cache;
+    //    only the benchmark side rescans parquet)
+    //  - the keeper window partitions by COMPONENT over the member set
+    //    only (the comp-labels inner join bounds the window's input to
+    //    docs that collided in a band — never a corpus-wide component
+    //    exchange), and calibrate+pack still share one lang exchange
+    //  - both LEFT-ANTI joins (near-dup losers, contaminated ids)
+    //    resolve to runtime broadcasts: losers ≪ corpus
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = QueryPack.xPipelineNear(spark, sf)
+    try {
+      assert(df.collect().nonEmpty, "near pipeline produced no rows at sf0.001")
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      val ns = nodes(df.queryExecution.executedPlan)
+      val parquetScans = ns.count(_.isInstanceOf[FileSourceScanExec])
+      assert(parquetScans == 1,
+        s"only the benchmark side may rescan parquet, got $parquetScans")
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      val cacheScans = ns.count(_.isInstanceOf[InMemoryTableScanExec])
+      assert(cacheScans == 2,
+        s"training cache must feed exactly the two consumers (gram + main), got $cacheScans")
+      def exchangesOn(key: String) = ns.collect {
+        case e: ShuffleExchangeLike => e.outputPartitioning
+      }.count {
+        case h: HashPartitioning => h.expressions.exists(_.toString.contains(key))
+        case _ => false
+      }
+      assert(exchangesOn("lang") == 1,
+        s"calibrate+pack must share one lang exchange, got ${exchangesOn("lang")}")
+      // the keeper window (component exchange) ran ONCE, eagerly, when the
+      // loser-id set was checkpointed — the final plan carries only the
+      // id-keyed anti join residue
+      assert(exchangesOn("component") == 0,
+        s"keeper window must not re-plan in the final job, got ${exchangesOn("component")}")
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+      // losers ∪ contaminated ride ONE anti join, resolved to a runtime
+      // broadcast (both sides of the union are ≪ corpus)
+      val antiJoins = ns.count {
+        case b: BroadcastHashJoinExec => b.joinType.toString == "LeftAnti"
+        case _ => false
+      }
+      assert(antiJoins == 1,
+        s"the unioned drop set must ride one broadcast anti join, got $antiJoins")
+      assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+        "no corpus sort-merge anywhere in the near pipeline")
+    } finally graft.operators.TextPipeline.unpersistPipeline(df)
+  }
+
   test("semdedup text: embedding fused into the signature build — one scan, zero shuffle") {
     // the advertised text→ANN bridge must add NOTHING structural over the
     // synthetic-embeddings row: the hashed embedding, the centroid argmin
