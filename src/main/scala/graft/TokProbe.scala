@@ -55,14 +55,31 @@ object TokProbe {
     val (_, w0) = time(force(TextStats.bpeEncode(docs, "doc_id", "text", bpe)))
     val encTimes = (1 to 3).map(_ =>
       time(force(TextStats.bpeEncode(docs, "doc_id", "text", bpe)))._2)
+    // The scratch corpora EXHAUST their merge space far below 32k (310 /
+    // 3100 distinct short words), so the production-TABLE-size claim —
+    // generated code stays O(1) because the merge table and vocab ride
+    // addReferenceObj / broadcast, never the plan — is probed by PADDING
+    // the trained model to kReq with never-matching synthetic merges:
+    // the encode pays the full 32k-entry table (rank map, vocab ids)
+    // while the per-word work stays the real corpus's.
+    val padBpe = bpe.copy(merges = bpe.merges ++
+      (bpe.merges.length until kReq).map(i => (s"pad$i", s"pad$i", 1L)))
+    val (_, pw0) = time(force(TextStats.bpeEncode(docs, "doc_id", "text", padBpe)))
+    val padTimes = (1 to 3).map(_ =>
+      time(force(TextStats.bpeEncode(docs, "doc_id", "text", padBpe)))._2)
 
     val (uni, tUTrain) = time(TextStats.unigramLmTrain(docs, "text",
       vocabMulti = vReq, seedMulti = 2 * vReq, maxPieceLen = 4))
     val (_, uw0) = time(force(TextStats.unigramLmEncode(docs, "doc_id", "text", uni)))
     val uEncTimes = (1 to 3).map(_ =>
       time(force(TextStats.unigramLmEncode(docs, "doc_id", "text", uni)))._2)
+    val padUni = uni.copy(pieces = uni.pieces ++
+      (uni.pieces.length until vReq).map(i => (s"u$i", 1e-12)))
+    val (_, puw0) = time(force(TextStats.unigramLmEncode(docs, "doc_id", "text", padUni)))
+    val padUniTimes = (1 to 3).map(_ =>
+      time(force(TextStats.unigramLmEncode(docs, "doc_id", "text", padUni)))._2)
 
-    println(f"""{"metric":"tok_probe","unit":"sec","k_req":$kReq,"k_achieved":${bpe.merges.length},"bpe_train":$tTrain%.1f,"bpe_encode_warm":${median(encTimes)}%.3f,"bpe_encode_cold":$w0%.3f,"v_req":$vReq,"v_achieved":${uni.pieces.length},"uni_train":$tUTrain%.1f,"uni_encode_warm":${median(uEncTimes)}%.3f,"uni_encode_cold":$uw0%.3f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"tok_probe","unit":"sec","k_req":$kReq,"k_achieved":${bpe.merges.length},"bpe_train":$tTrain%.1f,"bpe_encode_warm":${median(encTimes)}%.3f,"bpe_encode_cold":$w0%.3f,"bpe_encode_pad32k_warm":${median(padTimes)}%.3f,"bpe_encode_pad32k_cold":$pw0%.3f,"v_req":$vReq,"v_achieved":${uni.pieces.length},"uni_train":$tUTrain%.1f,"uni_encode_warm":${median(uEncTimes)}%.3f,"uni_encode_cold":$uw0%.3f,"uni_encode_pad32k_warm":${median(padUniTimes)}%.3f,"uni_encode_pad32k_cold":$puw0%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1529,21 +1529,29 @@ object TextStats {
     *
     * Scale shape: ONE native Viterbi call per word row (log-prob table
     * plan-literal via `addReferenceObj`), an in-row posexplode, and a
-    * plan-literal id map probed by `element_at` (the tokenized-pipeline
-    * idiom) — no join, no shuffle at all. */
+    * BROADCAST join against the O(V) vocab for the id ([[bpeEncode]]'s
+    * rendering). The join replaced an `element_at(typedLit(ids), …)`
+    * plan-literal map after the r15 production-vocab probe MEASURED the
+    * literal-map probe linear in V — Catalyst's `element_at` on a map
+    * LITERAL (ArrayBasedMapData) scans keys sequentially per lookup, so
+    * a 32k-piece vocab cost 26.6 s where 647 pieces cost 1.07 s on the
+    * same corpus (BENCH_tokprobe_r15_sf1.json); the broadcast hash join
+    * stays flat (the BPE twin: 1.48 s at a padded 32k table). */
   def unigramLmEncode(docs: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String,
                       model: UnigramModel): org.apache.spark.sql.DataFrame = {
-    val ids: Map[String, Long] = model.vocab.toMap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabDf = model.vocab.toDF("piece", "_vid")
     docs.select(col(idCol), posexplode(words(col(textCol))).as(Seq("word_idx", "_w")))
       .filter(col("_w") =!= "")
       .select(col(idCol), col("word_idx"),
         posexplode(graft.functions.UnigramLattice.unigramViterbi(col("_w"),
           model.logProbs, model.maxPieceLen, model.oovLogProb))
           .as(Seq("sym_idx", "piece")))
+      .join(broadcast(vocabDf), Seq("piece"), "left")
       .select(col(idCol), col("word_idx"), col("sym_idx"), col("piece"),
-        coalesce(element_at(typedLit(ids), col("piece")), lit(-1L))
-          .as("token_id"))
+        coalesce(col("_vid"), lit(-1L)).as("token_id"))
   }
 
   /** The [[graft.functions.HashedNgramScore]] feature space rendered as

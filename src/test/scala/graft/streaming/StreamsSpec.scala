@@ -543,9 +543,9 @@ class StreamsSpec extends SparkSpec {
 
   test("unigram-LM encoding applies to a stream unchanged, equal to batch") {
     // same deploy shape for the OTHER tokenizer: unigramLmEncode is one
-    // row-local Viterbi projection with a plan-literal piece table and a
-    // plan-literal id map (typedLit) — no join at all, so the stream
-    // side never shuffles and needs no state
+    // row-local Viterbi projection (plan-literal piece table) plus a
+    // stream-static broadcast vocab join for the id — stream-legal, no
+    // keyed state, the stream side never shuffles
     implicit val sq = spark.sqlContext
     import spark.implicits._
     import graft.operators.TextStats
