@@ -74,12 +74,39 @@ object TokProbe {
     val uEncTimes = (1 to 3).map(_ =>
       time(force(TextStats.unigramLmEncode(docs, "doc_id", "text", uni)))._2)
     val padUni = uni.copy(pieces = uni.pieces ++
-      (uni.pieces.length until vReq).map(i => (s"u$i", 1e-12)))
+      // the pad prefix is an EXPLICIT private-use escape, not a raw
+      // control byte: pieces must contain a character guaranteed absent
+      // from the corpus alphabet so they are strictly never-matching —
+      // they inflate only the vocab/log-prob tables, never the lattice.
+      // (A bare 'u$i' piece WOULD match in-word 'u'+digit substrings as
+      // lattice candidates; Viterbi could never select one at ln 1e-12,
+      // but the never-matching claim must hold literally. The first cut
+      // used an invisible \u0001 byte, which two source reviews in a row
+      // read as plain 'u$i' — hence the visible escape.)
+      (uni.pieces.length until vReq).map(i => (s"\uE000u$i", 1e-12)))
     val (_, puw0) = time(force(TextStats.unigramLmEncode(docs, "doc_id", "text", padUni)))
     val padUniTimes = (1 to 3).map(_ =>
       time(force(TextStats.unigramLmEncode(docs, "doc_id", "text", padUni)))._2)
 
-    println(f"""{"metric":"tok_probe","unit":"sec","k_req":$kReq,"k_achieved":${bpe.merges.length},"bpe_train":$tTrain%.1f,"bpe_encode_warm":${median(encTimes)}%.3f,"bpe_encode_cold":$w0%.3f,"bpe_encode_pad32k_warm":${median(padTimes)}%.3f,"bpe_encode_pad32k_cold":$pw0%.3f,"v_req":$vReq,"v_achieved":${uni.pieces.length},"uni_train":$tUTrain%.1f,"uni_encode_warm":${median(uEncTimes)}%.3f,"uni_encode_cold":$uw0%.3f,"uni_encode_pad32k_warm":${median(padUniTimes)}%.3f,"uni_encode_pad32k_cold":$puw0%.3f,"sf":"$sfDir"}""")
+    // e2eTokenized at the production-vocab point — the x_pipeline_tok
+    // corpus split, trained model vs the padded-32k model: the in-row
+    // VocabId hash probe must stay FLAT in V (it replaced the
+    // literal-map rendering THIS probe measured O(V) per lookup).
+    def pipeTok(m: TextStats.BpeModel): Double = {
+      val df = graft.operators.TextPipeline.e2eTokenized(
+        docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", "lang",
+        docs.filter(col("doc_id") % 50 === 0), "text",
+        lexicon = Seq("zebra", "slow"), model = m)
+      val t = time(force(df))._2
+      graft.operators.TextPipeline.unpersistPipeline(df)
+      t
+    }
+    val pipeW0 = pipeTok(bpe)
+    val pipeTimes = (1 to 3).map(_ => pipeTok(bpe))
+    val pipePadW0 = pipeTok(padBpe)
+    val pipePadTimes = (1 to 3).map(_ => pipeTok(padBpe))
+
+    println(f"""{"metric":"tok_probe","unit":"sec","k_req":$kReq,"k_achieved":${bpe.merges.length},"bpe_train":$tTrain%.1f,"bpe_encode_warm":${median(encTimes)}%.3f,"bpe_encode_cold":$w0%.3f,"bpe_encode_pad32k_warm":${median(padTimes)}%.3f,"bpe_encode_pad32k_cold":$pw0%.3f,"v_req":$vReq,"v_achieved":${uni.pieces.length},"uni_train":$tUTrain%.1f,"uni_encode_warm":${median(uEncTimes)}%.3f,"uni_encode_cold":$uw0%.3f,"uni_encode_pad32k_warm":${median(padUniTimes)}%.3f,"uni_encode_pad32k_cold":$puw0%.3f,"pipe_tok_warm":${median(pipeTimes)}%.3f,"pipe_tok_cold":$pipeW0%.3f,"pipe_tok_pad32k_warm":${median(pipePadTimes)}%.3f,"pipe_tok_pad32k_cold":$pipePadW0%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

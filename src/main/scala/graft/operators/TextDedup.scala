@@ -234,6 +234,42 @@ object TextDedup {
       .distinct()
   }
 
+  /** Packed banded-simhash index over a batch corpus — the simhash twin
+    * of [[Ann.semIndexBuckets]]: one row per (band, key) bucket holding
+    * the bucket's members as (id, sig, q) structs, where `q` is the
+    * 4-dp [[TextStats.quality]] keeper score. Built for
+    * [[graft.streaming.Streams.nearDropAtIngest]]'s stream-static
+    * probes: an arriving doc looks up its `bands` bucket keys and
+    * judges the packed members in-row, so the ingest side never
+    * shuffles.
+    *
+    * Scale shape: O(corpus × bands) rows before packing, grouped by
+    * (band, key) — ONE exchange at build time, priced once per index
+    * refresh, never per ingested doc. Size `bits` with
+    * [[simhashWidthFor]] so bucket populations hold near the target
+    * (~64): the in-row judge is linear in members-per-bucket. */
+  def simhashIndexBuckets(docs: DataFrame, idCol: String, textCol: String,
+                          bits: Int, bands: Int = 4,
+                          wideHash: Boolean = false): DataFrame = {
+    require(bits >= 1 && bits <= 56, s"simhash supports 1..56 bits, got $bits")
+    require(bands > 0 && bits % bands == 0,
+      s"bits ($bits) must split evenly into bands ($bands)")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val slices = (0 until bands).map(b =>
+      shiftrightunsigned(col("_sig"), b * w).bitwiseAND(mask))
+    docs
+      .select(col(idCol).cast("long").as("_id"),
+        graft.functions.SimhashScan.simhashScan(col(textCol), bits, wideHash)
+          .as("_sig"),
+        TextStats.quality(col(textCol)).as("_q"))
+      .select(col("_id"), col("_sig"), col("_q"),
+        posexplode(array(slices: _*)).as(Seq("band", "key")))
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("_id").as("id"), col("_sig").as("sig"),
+        col("_q").as("q"))).as("members"))
+  }
+
   /** Connected components over a candidate-pair edge list — turns near-dup
     * PAIRS into CLUSTERS (every doc labelled with its component's minimum
     * id, the canonical representative).

@@ -58,22 +58,29 @@ import org.apache.spark.sql.functions._
   */
 object TextPipeline {
 
-  /** The frames `e2e` persisted, keyed by the returned frame, so callers
-    * can free them without threading state through. */
+  /** The release actions for what `e2e` pinned (the training persist and,
+    * with `nearDedup`, the eager loser-id checkpoint), keyed by the
+    * returned frame, so callers can free them without threading state
+    * through. */
   private val persisted =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[DataFrame, DataFrame]())
+      new java.util.WeakHashMap[DataFrame, () => Unit]())
 
   def unpersistPipeline(result: DataFrame): Unit = {
     val p = persisted.remove(result)
-    if (p != null) p.unpersist()
+    if (p != null) p()
   }
 
   /** Stages 1–5 (gates → dedup → [near-dup keeper] → decontaminate →
     * calibrate → temperature), shared by [[e2e]] and [[e2eTokenized]].
-    * Returns (training, mixed): `training` is the persisted post-dedup
-    * frame the caller must register for unpersist, `mixed` the stage-5
-    * survivors.
+    * Returns (release, mixed): `release` frees everything this stage
+    * pinned — the persisted post-dedup frame and, with `nearDedup`, the
+    * eagerly checkpointed loser-id frame (whose executor blocks would
+    * otherwise accrete across repeated pipeline runs in one session:
+    * `localCheckpoint` blocks live on the RDD, not in the cache manager,
+    * so only [[graft.runtime.Checkpoints.releaseLocal]] frees them) —
+    * and `mixed` is the stage-5 survivors. The caller must register
+    * `release` against its returned frame.
     *
     * Stage 2b (`nearDedup = true`): SIMHASH-CLUSTER keeper between the
     * exact dedup and decontamination — the stage order real training
@@ -103,7 +110,7 @@ object TextPipeline {
                          materialize: DataFrame => DataFrame,
                          nearDedup: Boolean = false,
                          checkpointDir: Option[String] = None)
-      : (DataFrame, DataFrame) = {
+      : (() => Unit, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // 1. gates — both native scans evaluate exactly once, inside the
     // Filter (nothing downstream references the structs). Decisions
@@ -128,22 +135,43 @@ object TextPipeline {
       if (!nearDedup) None
       else {
         val n = training.count()
+        // an empty post-dedup corpus has no near-dups to keep or drop —
+        // fall through to the nearDedup=false shape rather than letting
+        // simhashWidthFor(0)'s require throw (enabling the flag must not
+        // change empty-input behavior)
+        if (n == 0) None
+        else {
         val bits = 4 * TextDedup.simhashWidthFor(n)
-        val pairs = TextDedup.simhashPairs(training, idCol, textCol, bits,
-          wideHash = true, checkpointDir = checkpointDir)
-        val comp = TextDedup
-          .connectedComponents(pairs, s"${idCol}_a", s"${idCol}_b",
-            checkpointDir = checkpointDir)
-          .select(col("id").as(idCol), col("component"))
-        val ckpt = graft.runtime.Checkpoints.policy(
-          training.sparkSession, checkpointDir)
-        Some(ckpt(training
-          .select(col(idCol), TextStats.quality(col(textCol)).as("_nq"))
-          .join(comp, Seq(idCol)) // members only — comp is tiny, AQE broadcasts
-          .withColumn("_rk", row_number().over(
-            Window.partitionBy(col("component"))
-              .orderBy(col("_nq").desc, col(idCol))))
-          .filter(col("_rk") > 1).select(col(idCol))))
+        // the WHOLE build runs inside the checkpoint scope: simhashPairs
+        // and connectedComponents checkpoint EAGERLY as they construct,
+        // so their loop survivors (the signature checkpoint, CC edges,
+        // CC final labels) must be pinned after the scope's snapshot to
+        // be released by it — correct to keep while the loops run,
+        // unreachable once the loser-id set is pinned. dir=Some: those
+        // survivors live as spills under the caller-owned dir instead,
+        // whose lifecycle the caller already owns.
+        def loserPlan(): DataFrame = {
+          val pairs = TextDedup.simhashPairs(training, idCol, textCol, bits,
+            wideHash = true, checkpointDir = checkpointDir)
+          val comp = TextDedup
+            .connectedComponents(pairs, s"${idCol}_a", s"${idCol}_b",
+              checkpointDir = checkpointDir)
+            .select(col("id").as(idCol), col("component"))
+          training
+            .select(col(idCol), TextStats.quality(col(textCol)).as("_nq"))
+            .join(comp, Seq(idCol)) // members only — comp is tiny, AQE broadcasts
+            .withColumn("_rk", row_number().over(
+              Window.partitionBy(col("component"))
+                .orderBy(col("_nq").desc, col(idCol))))
+            .filter(col("_rk") > 1).select(col(idCol))
+        }
+        Some(checkpointDir match {
+          case Some(_) => graft.runtime.Checkpoints.policy(
+            training.sparkSession, checkpointDir)(loserPlan())
+          case None => graft.runtime.Checkpoints.withLocalCheckpointScope(
+            training.sparkSession)(loserPlan())
+        })
+        }
       }
     // 3. decontamination. Contamination is PER-DOC against the benchmark
     // (independent of which near-dups survive), so the gram branch runs
@@ -164,7 +192,15 @@ object TextPipeline {
         strataCol, col("_q"), idCol)
       .filter(col("q_rank") >= minQRank)
     // 5. temperature mixing (O(strata) collect + narrow filter)
-    (training, TextStats.applyTemperature(calibrated, strataCol, idCol, alpha))
+    val release = () => {
+      training.unpersist()
+      // dir=None losers are localCheckpoints — pinned RDD blocks, not
+      // cache entries; dir=Some spills live under the caller-owned dir
+      // (releaseLocal no-ops on the parquet-read plan)
+      losers.foreach(graft.runtime.Checkpoints.releaseLocal)
+      ()
+    }
+    (release, TextStats.applyTemperature(calibrated, strataCol, idCol, alpha))
   }
 
   def e2e(docs: DataFrame, idCol: String, textCol: String, strataCol: String,
@@ -182,7 +218,7 @@ object TextPipeline {
           nearDedup: Boolean = false,
           checkpointDir: Option[String] = None)
       : DataFrame = {
-    val (training, mixed) = mixedStage(docs, idCol, textCol, strataCol,
+    val (release, mixed) = mixedStage(docs, idCol, textCol, strataCol,
       benchmark, benchTextCol, lexicon, maxTop2GramCharFrac, minQRank,
       alpha, contamN, materialize, nearDedup, checkpointDir)
     // 6. pack
@@ -192,7 +228,7 @@ object TextPipeline {
     val result = TextStats.shuffleShards(packed, idCol, shards, seed)
       .select(col(idCol), col(strataCol), col("seq_id"), col("seq_offset"),
         col("shard"), col("pos"))
-    persisted.put(result, training)
+    persisted.put(result, release)
     result
   }
 
@@ -205,10 +241,18 @@ object TextPipeline {
     * The encode stage is deliberately zero-shuffle and stays inside the
     * corpus projection: one native [[graft.functions.BpeSegment]] call
     * per word (merge table plan-literal via `addReferenceObj`), the
-    * vocabulary as a plan-literal `map()` probed with `element_at`
-    * (O(A+K) entries — the centroid convention; a join would exchange
-    * the corpus to bring in a 42-row table), OOV → −1
-    * ([[TextStats.encodeTokens]]'s contract). Emitted per doc:
+    * vocabulary probed by [[graft.functions.VocabId]] — a hash map on
+    * the same `addReferenceObj` channel, O(1) per symbol whatever the
+    * vocabulary size. NOT the plan-literal `map()`+`element_at`
+    * rendering this stage first shipped: a map literal is
+    * `ArrayBasedMapData`, every probe scans its key array, and TokProbe
+    * measured that O(V) cost at the production point (26.6 s vs 0.91 s
+    * at V = 32k — invisible at the oracle's toy vocab). Nor
+    * [[TextStats.bpeEncode]]'s broadcast join: the output here is a
+    * per-DOC fingerprint, so a join would force an explode plus a
+    * per-doc reassembly exchange that the exploded-row encoders never
+    * pay. OOV → −1 ([[TextStats.encodeTokens]]'s contract). Emitted per
+    * doc:
     * `n_tokens` (the packed budget unit) and `ids_fp` — the md5 of the
     * ','-joined id sequence in (word, symbol) order, the
     * `x_vocab_encode` fingerprint idiom — so the oracle pins the full
@@ -234,7 +278,7 @@ object TextPipeline {
                    nearDedup: Boolean = false,
                    checkpointDir: Option[String] = None)
       : DataFrame = {
-    val (training, mixed) = mixedStage(docs, idCol, textCol, strataCol,
+    val (release, mixed) = mixedStage(docs, idCol, textCol, strataCol,
       benchmark, benchTextCol, lexicon, maxTop2GramCharFrac, minQRank,
       alpha, contamN, materialize, nearDedup, checkpointDir)
     // 6. encode: BPE ids in-row; _syms/_ids are multi-referenced aliases
@@ -242,14 +286,12 @@ object TextPipeline {
     // inline flatten inside the downstream lambdas would re-run
     // BpeSegment per reference)
     val merges = model.merges.map(m => (m._1, m._2))
-    val vocabMap = map(model.vocab.sortBy(_._2)
-      .flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
     val tokenized = mixed
       .withColumn("_ws", filter(split(col(textCol), " "), w => w =!= ""))
       .withColumn("_syms", flatten(transform(col("_ws"),
         w => graft.functions.BpeSegment.bpeSegment(w, merges))))
       .withColumn("_ids", transform(col("_syms"),
-        sym => coalesce(element_at(vocabMap, sym), lit(-1L))))
+        sym => graft.functions.VocabId.vocabId(sym, model.vocab)))
       .withColumn("n_tokens", size(col("_syms")).cast("long"))
       .withColumn("ids_fp",
         md5(array_join(transform(col("_ids"), _.cast("string")), ",")))
@@ -260,7 +302,7 @@ object TextPipeline {
     val result = TextStats.shuffleShards(packed, idCol, shards, seed)
       .select(col(idCol), col(strataCol), col("n_tokens"), col("ids_fp"),
         col("seq_id"), col("seq_offset"), col("shard"), col("pos"))
-    persisted.put(result, training)
+    persisted.put(result, release)
     result
   }
 }

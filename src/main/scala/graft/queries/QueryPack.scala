@@ -3283,10 +3283,15 @@ object QueryPack {
     * the `x_simhash_pairs_sized` oracle (over `s2` instead of
     * `documents`); the component labelling is `x_dedup_cluster`'s
     * recursive min-propagation; the keeper rank is
-    * `x_dedup_cluster_best`'s window. Requires WITH RECURSIVE. */
+    * `x_dedup_cluster_best`'s window. Requires WITH RECURSIVE. The `nw`
+    * coalesce mirrors `simhashWidthFor`'s clamp: above 64 << 14 ≈ 1.05M
+    * post-dedup docs MIN(p) over range(8, 15) is NULL (no width holds
+    * 64/band), and the Scala side clamps to w = 14 with a warning — the
+    * coalesce keeps both engines on the same signature there instead of
+    * NULLing the whole chain. */
   private val duckNearKeeper: String =
     """nw AS (
-      |  SELECT MIN(p) AS w FROM range(8, 15) t(p)
+      |  SELECT coalesce(MIN(p), 14) AS w FROM range(8, 15) t(p)
       |  WHERE (SELECT count(*) FROM s2) <= (CAST(64 AS BIGINT) << p)),
       |nex AS (
       |  SELECT doc_id, ('0x'||substr(md5(w),1,14))::BIGINT AS h

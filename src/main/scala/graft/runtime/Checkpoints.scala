@@ -34,10 +34,20 @@ object Checkpoints {
 
   /** A checkpointer for ITERATIVE loops that deletes each superseded
     * round's spill once the next round is durably written, so a 50-round
-    * loop holds at most two spills in `dir` instead of fifty. Never
-    * deletes the most recent spill — the loop's final result reads from
-    * it. With `dir` None this is plain localCheckpoint (executor-local
-    * blocks already release via the ContextCleaner). Single-threaded use
+    * loop holds at most two spills in `dir` instead of fifty. With `dir`
+    * None the same discipline applies to `localCheckpoint` blocks: the
+    * superseded round's pinned blocks are unpersisted EAGERLY as soon as
+    * the new round's checkpoint returns (waiting on driver GC + the
+    * ContextCleaner would pin K copies across a K-round loop). Never
+    * releases the most recent checkpoint — the loop's final result reads
+    * from it.
+    *
+    * CONTRACT, both branches: a superseded round's frame has truncated
+    * lineage AND deleted/unpersisted storage, so any late re-read of it
+    * fails hard ("Checkpoint block not found" / missing spill files)
+    * instead of recomputing. Each round must therefore derive only from
+    * the immediately preceding `apply` result; never hold a reference to
+    * an earlier round's frame past the next roll. Single-threaded use
     * (one per loop), like the loops that own it. */
   final class Rolling(spark: SparkSession, dir: Option[String]) {
     private var last: Option[String] = None
@@ -67,8 +77,10 @@ object Checkpoints {
   /** Frees a superseded `localCheckpoint()`'s pinned blocks. The blocks
     * live on the checkpointed internal RDD, NOT in the cache manager, so
     * `Dataset.unpersist()` (an `uncacheQuery`) would be a no-op — the RDD
-    * behind the plan's `LogicalRDD` leaf must be unpersisted directly. */
-  private def releaseLocal(df: DataFrame): Unit =
+    * behind the plan's `LogicalRDD` leaf must be unpersisted directly.
+    * No-ops on any other plan shape (e.g. a spill's parquet read-back,
+    * whose lifecycle is its directory's). */
+  private[graft] def releaseLocal(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => () // not a checkpoint-shaped plan; nothing pinned here
@@ -98,6 +110,37 @@ object Checkpoints {
     val scoped = s"${dir.stripSuffix("/")}/scope-${java.util.UUID.randomUUID()}"
     try body(scoped).localCheckpoint()
     finally delete(spark, scoped)
+  }
+
+  /** [[withCheckpointScope]]'s dir=None twin: runs `body`, eagerly
+    * `localCheckpoint`s its result, then releases every RDD the body
+    * pinned EXCEPT the result's own — so a composition that drives
+    * checkpointing operators (banded pairs, connected components) holds
+    * ONE pinned frame afterwards, not one per internal loop. Without
+    * this, each such call leaks its loop survivors (e.g. the signature
+    * checkpoint, the CC edge checkpoint and the CC final labels — all
+    * correct to keep while the loop runs, none reachable by the caller
+    * afterwards), and a long-running session accretes executor blocks
+    * per invocation.
+    *
+    * Contract: single-owner — the scope assumes nothing else persists
+    * RDDs in this SparkContext concurrently (the [[Rolling]]
+    * single-threaded convention); anything the body pins is treated as
+    * intermediate state of the body. The returned frame is spent after
+    * [[releaseLocal]], like every localCheckpoint. */
+  def withLocalCheckpointScope(spark: SparkSession)
+                              (body: => DataFrame): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = body.localCheckpoint()
+    val keep = out.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Set(lr.rdd.id)
+      case _ => Set.empty[Int]
+    }
+    (sc.getPersistentRDDs.keySet -- before -- keep).foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
+    out
   }
 
   private def spill(spark: SparkSession, d: String, df: DataFrame): DataFrame =

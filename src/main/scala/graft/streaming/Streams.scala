@@ -311,4 +311,97 @@ object Streams {
         (-col("_best.ncos")).as("cos_sim"),
         col("_best").isNotNull.as("dropped"))
   }
+
+  /** Near-duplicate drop-at-ingest against a BATCH-BUILT simhash index
+    * ([[graft.operators.TextDedup.simhashIndexBuckets]]) — the
+    * [[semDropAtIngest]] pattern applied to the simhash track, and the
+    * ingest-side composition of the batch pipeline's near-dup keeper
+    * ([[graft.operators.TextPipeline]] stage 2b): each arriving doc
+    * computes its signature and 4-dp keeper quality IN-ROW
+    * ([[graft.functions.SimhashScan]] + [[graft.operators.TextStats.quality]]
+    * — both row-local, so they apply to a stream unchanged), probes its
+    * `bands` bucket keys with stream-static LEFT equi-joins against the
+    * packed index, and judges the collected members in-row: the doc is
+    * DROPPED iff some indexed member within `maxHamming` beats it on
+    * (quality desc, id asc) — the keeper window's exact ordering,
+    * decided locally. One output row per ingested doc:
+    * (id, sig, witness, witness_q, dropped) — witness = the
+    * best-quality qualifying member, ties to the smallest id (selected
+    * by VALUE via `array_min` over (−q, id) structs, so the index's
+    * member packing order never matters).
+    *
+    * STATELESS by construction — row-local kernels plus `bands`
+    * stream-static joins, so the query runs in append mode with no
+    * watermark and no keyed state, and the same DataFrame code runs
+    * unchanged on a batch frame (StreamsSpec pins the two bit-equal).
+    * The pigeonhole contract (`maxHamming < bands`, enforced) makes the
+    * banded probe EXACT: every indexed member within `maxHamming`
+    * shares at least one band key, so the local decision sees every
+    * qualifying witness. Policy note: ingest-local best-witness, not
+    * the batch stage's global cluster keeper — on a transitive chain
+    * a→b→c where only adjacent docs collide, the batch CC keeper keeps
+    * exactly one doc per CLUSTER, while the ingest gate judges each doc
+    * against its direct neighbours only (a doc survives iff no indexed
+    * near-dup beats it). Self-ids already present in the index are
+    * excluded, so re-ingest replays are idempotent.
+    *
+    * Scale shape: the index is O(corpus × bands) but bucket-packed
+    * (size `bits` via [[graft.operators.TextDedup.simhashWidthFor]] to
+    * hold populations ~64); the stream side never shuffles — each probe
+    * is the static side's lookup, and the in-row judge is linear in the
+    * probed buckets' members. */
+  def nearDropAtIngest(docs: DataFrame, idCol: String, textCol: String,
+                       index: DataFrame, bits: Int, bands: Int = 4,
+                       maxHamming: Int = 3,
+                       wideHash: Boolean = false): DataFrame = {
+    import graft.operators.TextStats
+    require(bits >= 1 && bits <= 56, s"simhash supports 1..56 bits, got $bits")
+    require(bands > 0 && bits % bands == 0,
+      s"bits ($bits) must split evenly into bands ($bands)")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands, got $maxHamming/$bands")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val memberType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.DoubleType))))
+    val withSig = docs
+      .withColumn("_id", col(idCol).cast("long"))
+      .withColumn("sig",
+        graft.functions.SimhashScan.simhashScan(col(textCol), bits, wideHash))
+      .withColumn("_q", TextStats.quality(col(textCol)))
+    // one stream-static LEFT join per band — a single join would need the
+    // probe keys EXPLODED to rows and the verdict re-aggregated per doc,
+    // which append mode without watermarks cannot express; `bands` is 4,
+    // not corpus-sized, and each join is the static side's lookup
+    val probed = (0 until bands).foldLeft(withSig) { (acc, b) =>
+      val bucket = index.filter(col("band") === b)
+        .select(col("key").as(s"_k$b"), col("members").as(s"_m$b"))
+      acc
+        .withColumn(s"_key$b",
+          shiftrightunsigned(col("sig"), b * w).bitwiseAND(mask))
+        .join(bucket, col(s"_key$b") === col(s"_k$b"), "left")
+    }
+    // concat propagates a null operand to a null result, so each missed
+    // bucket coalesces to the empty member list first
+    val allMembers = concat((0 until bands).map(b =>
+      coalesce(col(s"_m$b"), array().cast(memberType))): _*)
+    probed
+      .withColumn("_cands", filter(allMembers, m =>
+        bit_count(m.getField("sig").bitwiseXOR(col("sig"))) <= maxHamming &&
+          m.getField("id") =!= col("_id") &&
+          (m.getField("q") > col("_q") ||
+            (m.getField("q") === col("_q") && m.getField("id") < col("_id")))))
+      .withColumn("_best", array_min(transform(col("_cands"), m =>
+        struct((-m.getField("q")).as("nq"), m.getField("id").as("witness")))))
+      .select(col(idCol), col("sig"),
+        col("_best.witness").as("witness"),
+        (-col("_best.nq")).as("witness_q"),
+        col("_best").isNotNull.as("dropped"))
+  }
 }

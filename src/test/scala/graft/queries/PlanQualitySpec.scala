@@ -618,8 +618,11 @@ class PlanQualitySpec extends SparkSpec {
     //    parquet rescan for the benchmark side)
     //  - calibrate+pack STILL share one lang exchange (the narrow encode
     //    projection between them preserves the partitioning)
-    //  - the vocabulary is a plan-literal map probed by element_at, never
-    //    a join; the native BpeSegment runs inside the projection
+    //  - the vocabulary lookup is the native hash-probe VocabId inside
+    //    the projection (addReferenceObj table — O(1) per symbol at any
+    //    V; the plan-literal map()+element_at it replaced scans its key
+    //    array O(V) per probe, TokProbe r15), never a corpus join; the
+    //    native BpeSegment runs in the same projection
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -652,8 +655,11 @@ class PlanQualitySpec extends SparkSpec {
       val planStr = ns.mkString("\n")
       assert(planStr.contains("graft_bpe_segment"),
         "native BpeSegment missing from the encode projection")
+      assert(planStr.contains("graft_vocab_id"),
+        "vocab-id lookup must be the native hash probe (VocabId) — " +
+          "the literal-map element_at it replaced probes O(V) per symbol")
       assert(!planStr.contains("SortMergeJoin"),
-        "vocabulary lookup must be the plan-literal map, never a corpus join")
+        "vocabulary lookup must stay in the projection, never a corpus join")
       assert(planStr.contains("BroadcastHashJoin") && planStr.contains("LeftAnti"),
         "contaminated-id anti join must broadcast at runtime")
     } finally graft.operators.TextPipeline.unpersistPipeline(df)

@@ -615,4 +615,70 @@ class StreamsSpec extends SparkSpec {
     assert(rows(14L) == ((true, Some("3"))), s"witness ties break to min id: ${rows(14L)}")
     assert(rows(1L) == ((true, Some("3"))), s"re-ingest excludes itself: ${rows(1L)}")
   }
+
+  test("near-dup drop-at-ingest against a batch-built simhash index: batch parity + keeper policy") {
+    // the batch pipeline's near-dup keeper composed at the ingest side
+    // (Streams.nearDropAtIngest): row-local signature + keeper quality,
+    // `bands` stream-static joins against the packed simhash index, the
+    // (quality desc, id asc) keeper decision judged in-row — stateless,
+    // no watermark. The semantic pin derives the EXPECTED drop set from
+    // TextDedup.simhashPairs on the same frame (pigeonhole-exact at
+    // maxHamming < bands): a doc drops iff some pair partner beats it.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{TextDedup, TextStats}
+    val bits = 16
+    // docs 1/2: identical word multisets reordered → hamming 0, equal
+    // quality (same words, same length) → 2 drops on the id tie-break;
+    // doc 6 is doc 3 plus trailing punctuation → likely banded near-dup
+    // with LOWER quality; docs 4/5 singletons
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "red orange yellow green blue indigo violet pink black white"),
+      (5L, "north south east west up down left right front back"),
+      (6L, "one two three four five six seven eight nine ten !!!")
+    ).toDF("doc_id", "text")
+    val index = TextDedup.simhashIndexBuckets(corpus, "doc_id", "text", bits)
+      .localCheckpoint()
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      Streams.nearDropAtIngest(df, "doc_id", "text", index, bits)
+    // expected drops/witnesses from the batch pair list + keeper quality
+    val q = corpus.select(col("doc_id"),
+        TextStats.quality(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pairs = TextDedup.simhashPairs(corpus, "doc_id", "text", bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus must produce at least one banded pair")
+    def beats(a: Long, b: Long) = q(a) > q(b) || (q(a) == q(b) && a < b)
+    val expected = corpus.collect().map(_.getLong(0)).map { id =>
+      val rivals = pairs.collect {
+        case (a, b) if b == id && beats(a, id) => a
+        case (a, b) if a == id && beats(b, id) => b
+      }
+      id -> (if (rivals.isEmpty) None
+             else Some(rivals.map(r => (-q(r), r)).min._2))
+    }.toMap
+    val got = gate(corpus).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getBoolean(4)) Some(r.getLong(2)) else None)).toMap
+    assert(got == expected,
+      s"ingest gate must drop exactly the pair losers: got $got, expected $expected")
+    assert(got(2L) == Some(1L), "the reordered twin drops with witness 1")
+    assert(got(1L).isEmpty, "the keeper survives re-ingest (self excluded)")
+    // stream == batch, bit for bit
+    val in = MemoryStream[(Long, String)]
+    val sq2 = gate(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neargate").outputMode("append").start()
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    in.addData(rows.take(3).toSeq: _*); sq2.processAllAvailable()
+    in.addData(rows.drop(3).toSeq: _*); sq2.processAllAvailable()
+    val streamed = spark.sql("select * from neargate").collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.head)
+    val batch = gate(corpus).collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.head)
+    assert(streamed.toSeq == batch.toSeq, "stream and batch renderings must be bit-equal")
+    sq2.stop()
+  }
 }
