@@ -49,8 +49,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // UNFILTERED on purpose (the args(2) filter applies to the parquet
+    // dumps only): the comment above promises oracle_sql.json always
+    // covers every query, and the campaign tooling (tools/time_oracle.py)
+    // reads this file as THE suite definition — a filtered dump would
+    // silently shrink an engine-comparison pass to the filter set.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -4,7 +4,7 @@ against a testdata dir: per-query median of 3 after one untimed warmup
 pass, 32 threads — mirroring graft.Bench's protocol so Spark-vs-DuckDB
 totals are comparable.
 
-Usage: time_oracle.py <sfdir> <oracle_sql.json> [timeout_sec] [skip,list]
+Usage: time_oracle.py <sfdir> <oracle_sql.json> [timeout_sec] [skip,list] [runs]
 
 timeout_sec (default: none) interrupts any single execution via a
 watchdog thread + con.interrupt(); the query lands in "timed_out" and
@@ -12,13 +12,22 @@ contributes NOTHING to the total (same no-silent-deflation rule as
 "failed"). skip,list names queries excluded up front — for queries with
 already-documented multi-hour aborts (e.g. x_semdedup at sf1,
 DUCKDB_semdedup_r12.json) where even one timed-out attempt per pass
-would dominate the wall clock; they land in "skipped"."""
+would dominate the wall clock; they land in "skipped".
+
+runs (default 3) is the timed executions per query; the reported time is
+their MEDIAN (runs=1 → the single execution, still after the untimed
+warmup). runs=1 exists for the sf10 scale, where a median-of-3 pass is
+~2.5 h wall and the campaign needs TWO passes — the published protocol
+there is min-over-two-single-execution passes, stamped in the output
+("runs": N) so no artifact can silently pass off a single execution as
+a median-of-3."""
 import sys, json, time, glob, os, threading
 import duckdb
 
 sfdir, oracle_path = sys.argv[1], sys.argv[2]
 timeout = float(sys.argv[3]) if len(sys.argv) > 3 and sys.argv[3] != "-" else None
-skip = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set()
+skip = set(sys.argv[4].split(",")) if len(sys.argv) > 4 and sys.argv[4] != "-" else set()
+runs = int(sys.argv[5]) if len(sys.argv) > 5 else 3
 con = duckdb.connect()
 con.execute("SET threads TO 32")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -83,7 +92,7 @@ for name, sql in sorted(oracle.items()):  # warmup, untimed
 results, failed, timed_out = {}, [], []
 for name, sql in sorted(oracle.items()):
     times, status = [], "ok"
-    for _ in range(3):
+    for _ in range(runs):
         t0 = time.time()
         st = run_one(sql)
         if st != "ok":
@@ -93,13 +102,13 @@ for name, sql in sorted(oracle.items()):
     # a failed/timed-out query must NOT contribute to the total — that
     # would silently deflate the engine comparison; record it separately
     if status == "ok":
-        results[name] = sorted(times)[1]
+        results[name] = sorted(times)[len(times) // 2]
     elif status == "timeout":
         timed_out.append(name)
     else:
         failed.append(name)
 total = sum(results.values())
 print(json.dumps({"metric": "duckdb_total", "value": total, "unit": "sec",
-                  "queries": results, "failed": failed,
+                  "runs": runs, "queries": results, "failed": failed,
                   "timed_out": timed_out, "skipped": sorted(skip),
                   "sf": sfdir}))
