@@ -2425,6 +2425,27 @@ object QueryPack {
       lexicon = Seq("zebra", "slow"), nearDedup = true)
   }
 
+  /** Near-duplicate drop-at-ingest, batch shape
+    * ([[graft.streaming.Streams.nearDropAtIngest]] probing a
+    * [[graft.operators.TextDedup.simhashIndexBuckets]] index built over
+    * the same corpus — StreamsSpec pins the STREAM run bit-equal to
+    * exactly this frame, so this row is the streaming gate's oracle):
+    * per ingested doc, its sized-width signature and the best-quality
+    * indexed witness within hamming 3 that beats it on the keeper order
+    * (quality desc, id asc), self-ids excluded. The index is
+    * checkpointed ONCE (its real deployment shape: built per refresh,
+    * probed per micro-batch) so the four band probes reuse one
+    * materialisation instead of re-planning the groupBy per band. */
+  def xNearIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val bits = 4 * graft.operators.TextDedup.simhashWidthFor(docs.count())
+    val index = graft.operators.TextDedup
+      .simhashIndexBuckets(docs, "doc_id", "text", bits, wideHash = true)
+      .localCheckpoint()
+    graft.streaming.Streams
+      .nearDropAtIngest(docs, "doc_id", "text", index, bits, wideHash = true)
+  }
+
   /** Sliding token-window chunking
     * ([[graft.operators.TextStats.chunkTokens]]): every document cut into
     * 64-token windows stepping by 48 (overlap 16) — the RAG-index /
@@ -2850,6 +2871,7 @@ object QueryPack {
     "x_pipeline_e2e" -> (xPipelineE2e _),
     "x_pipeline_tok" -> (xPipelineTok _),
     "x_pipeline_near" -> (xPipelineNear _),
+    "x_near_ingest" -> (xNearIngest _),
     "x_incremental_dedup" -> (xIncrementalDedup _),
     "x_cluster_topics" -> (xClusterTopics _),
     "x_quality_filter" -> (xQualityFilter _),
@@ -3366,6 +3388,61 @@ object QueryPack {
     "WITH RECURSIVE " + duckPipeStages12 + ",\n" + duckNearKeeper + ",\n" +
       duckPipeStages35("s2n") + ",\n" + duckPipeTailE2e
 
+  /** Near-dup drop-at-ingest oracle: replays the streaming gate's batch
+    * shape over the FULL documents table — sized-width signatures
+    * (`x_simhash_pairs_sized`'s idiom via the shared `nw` sizing rule,
+    * here over `documents`), banded candidate generation with self-ids
+    * excluded (`a.doc_id <> b.doc_id`, not `<`: the gate judges every
+    * ingested doc against every indexed member, both directions), the
+    * keeper-order filter (witness beats the doc on quality desc, id
+    * asc) and the best-witness rank. MATERIALIZED fences keep the
+    * 56-sum signature chain and the quality table single-evaluation
+    * across the band self-join's two consumers. */
+  private val duckNearIngest: String = {
+    val sums = (0 until 56)
+      .map(b => s"    sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n")
+    val sig = (0 until 56).map(b =>
+      s"  (CASE WHEN $b < 4 * (SELECT w FROM gw) AND s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" +\n")
+    s"""WITH gw AS (
+      |  SELECT coalesce(MIN(p), 14) AS w FROM range(8, 15) t(p)
+      |  WHERE (SELECT count(*) FROM documents) <= (CAST(64 AS BIGINT) << p)),
+      |gex AS (
+      |  SELECT doc_id, ('0x'||substr(md5(w),1,14))::BIGINT AS h
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(w)),
+      |gagg AS (
+      |  SELECT doc_id,
+      |$sums
+      |  FROM gex GROUP BY doc_id),
+      |gsig AS MATERIALIZED (SELECT doc_id,
+      |$sig AS sh FROM gagg),
+      |gq AS MATERIALIZED (SELECT doc_id,
+      |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
+      |      (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+      |        / length(text)), 4) AS q
+      |  FROM documents),
+      |gband AS (SELECT doc_id, sh, band,
+      |    (sh >> (band * (SELECT w FROM gw)))
+      |      & ((CAST(1 AS BIGINT) << (SELECT w FROM gw)) - 1) AS key
+      |  FROM gsig, unnest(generate_series(0, 3)) AS t(band)),
+      |gcand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id, b.doc_id AS mid
+      |  FROM gband a JOIN gband b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |gbest AS (SELECT id, mid, mq FROM (
+      |    SELECT c.id, c.mid, qm.q AS mq,
+      |      row_number() OVER (PARTITION BY c.id ORDER BY qm.q DESC, c.mid) AS rk
+      |    FROM gcand c
+      |    JOIN gq qa ON qa.doc_id = c.id
+      |    JOIN gq qm ON qm.doc_id = c.mid
+      |    WHERE qm.q > qa.q OR (qm.q = qa.q AND c.mid < c.id)) WHERE rk = 1)
+      |SELECT d.doc_id, s.sh AS sig, b.mid AS witness, b.mq AS witness_q,
+      |  b.mid IS NOT NULL AS dropped
+      |FROM documents d
+      |JOIN gsig s ON s.doc_id = d.doc_id
+      |LEFT JOIN gbest b ON b.id = d.doc_id""".stripMargin
+  }
+
   /** Tokenized pipeline oracle: the BPE training chain + vocabulary over
     * the FULL corpus (the tokenizer is trained upstream of the pipeline,
     * `x_bpe_train`'s framing), stages 1–5, then every surviving doc
@@ -3653,6 +3730,7 @@ object QueryPack {
     "x_pipeline_e2e" -> duckPipelineE2e,
     "x_pipeline_tok" -> duckPipelineTok(bpeMergeCount),
     "x_pipeline_near" -> duckPipelineNear,
+    "x_near_ingest" -> duckNearIngest,
     "x_cluster_topics" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent
         |  FROM embeddings WHERE vec_id < 16),
