@@ -9,9 +9,14 @@ completed — anything DuckDB skipped/failed/timed out lands in
 missing_duckdb with Spark's own time attached, so exclusions are
 visible, never silently flattering.
 
-Usage: combine_refresh.py <out.json> <sf-label=spark1,spark2,duck1,duck2> ...
+Usage: combine_refresh.py <out.json> <sf-label=spark1,spark2,duck1[,duck2]> ...
 e.g. combine_refresh.py REFRESH_r12_final.json \
   sf0.1=BENCH_a.json,BENCH_b.json,DUCK_a.json,DUCK_b.json
+
+A scale may carry a SINGLE DuckDB pass (3 files) when the second pass
+is wall-clock-prohibitive (the sf10 case); the fold then stamps
+"duckdb_passes": 1 so the artifact can never silently pass off one
+pass as a min-of-two.
 """
 import sys, json
 
@@ -19,9 +24,17 @@ out_path = sys.argv[1]
 final = {}
 for spec in sys.argv[2:]:
     label, files = spec.split("=")
-    s1, s2, d1, d2 = files.split(",")
+    parts = files.split(",")
+    if len(parts) == 4:
+        s1, s2, d1, d2 = parts
+        duck_files = (d1, d2)
+    else:
+        s1, s2, d1 = parts
+        duck_files = (d1,)
     sparks = [json.load(open(f))["queries"] for f in (s1, s2)]
-    ducks = [json.load(open(f)) for f in (d1, d2)]
+    ducks = [json.load(open(f)) for f in duck_files]
+    if len(ducks) == 1:
+        ducks = ducks * 2  # min() over identical passes = the single pass
     spark = {q: min(r[q] for r in sparks if q in r)
              for q in set(sparks[0]) | set(sparks[1])}
     dq = [r["queries"] for r in ducks]
@@ -33,6 +46,8 @@ for spec in sys.argv[2:]:
     final[label] = {
         "spark_total": st, "duckdb_total": dt, "ratio": st / dt,
         "n": len(common),
+        "duckdb_passes": len(duck_files),
+        "duckdb_runs_per_pass": ducks[0].get("runs", 3),
         "spark": {q: spark[q] for q in common},
         "duckdb": {q: duck[q] for q in common},
         "missing_duckdb": missing,
