@@ -30,6 +30,13 @@ skip = set(sys.argv[4].split(",")) if len(sys.argv) > 4 and sys.argv[4] != "-" e
 runs = int(sys.argv[5]) if len(sys.argv) > 5 else 3
 con = duckdb.connect()
 con.execute("SET threads TO 32")
+# raise a catchable exception instead of dying on allocator exhaustion,
+# and spill to disk first — the r14 sf10 campaign lost an entire pass
+# (the 0-byte artifact) to a process-killing OOM mid-suite; with these
+# set the query lands in "failed" and the pass completes
+con.execute("SET memory_limit='100GB'")
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+con.execute("SET max_temp_directory_size='60GB'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     # sf0.1 tables are single files; ScaleGen output is a directory
