@@ -3330,7 +3330,7 @@ object QueryPack {
     (0 until 56).map(b =>
       s"  (CASE WHEN $b < 4 * (SELECT w FROM nw) AND s$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" +\n") +
-    """ AS sh FROM nagg),
+    s""" AS sh FROM nagg),
       |nband AS (SELECT doc_id, sh, band,
       |    (sh >> (band * (SELECT w FROM nw)))
       |      & ((CAST(1 AS BIGINT) << (SELECT w FROM nw)) - 1) AS key
@@ -3347,10 +3347,7 @@ object QueryPack {
       |  UNION
       |  SELECT e.src, ncc.comp FROM nedges e JOIN ncc ON ncc.id = e.dst),
       |ncomp AS MATERIALIZED (SELECT id, min(comp) AS component FROM ncc GROUP BY id),
-      |nq AS MATERIALIZED (SELECT doc_id,
-      |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
-      |      (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
-      |        / length(text)), 4) AS q
+      |nq AS MATERIALIZED (SELECT doc_id, $duckQualityExpr AS q
       |  FROM s2),
       |ndrop AS MATERIALIZED (SELECT doc_id FROM (
       |    SELECT m.id AS doc_id,
@@ -3416,10 +3413,7 @@ object QueryPack {
       |  FROM gex GROUP BY doc_id),
       |gsig AS MATERIALIZED (SELECT doc_id,
       |$sig AS sh FROM gagg),
-      |gq AS MATERIALIZED (SELECT doc_id,
-      |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) *
-      |      (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
-      |        / length(text)), 4) AS q
+      |gq AS MATERIALIZED (SELECT doc_id, $duckQualityExpr AS q
       |  FROM documents),
       |gband AS (SELECT doc_id, sh, band,
       |    (sh >> (band * (SELECT w FROM gw)))
@@ -4260,8 +4254,12 @@ object QueryPack {
         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
     "x_simhash_pairs_sized" -> (
+      // the coalesce mirrors simhashWidthFor's clamp (w = 14 above
+      // 64 << 14 ≈ 1.05M docs, where MIN(p) over range(8, 15) is NULL)
+      // — same rendering as duckNearKeeper/duckNearIngest, so the three
+      // sized-width oracles cannot silently diverge
       """WITH wv AS (
-        |  SELECT MIN(p) AS w FROM range(8, 15) t(p)
+        |  SELECT coalesce(MIN(p), 14) AS w FROM range(8, 15) t(p)
         |  WHERE (SELECT count(*) FROM documents) <= (CAST(64 AS BIGINT) << p)),
         |ex AS (
         |  SELECT doc_id, ('0x'||substr(md5(w),1,14))::BIGINT AS h

@@ -33,6 +33,11 @@ for spec in sys.argv[2:]:
         duck_files = (d1,)
     sparks = [json.load(open(f))["queries"] for f in (s1, s2)]
     ducks = [json.load(open(f)) for f in duck_files]
+    # the stamped protocol must describe BOTH passes — two passes run
+    # with different `runs` values would misreport as the first's
+    duck_runs = {d.get("runs", 3) for d in ducks}
+    assert len(duck_runs) == 1, \
+        f"{label}: DuckDB passes disagree on runs-per-pass: {sorted(duck_runs)}"
     if len(ducks) == 1:
         ducks = ducks * 2  # min() over identical passes = the single pass
     spark = {q: min(r[q] for r in sparks if q in r)

@@ -15,8 +15,18 @@ names = sys.argv[4].split(",")
 con = duckdb.connect()
 con.execute("SET threads TO 32")
 # raise instead of dying on allocator exhaustion, and spill to disk —
-# the r14 sf10 campaign lost a whole pass to a process-killing OOM
-con.execute("SET memory_limit='100GB'")
+# the r14 sf10 campaign lost a whole pass to a process-killing OOM.
+# Limit derived from physical RAM (80%, capped at 100GB) — see
+# time_oracle.py for why a hardcoded value above physical memory would
+# defeat the protection.
+mem_kb = 0
+with open("/proc/meminfo") as f:
+    for line in f:
+        if line.startswith("MemTotal:"):
+            mem_kb = int(line.split()[1])
+            break
+mem_gb = min(100, max(1, mem_kb * 8 // 10 // (1024 * 1024)))
+con.execute(f"SET memory_limit='{mem_gb}GB'")
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
 con.execute("SET max_temp_directory_size='60GB'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",

@@ -21,7 +21,7 @@ warmup). runs=1 exists for the sf10 scale, where a median-of-3 pass is
 there is min-over-two-single-execution passes, stamped in the output
 ("runs": N) so no artifact can silently pass off a single execution as
 a median-of-3."""
-import sys, json, time, glob, os, threading
+import sys, json, time, glob, os, statistics, threading
 import duckdb
 
 sfdir, oracle_path = sys.argv[1], sys.argv[2]
@@ -33,8 +33,18 @@ con.execute("SET threads TO 32")
 # raise a catchable exception instead of dying on allocator exhaustion,
 # and spill to disk first — the r14 sf10 campaign lost an entire pass
 # (the 0-byte artifact) to a process-killing OOM mid-suite; with these
-# set the query lands in "failed" and the pass completes
-con.execute("SET memory_limit='100GB'")
+# set the query lands in "failed" and the pass completes. The limit is
+# derived from physical RAM (80%, capped at 100GB): a hardcoded 100GB on
+# a smaller host would sit ABOVE physical memory and re-enable the
+# process-killing OS OOM this setting exists to prevent.
+mem_kb = 0
+with open("/proc/meminfo") as f:
+    for line in f:
+        if line.startswith("MemTotal:"):
+            mem_kb = int(line.split()[1])
+            break
+mem_gb = min(100, max(1, mem_kb * 8 // 10 // (1024 * 1024)))
+con.execute(f"SET memory_limit='{mem_gb}GB'")
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
 con.execute("SET max_temp_directory_size='60GB'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -109,7 +119,7 @@ for name, sql in sorted(oracle.items()):
     # a failed/timed-out query must NOT contribute to the total — that
     # would silently deflate the engine comparison; record it separately
     if status == "ok":
-        results[name] = sorted(times)[len(times) // 2]
+        results[name] = statistics.median(times)
     elif status == "timeout":
         timed_out.append(name)
     else:
