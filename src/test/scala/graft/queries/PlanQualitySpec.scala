@@ -724,6 +724,50 @@ class PlanQualitySpec extends SparkSpec {
     } finally graft.operators.TextPipeline.unpersistPipeline(df)
   }
 
+  test("near ingest: one parquet scan, 4 broadcast band probes, zero probe-side exchanges") {
+    // the streaming gate's batch-shape claims (scaladoc on
+    // Streams.nearDropAtIngest), as assertions:
+    //  - the probe side reads the corpus parquet ONCE (signature +
+    //    quality are in-row over the same scan; the index is a
+    //    checkpointed RDD, never a parquet rescan)
+    //  - each of the `bands` probes resolves to a BroadcastHashJoin
+    //    LEFT OUTER against the packed index (the index is bucket-packed
+    //    ~64 members/row — broadcastable by construction at any corpus
+    //    size where the sized width holds)
+    //  - the probe side NEVER shuffles: zero ShuffleExchange anywhere in
+    //    the executed plan (the index build's one groupBy exchange ran
+    //    eagerly at localCheckpoint time, priced per refresh, and cannot
+    //    appear here)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val df = QueryPack.xNearIngest(spark, sf)
+    assert(df.collect().nonEmpty, "near ingest produced no rows at sf0.001")
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val parquetScans = ns.count(_.isInstanceOf[FileSourceScanExec])
+    assert(parquetScans == 1,
+      s"probe side must read the corpus parquet exactly once, got $parquetScans")
+    val bandProbes = ns.collect {
+      case b: BroadcastHashJoinExec => b.joinType.toString
+    }
+    assert(bandProbes.length == 4,
+      s"expected 4 broadcast band probes, got ${bandProbes.length}")
+    assert(bandProbes.forall(_ == "LeftOuter"),
+      s"band probes must be LEFT OUTER lookups, got $bandProbes")
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "probe side must not shuffle — the index build's exchange is priced " +
+        "once per refresh behind the checkpoint, never per probed batch")
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "no sort-merge anywhere in the ingest gate")
+  }
+
   test("semdedup text: embedding fused into the signature build — one scan, zero shuffle") {
     // the advertised text→ANN bridge must add NOTHING structural over the
     // synthetic-embeddings row: the hashed embedding, the centroid argmin
