@@ -16,6 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `probe_*`: [[graft.streaming.Streams.nearDropAtIngest]] of the
   *     full corpus against the prebuilt index, noop-forced — the
   *     shuffle-free stream-side cost, warmup + median of 3.
+  *   - `merge_sec`: [[graft.operators.TextDedup.simhashIndexMerge]] of
+  *     a 10% batch into a 90% index (both freshly built, the merge
+  *     itself timed alone) — the incremental-refresh alternative to
+  *     `build_sec`, which only signs the batch and shuffles
+  *     index-sized bytes, never re-reading the indexed corpus text.
   *
   * Prints one JSON line. */
 object NearIngestProbe {
@@ -59,8 +64,19 @@ object NearIngestProbe {
     val probeTimes = (1 to 3).map(_ => time(probe())._2)
     val pMed = median(probeTimes)
 
+    // incremental refresh: 90% pre-indexed (untimed), the 10% batch
+    // merged in (timed: batch sign + index-bytes shuffle + checkpoint)
+    val base = graft.operators.TextDedup
+      .simhashIndexBuckets(docs.filter(org.apache.spark.sql.functions
+        .col("doc_id") % 10 =!= 0), "doc_id", "text", bits, wideHash = true)
+      .localCheckpoint()
+    val (_, mergeSec) = time(graft.operators.TextDedup
+      .simhashIndexMerge(base, docs.filter(org.apache.spark.sql.functions
+        .col("doc_id") % 10 === 0), "doc_id", "text", bits, wideHash = true)
+      .localCheckpoint())
+
     val ts = probeTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"near_ingest_probe","unit":"sec","rows":$rows,"bits":$bits,"build_sec":$buildSec%.3f,"probe_warmup_sec":$warm%.3f,"probe_times_sec":$ts,"probe_median_sec":$pMed%.3f,"probe_rows_per_sec":${rows / pMed}%.0f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"near_ingest_probe","unit":"sec","rows":$rows,"bits":$bits,"build_sec":$buildSec%.3f,"merge10pct_sec":$mergeSec%.3f,"probe_warmup_sec":$warm%.3f,"probe_times_sec":$ts,"probe_median_sec":$pMed%.3f,"probe_rows_per_sec":${rows / pMed}%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * Arms, interleaved A,B,A,B,... (median of 3 each after one warmup
   * pair) so host drift hits both equally:
-  *   A: the shipped [[graft.operators.TextStats.unigramLmEncode]]
-  *      (posexplode → broadcast vocab join).
-  *   B: same lattice, id lookup through `VocabId` in the projection
-  *      (no join).
+  *   A: the broadcast-vocab-join rendering (inlined here verbatim —
+  *      it WAS `unigramLmEncode` until this probe's sf10 verdict:
+  *      12.6 vs 3.2 s, `BENCH_uniencab_r17_sf10.json`).
+  *   B: the shipped [[graft.operators.TextStats.unigramLmEncode]]
+  *      (id lookup through `VocabId` in the projection, adopted on
+  *      that verdict).
   * Both arms are forced through a noop write; one `except` pass pins
   * the two frames row-identical before timing. Prints one JSON line. */
 object UniEncAb {
@@ -44,9 +46,8 @@ object UniEncAb {
     val withOov = docs.select(col("doc_id"), col("text"))
       .unionAll(Seq((-1L, "zz xx")).toDF("doc_id", "text"))
 
-    def armA(): DataFrame =
-      TextStats.unigramLmEncode(withOov, "doc_id", "text", model)
-    def armB(): DataFrame =
+    def armA(): DataFrame = {
+      val vocabDf = model.vocab.toDF("piece", "_vid")
       withOov.select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("word_idx", "_w")))
         .filter(col("_w") =!= "")
@@ -54,9 +55,12 @@ object UniEncAb {
           posexplode(graft.functions.UnigramLattice.unigramViterbi(col("_w"),
             model.logProbs, model.maxPieceLen, model.oovLogProb))
             .as(Seq("sym_idx", "piece")))
+        .join(broadcast(vocabDf), Seq("piece"), "left")
         .select(col("doc_id"), col("word_idx"), col("sym_idx"), col("piece"),
-          graft.functions.VocabId.vocabId(col("piece"), model.vocab)
-            .as("token_id"))
+          coalesce(col("_vid"), lit(-1L)).as("token_id"))
+    }
+    def armB(): DataFrame =
+      TextStats.unigramLmEncode(withOov, "doc_id", "text", model)
 
     val diff = armA().exceptAll(armB()).count() + armB().exceptAll(armA()).count()
     require(diff == 0, s"arms disagree on $diff rows — A/B void")

@@ -270,6 +270,45 @@ object TextDedup {
         col("_q").as("q"))).as("members"))
   }
 
+  /** Incremental refresh of a packed simhash index
+    * ([[simhashIndexBuckets]]'s shape): fold a NEW batch of documents
+    * into an existing index WITHOUT re-reading the indexed corpus. Only
+    * the batch is scanned, signed and quality-scored; the old index
+    * contributes its already-packed (id, sig, q) members, and the two
+    * merge per (band, key) bucket via one union + groupBy flatten.
+    *
+    * Why this is the refresh shape at scale: a full rebuild's dominant
+    * cost is re-scanning and re-signing the corpus TEXT (the 100 TB),
+    * which the index made ~4000× smaller (24 B/member × bands vs the
+    * documents themselves). A merge prices the refresh at
+    * O(batch text scan) + O(index-bytes shuffle) — the corpus text is
+    * never touched. Member order inside a merged bucket differs from a
+    * rebuild's (collect_list is arrival-ordered), which is immaterial
+    * by [[graft.streaming.Streams.nearDropAtIngest]]'s contract: the
+    * witness is selected by VALUE, never by packing order (the merge ≡
+    * rebuild probe equality is spec-pinned).
+    *
+    * Contract: `bits`/`bands`/`wideHash` MUST match the values the
+    * index was built with (signatures are not comparable across
+    * widths); when the corpus outgrows the sized width
+    * ([[simhashWidthFor]] steps up), the index needs ONE full rebuild —
+    * merges amortize every refresh in between. Ids already present in
+    * the index are NOT deduplicated here: re-ingesting a batch twice
+    * double-packs its members (harmless to the gate — a doc never
+    * witnesses itself and duplicate witnesses tie on (q, id) — but
+    * callers replaying history should anti-join first). */
+  def simhashIndexMerge(index: DataFrame, newDocs: DataFrame,
+                        idCol: String, textCol: String,
+                        bits: Int, bands: Int = 4,
+                        wideHash: Boolean = false): DataFrame = {
+    val delta = simhashIndexBuckets(newDocs, idCol, textCol, bits, bands,
+      wideHash)
+    index.select(col("band"), col("key"), col("members"))
+      .unionAll(delta)
+      .groupBy(col("band"), col("key"))
+      .agg(flatten(collect_list(col("members"))).as("members"))
+  }
+
   /** Connected components over a candidate-pair edge list — turns near-dup
     * PAIRS into CLUSTERS (every doc labelled with its component's minimum
     * id, the canonical representative).

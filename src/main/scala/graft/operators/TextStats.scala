@@ -1339,17 +1339,21 @@ object TextStats {
     * reference ([[bpeEncodeReplaceChain]], property-pinned in BpeSpec). */
   def bpeEncode(docs: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, model: BpeModel): org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val vocabDf = model.vocab.toDF("_sym", "_vid")
+    // id lookup through the in-row VocabId hash probe, not a broadcast
+    // join: on the exploded (doc, word, sym) frame the join's per-row
+    // broadcast-relation probe measured 4x the whole encode at sf10
+    // (BENCH_uniencab_r17_sf10.json: 12.6 vs 3.2 s on the unigram twin
+    // of this shape); the hash probe stays inside the projection's
+    // codegen. OOV -> -1 is VocabId's own contract. The replace-chain
+    // parity reference below keeps the join as an independent rendering.
     docs.select(col(idCol), posexplode(words(col(textCol))).as(Seq("word_idx", "_w")))
       .filter(col("_w") =!= "")
       .select(col(idCol), col("word_idx"),
         posexplode(graft.functions.BpeSegment.bpeSegment(col("_w"),
           model.merges.map(m => (m._1, m._2)))).as(Seq("sym_idx", "_sym")))
-      .join(broadcast(vocabDf), Seq("_sym"), "left")
       .select(col(idCol), col("word_idx"), col("sym_idx"),
-        coalesce(col("_vid"), lit(-1L)).as("token_id"))
+        graft.functions.VocabId.vocabId(col("_sym"), model.vocab)
+          .as("token_id"))
   }
 
   /** The composable replace-chain rendering of [[bpeEncode]] — the
@@ -1540,18 +1544,21 @@ object TextStats {
   def unigramLmEncode(docs: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String,
                       model: UnigramModel): org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val vocabDf = model.vocab.toDF("piece", "_vid")
+    // in-row VocabId hash probe, not a broadcast join — the r16
+    // campaign's one above-drift-band riser (x_unigram_encode sf10
+    // 4.01 -> 10.75 s) was REAL and was this join: the interleaved A/B
+    // (BENCH_uniencab_r17_sf10.json) measured the join rendering at
+    // 12.6 s vs 3.2 s for this probe on row-identical output. OOV -> -1
+    // is VocabId's own contract.
     docs.select(col(idCol), posexplode(words(col(textCol))).as(Seq("word_idx", "_w")))
       .filter(col("_w") =!= "")
       .select(col(idCol), col("word_idx"),
         posexplode(graft.functions.UnigramLattice.unigramViterbi(col("_w"),
           model.logProbs, model.maxPieceLen, model.oovLogProb))
           .as(Seq("sym_idx", "piece")))
-      .join(broadcast(vocabDf), Seq("piece"), "left")
       .select(col(idCol), col("word_idx"), col("sym_idx"), col("piece"),
-        coalesce(col("_vid"), lit(-1L)).as("token_id"))
+        graft.functions.VocabId.vocabId(col("piece"), model.vocab)
+          .as("token_id"))
   }
 
   /** The [[graft.functions.HashedNgramScore]] feature space rendered as

@@ -2446,6 +2446,33 @@ object QueryPack {
       .nearDropAtIngest(docs, "doc_id", "text", index, bits, wideHash = true)
   }
 
+  /** Incremental index refresh, proved THROUGH the gate
+    * ([[graft.operators.TextDedup.simhashIndexMerge]]): the index is
+    * built over 90% of the corpus, the remaining 10% arrives as a
+    * refresh batch and is MERGED in (batch signed, corpus never
+    * re-read), then every doc probes the merged index. Because
+    * merge ≡ rebuild up to member packing order — immaterial to the
+    * gate's by-value witness selection — the output is bit-identical
+    * to [[xNearIngest]], and the oracle SQL is the SAME full-corpus
+    * replay: a wrong merge (lost bucket, dropped member, mis-keyed
+    * band) diverges loudly. Width is sized on the FULL corpus count —
+    * the deployment rule: size for what the index will hold, rebuild
+    * only when the corpus outgrows the width step. */
+  def xNearIngestIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val bits = 4 * graft.operators.TextDedup.simhashWidthFor(docs.count())
+    val indexed = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val base = graft.operators.TextDedup
+      .simhashIndexBuckets(indexed, "doc_id", "text", bits, wideHash = true)
+      .localCheckpoint()
+    val merged = graft.operators.TextDedup
+      .simhashIndexMerge(base, batch, "doc_id", "text", bits, wideHash = true)
+      .localCheckpoint()
+    graft.streaming.Streams
+      .nearDropAtIngest(docs, "doc_id", "text", merged, bits, wideHash = true)
+  }
+
   /** Sliding token-window chunking
     * ([[graft.operators.TextStats.chunkTokens]]): every document cut into
     * 64-token windows stepping by 48 (overlap 16) — the RAG-index /
@@ -2872,6 +2899,7 @@ object QueryPack {
     "x_pipeline_tok" -> (xPipelineTok _),
     "x_pipeline_near" -> (xPipelineNear _),
     "x_near_ingest" -> (xNearIngest _),
+    "x_near_ingest_incr" -> (xNearIngestIncr _),
     "x_incremental_dedup" -> (xIncrementalDedup _),
     "x_cluster_topics" -> (xClusterTopics _),
     "x_quality_filter" -> (xQualityFilter _),
@@ -3725,6 +3753,9 @@ object QueryPack {
     "x_pipeline_tok" -> duckPipelineTok(bpeMergeCount),
     "x_pipeline_near" -> duckPipelineNear,
     "x_near_ingest" -> duckNearIngest,
+    // merge ≡ rebuild THROUGH the gate: the incremental-refresh row's
+    // oracle is the same full-corpus replay — any merge defect diverges
+    "x_near_ingest_incr" -> duckNearIngest,
     "x_cluster_topics" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent
         |  FROM embeddings WHERE vec_id < 16),

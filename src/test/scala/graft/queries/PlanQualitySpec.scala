@@ -743,29 +743,35 @@ class PlanQualitySpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
-    val df = QueryPack.xNearIngest(spark, sf)
-    assert(df.collect().nonEmpty, "near ingest produced no rows at sf0.001")
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => nodes(q.plan)
-      case other => other +: other.children.flatMap(nodes)
+    // the incrementally-merged index (xNearIngestIncr) must leave the
+    // probe side's shape IDENTICAL — the merge is priced behind the
+    // same checkpoint as a rebuild
+    for ((name, df) <- Seq("x_near_ingest" -> QueryPack.xNearIngest(spark, sf),
+        "x_near_ingest_incr" -> QueryPack.xNearIngestIncr(spark, sf))) {
+      assert(df.collect().nonEmpty, s"$name produced no rows at sf0.001")
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case other => other +: other.children.flatMap(nodes)
+      }
+      val ns = nodes(df.queryExecution.executedPlan)
+      val parquetScans = ns.count(_.isInstanceOf[FileSourceScanExec])
+      assert(parquetScans == 1,
+        s"$name: probe side must read the corpus parquet exactly once, got $parquetScans")
+      val bandProbes = ns.collect {
+        case b: BroadcastHashJoinExec => b.joinType.toString
+      }
+      assert(bandProbes.length == 4,
+        s"$name: expected 4 broadcast band probes, got ${bandProbes.length}")
+      assert(bandProbes.forall(_ == "LeftOuter"),
+        s"$name: band probes must be LEFT OUTER lookups, got $bandProbes")
+      assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"$name: probe side must not shuffle — the index build/merge " +
+          "exchange is priced once per refresh behind the checkpoint, " +
+          "never per probed batch")
+      assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"$name: no sort-merge anywhere in the ingest gate")
     }
-    val ns = nodes(df.queryExecution.executedPlan)
-    val parquetScans = ns.count(_.isInstanceOf[FileSourceScanExec])
-    assert(parquetScans == 1,
-      s"probe side must read the corpus parquet exactly once, got $parquetScans")
-    val bandProbes = ns.collect {
-      case b: BroadcastHashJoinExec => b.joinType.toString
-    }
-    assert(bandProbes.length == 4,
-      s"expected 4 broadcast band probes, got ${bandProbes.length}")
-    assert(bandProbes.forall(_ == "LeftOuter"),
-      s"band probes must be LEFT OUTER lookups, got $bandProbes")
-    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
-      "probe side must not shuffle — the index build's exchange is priced " +
-        "once per refresh behind the checkpoint, never per probed batch")
-    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
-      "no sort-merge anywhere in the ingest gate")
   }
 
   test("semdedup text: embedding fused into the signature build — one scan, zero shuffle") {

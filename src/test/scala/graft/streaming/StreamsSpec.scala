@@ -681,4 +681,55 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq, "stream and batch renderings must be bit-equal")
     sq2.stop()
   }
+
+  test("incremental index merge: merge == rebuild, bucket-for-bucket and through the gate") {
+    // TextDedup.simhashIndexMerge's contract: folding a new batch into
+    // an existing index is equivalent to rebuilding over the union —
+    // up to member packing order, which the gate's by-value witness
+    // selection makes immaterial. Pinned twice: (1) the merged buckets
+    // equal the rebuilt buckets once members are canonically sorted;
+    // (2) probing every doc through the merged index is bit-equal to
+    // probing through the rebuilt one — including the cross-boundary
+    // drop (batch doc 2 falls to INDEXED witness 1, the reordered-twin
+    // pair the parent test derives from simhashPairs), the case a
+    // merge that lost or mis-keyed old members would get wrong.
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val bits = 16
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "red orange yellow green blue indigo violet pink black white"),
+      (5L, "north south east west up down left right front back"),
+      (6L, "one two three four five six seven eight nine ten !!!")
+    ).toDF("doc_id", "text")
+    val indexed = corpus.filter(col("doc_id") =!= 2 && col("doc_id") <= 4)
+    val batch = corpus.filter(col("doc_id") === 2 || col("doc_id") > 4)
+    val rebuilt = TextDedup.simhashIndexBuckets(corpus, "doc_id", "text", bits)
+    val merged = TextDedup.simhashIndexMerge(
+      TextDedup.simhashIndexBuckets(indexed, "doc_id", "text", bits)
+        .localCheckpoint(),
+      batch, "doc_id", "text", bits)
+    // array_sort over struct(id, sig, q) orders members by id — the
+    // canonical form that erases packing-order differences
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("band"), col("key"), array_sort(col("members")).as("m"))
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(canon(merged) == canon(rebuilt),
+      "merged index must equal a full rebuild bucket-for-bucket")
+    def probe(idx: org.apache.spark.sql.DataFrame) =
+      Streams.nearDropAtIngest(corpus, "doc_id", "text",
+          idx.localCheckpoint(), bits)
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.head)
+    assert(probe(merged).toSeq == probe(rebuilt).toSeq,
+      "gate verdicts through the merged index must be bit-equal to the rebuild's")
+    val verdicts = Streams.nearDropAtIngest(corpus, "doc_id", "text",
+        merged.localCheckpoint(), bits)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getBoolean(4)) Some(r.getLong(2)) else None)).toMap
+    assert(verdicts(2L) == Some(1L),
+      s"batch doc 2 must drop against INDEXED witness 1 — old members " +
+        s"must stay visible through the merge: ${verdicts(2L)}")
+  }
 }
