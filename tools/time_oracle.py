@@ -21,8 +21,28 @@ warmup). runs=1 exists for the sf10 scale, where a median-of-3 pass is
 there is min-over-two-single-execution passes, stamped in the output
 ("runs": N) so no artifact can silently pass off a single execution as
 a median-of-3."""
-import sys, json, time, glob, os, statistics, threading
+import sys, json, time, glob, os, statistics, threading, fcntl, atexit
 import duckdb
+
+# Host-wide concurrency lock: timings are only meaningful on a quiet
+# host, and in r17 two oracle passes (one a stale leftover from the
+# previous round) ran concurrently for 9+ hours — neither finished, and
+# the contention also poisoned the end-of-round snapshot bench. A
+# second pass must REFUSE to start, loudly, instead of silently
+# degrading both. flock is advisory but both holders are this script;
+# the lock dies with the process, so a crashed pass never wedges the
+# next one.
+_lock_fh = open("/tmp/graft_oracle_campaign.lock", "w")
+try:
+    fcntl.flock(_lock_fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+except BlockingIOError:
+    print("REFUSING to start: another time_oracle.py pass holds "
+          "/tmp/graft_oracle_campaign.lock (timings must be serialized "
+          "on a quiet host — kill the other pass or wait)", file=sys.stderr)
+    sys.exit(2)
+_lock_fh.write(f"{os.getpid()} {' '.join(sys.argv[1:3])}\n")
+_lock_fh.flush()
+atexit.register(_lock_fh.close)
 
 sfdir, oracle_path = sys.argv[1], sys.argv[2]
 timeout = float(sys.argv[3]) if len(sys.argv) > 3 and sys.argv[3] != "-" else None
@@ -118,8 +138,11 @@ for name, sql in sorted(oracle.items()):
         times.append(time.time() - t0)
     # a failed/timed-out query must NOT contribute to the total — that
     # would silently deflate the engine comparison; record it separately
+    # median_low so the reported time is always an OBSERVED execution:
+    # plain median interpolates the two middle values on even-length
+    # runs — a time no run actually measured. Identical for odd runs.
     if status == "ok":
-        results[name] = statistics.median(times)
+        results[name] = statistics.median_low(times)
     elif status == "timeout":
         timed_out.append(name)
     else:
