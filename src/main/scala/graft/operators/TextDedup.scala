@@ -151,8 +151,12 @@ object TextDedup {
                       targetBucketSize: Long = 64): Int = {
     require(n > 0 && bands > 0 && targetBucketSize > 0,
       "n, bands and targetBucketSize must be positive")
+    require(bands <= 56, s"bands must fit the 56-bit ceiling, got $bands")
     val maxW = 56 / bands
-    var w = 8
+    // the 8-bit floor must itself respect the ceiling: past 7 bands the
+    // per-band budget (56/bands) is below 8, and returning the floor
+    // would size a signature simhashIndexBuckets rejects outright
+    var w = math.min(8, maxW)
     while (w < maxW && targetBucketSize < ((n + (1L << w) - 1) >> w)) w += 1
     val density = (n + (1L << w) - 1) >> w
     if (density > targetBucketSize)
@@ -247,7 +251,18 @@ object TextDedup {
     * (band, key) — ONE exchange at build time, priced once per index
     * refresh, never per ingested doc. Size `bits` with
     * [[simhashWidthFor]] so bucket populations hold near the target
-    * (~64): the in-row judge is linear in members-per-bucket. */
+    * (~64): the in-row judge is linear in members-per-bucket.
+    *
+    * Every bucket row is STAMPED with the build parameters
+    * (`built_bits`/`built_bands`/`built_wide` literal columns — they
+    * survive checkpoints and parquet round-trips, unlike plan-level
+    * metadata): signatures are meaningless across widths, and before the
+    * stamp a [[simhashIndexMerge]] or
+    * [[graft.streaming.Streams.nearDropAtIngest]] probe configured at a
+    * different width silently mis-keyed every bucket — near-dups sailed
+    * through with no error. Both consumers now verify the stamp (see
+    * [[stampedMembers]]); the per-row cost is three constants the
+    * optimizer folds away whenever the index is still plan-literal. */
   def simhashIndexBuckets(docs: DataFrame, idCol: String, textCol: String,
                           bits: Int, bands: Int = 4,
                           wideHash: Boolean = false): DataFrame = {
@@ -268,6 +283,42 @@ object TextDedup {
       .groupBy(col("band"), col("key"))
       .agg(collect_list(struct(col("_id").as("id"), col("_sig").as("sig"),
         col("_q").as("q"))).as("members"))
+      .select(col("band"), col("key"), col("members"),
+        lit(bits).as("built_bits"), lit(bands).as("built_bands"),
+        lit(wideHash).as("built_wide"))
+  }
+
+  /** The `members` column of a stamped packed index
+    * ([[simhashIndexBuckets]]'s shape), guarded by the build-parameter
+    * stamp: reading it with MATCHING (`bits`, `bands`, `wideHash`)
+    * yields the members unchanged; a mismatch raises a runtime error
+    * naming both sides on the first bucket row touched. The guard is a
+    * per-row three-constant comparison folded into whatever projection
+    * reads the members — when the index is still plan-literal (not yet
+    * checkpointed) the optimizer constant-folds the whole branch away
+    * (match → bare `members`, mismatch → a plan-time error), so the
+    * happy path costs nothing and the failure is as early as the plan
+    * allows. Throws immediately (plan-construction time) if the frame
+    * lacks the stamp columns — an index predating the stamp must be
+    * rebuilt, not guessed at. */
+  private[graft] def stampedMembers(index: DataFrame, bits: Int, bands: Int,
+                                    wideHash: Boolean): Column = {
+    val stamp = Seq("built_bits", "built_bands", "built_wide")
+    require(stamp.forall(index.columns.contains),
+      s"packed simhash index lacks the build-parameter stamp columns " +
+        s"${stamp.mkString("/")} — rebuild it with simhashIndexBuckets " +
+        s"(got columns: ${index.columns.mkString(", ")})")
+    when(col("built_bits") === lit(bits) &&
+        col("built_bands") === lit(bands) &&
+        col("built_wide") === lit(wideHash), col("members"))
+      .otherwise(raise_error(concat(
+        lit(s"simhash index width mismatch: configured bits=$bits, " +
+          s"bands=$bands, wideHash=$wideHash but the index was built " +
+          "with bits="), col("built_bits").cast("string"),
+        lit(", bands="), col("built_bands").cast("string"),
+        lit(", wideHash="), col("built_wide").cast("string"),
+        lit(" — signatures are not comparable across widths; " +
+          "rebuild the index"))))
   }
 
   /** Incremental refresh of a packed simhash index
@@ -290,23 +341,141 @@ object TextDedup {
     *
     * Contract: `bits`/`bands`/`wideHash` MUST match the values the
     * index was built with (signatures are not comparable across
-    * widths); when the corpus outgrows the sized width
-    * ([[simhashWidthFor]] steps up), the index needs ONE full rebuild —
-    * merges amortize every refresh in between. Ids already present in
+    * widths) — ENFORCED via the index's build-parameter stamp
+    * ([[stampedMembers]]): a mismatched merge raises instead of
+    * silently mis-keying every folded bucket. When the corpus outgrows
+    * the sized width ([[simhashWidthFor]] steps up), the index needs
+    * ONE full rebuild — merges amortize every refresh in between (the
+    * build-or-merge decision plus checkpoint ownership live in
+    * [[refreshSimhashIndex]]). Ids already present in
     * the index are NOT deduplicated here: re-ingesting a batch twice
     * double-packs its members (harmless to the gate — a doc never
     * witnesses itself and duplicate witnesses tie on (q, id) — but
-    * callers replaying history should anti-join first). */
+    * callers replaying history should anti-join first, or use
+    * [[refreshSimhashIndex]]'s `dropKnownIds`). */
   def simhashIndexMerge(index: DataFrame, newDocs: DataFrame,
                         idCol: String, textCol: String,
                         bits: Int, bands: Int = 4,
                         wideHash: Boolean = false): DataFrame = {
     val delta = simhashIndexBuckets(newDocs, idCol, textCol, bits, bands,
       wideHash)
-    index.select(col("band"), col("key"), col("members"))
-      .unionAll(delta)
+    index.select(col("band"), col("key"),
+        stampedMembers(index, bits, bands, wideHash).as("members"))
+      .unionAll(delta.select(col("band"), col("key"), col("members")))
       .groupBy(col("band"), col("key"))
       .agg(flatten(collect_list(col("members"))).as("members"))
+      .select(col("band"), col("key"), col("members"),
+        lit(bits).as("built_bits"), lit(bands).as("built_bands"),
+        lit(wideHash).as("built_wide"))
+  }
+
+  /** The packed-index REFRESH LIFECYCLE — owns the three decisions the
+    * raw [[simhashIndexBuckets]]/[[simhashIndexMerge]] pair delegates to
+    * callers:
+    *
+    *   1. '''Build or merge.''' The refreshed width is re-sized on the
+    *      post-refresh doc count ([[simhashWidthFor]]); if it equals the
+    *      index's stamped width (the common case — width steps are
+    *      logarithmic in corpus size) the batch is MERGED at
+    *      O(batch text) + O(index bytes), never re-reading the corpus.
+    *      If the corpus outgrew the width step (or `bands`/`wideHash`
+    *      changed), the index is REBUILT once from `fullCorpus` — the
+    *      only path that evaluates it (by-name), so merge-path callers
+    *      can pass a frame they never materialize.
+    *   2. '''Replay guard.''' With `dropKnownIds` (default), batch docs
+    *      whose ids are already indexed are anti-joined away BEFORE
+    *      counting and signing, so re-ingesting history neither
+    *      double-packs members nor inflates the width accounting. Known
+    *      ids come from the band-0 buckets only — every doc appears in
+    *      exactly one band-0 bucket, so the explode is 1/`bands` of the
+    *      index and needs no distinct. The anti join is an id-keyed
+    *      shuffle join (history is corpus-sized; never broadcast).
+    *   3. '''Checkpoint ownership.''' The returned index is eagerly
+    *      `localCheckpoint`-ed with every intermediate the refresh
+    *      pinned released ([[graft.runtime.Checkpoints.withLocalCheckpointScope]]),
+    *      and the PREDECESSOR's pinned blocks are released once the new
+    *      index is durable — the [[graft.runtime.Checkpoints.Rolling]]
+    *      discipline across refresh calls. The predecessor frame is
+    *      SPENT after this returns: a K-refresh pipeline holds one
+    *      pinned index, not K.
+    *
+    * Driver-side cost, all bounded: one `head` on the stamp columns, one
+    * index-sized count of the band-0 members, one O(batch) count for the
+    * width accounting — never anything corpus-sized.
+    *
+    * `current = None` (or an empty index) is the first build: sized on
+    * the batch alone, `fullCorpus` not evaluated. Indexes built with a
+    * manual (non-[[simhashWidthFor]]) width are re-sized — and therefore
+    * rebuilt — on their first refresh; the helper owns sizing from then
+    * on. Returns the new checkpointed index, stamped like every
+    * [[simhashIndexBuckets]] output. */
+  def refreshSimhashIndex(current: Option[DataFrame], newDocs: DataFrame,
+                          idCol: String, textCol: String,
+                          fullCorpus: => DataFrame,
+                          bands: Int = 4, wideHash: Boolean = false,
+                          targetBucketSize: Long = 64,
+                          dropKnownIds: Boolean = true): DataFrame = {
+    import graft.runtime.Checkpoints
+    val spark = newDocs.sparkSession
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    // an absent OR empty index is a first build — there is no stamp row
+    // to honor and nothing to merge into
+    val stamped = current.filter { idx =>
+      val stamp = Seq("built_bits", "built_bands", "built_wide")
+      require(stamp.forall(idx.columns.contains),
+        "refreshSimhashIndex: current index lacks the build-parameter " +
+          s"stamp ${stamp.mkString("/")} — rebuild it with " +
+          "simhashIndexBuckets before handing it to the lifecycle")
+      !idx.isEmpty
+    }
+    stamped match {
+      case None =>
+        val n = newDocs.count()
+        val bits = bands * simhashWidthFor(n max 1, bands, targetBucketSize)
+        log.info(s"refreshSimhashIndex: first build, $n docs at $bits bits")
+        Checkpoints.withLocalCheckpointScope(spark)(
+          simhashIndexBuckets(newDocs, idCol, textCol, bits, bands, wideHash))
+      case Some(index) =>
+        val stamp = index
+          .select(col("built_bits"), col("built_bands"), col("built_wide"))
+          .head()
+        val (curBits, curBands, curWide) =
+          (stamp.getInt(0), stamp.getInt(1), stamp.getBoolean(2))
+        // band-0 holds every indexed doc exactly once: exact count and
+        // the replay guard's id set, at 1/bands of the index
+        val band0 = index.filter(col("band") === 0)
+        val indexedCount = band0
+          .agg(coalesce(sum(size(col("members"))), lit(0L))).head().getLong(0)
+        val out = Checkpoints.withLocalCheckpointScope(spark) {
+          val batch =
+            if (dropKnownIds)
+              newDocs.join(
+                band0.select(explode(col("members.id")).as("_known_id")),
+                col(idCol).cast("long") === col("_known_id"), "left_anti")
+                .localCheckpoint()
+            else newDocs
+          val batchCount = batch.count()
+          val w = simhashWidthFor((indexedCount + batchCount) max 1,
+            bands, targetBucketSize)
+          val bits = bands * w
+          if (bits == curBits && bands == curBands && wideHash == curWide) {
+            log.info(s"refreshSimhashIndex: merging $batchCount docs into " +
+              s"$indexedCount at $bits bits")
+            simhashIndexMerge(index, batch, idCol, textCol, bits, bands,
+              wideHash)
+          } else {
+            log.info("refreshSimhashIndex: width step " +
+              s"($curBits bits/$curBands bands/wide=$curWide -> " +
+              s"$bits/$bands/wide=$wideHash) — rebuilding from the corpus")
+            simhashIndexBuckets(fullCorpus, idCol, textCol, bits, bands,
+              wideHash)
+          }
+        }
+        // the new index is durable (eager localCheckpoint above): the
+        // predecessor's pinned blocks can be released deterministically
+        Checkpoints.releaseLocal(index)
+        out
+    }
   }
 
   /** Connected components over a candidate-pair edge list — turns near-dup

@@ -2473,6 +2473,34 @@ object QueryPack {
       .nearDropAtIngest(docs, "doc_id", "text", merged, bits, wideHash = true)
   }
 
+  /** The full index-refresh LIFECYCLE, proved through the gate
+    * ([[graft.operators.TextDedup.refreshSimhashIndex]]): refresh #1
+    * first-builds the index over 90% of the corpus (sized on what it
+    * holds), refresh #2 folds the remaining 10% in — the helper owns
+    * the build-or-merge decision (width re-sized on the post-refresh
+    * count), the replay anti-join, the checkpoint, and releasing the
+    * predecessor. The probe width is read back from the final index's
+    * STAMP (never re-derived — the stamp is the contract). Output is
+    * bit-identical to [[xNearIngest]] because the lifecycle converges
+    * to the same width law the oracle replicates in SQL, whichever
+    * path (merge or width-step rebuild) it took at this scale — so the
+    * oracle is the SAME full-corpus replay, and a lifecycle bug (lost
+    * member, wrong width decision, broken replay guard) diverges
+    * loudly. */
+  def xNearIngestLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val indexed = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val idx1 = graft.operators.TextDedup.refreshSimhashIndex(
+      None, indexed, "doc_id", "text", fullCorpus = docs, wideHash = true)
+    val idx2 = graft.operators.TextDedup.refreshSimhashIndex(
+      Some(idx1), batch, "doc_id", "text", fullCorpus = docs,
+      wideHash = true)
+    val bits = idx2.select(col("built_bits")).head().getInt(0)
+    graft.streaming.Streams
+      .nearDropAtIngest(docs, "doc_id", "text", idx2, bits, wideHash = true)
+  }
+
   /** Sliding token-window chunking
     * ([[graft.operators.TextStats.chunkTokens]]): every document cut into
     * 64-token windows stepping by 48 (overlap 16) — the RAG-index /
@@ -2900,6 +2928,7 @@ object QueryPack {
     "x_pipeline_near" -> (xPipelineNear _),
     "x_near_ingest" -> (xNearIngest _),
     "x_near_ingest_incr" -> (xNearIngestIncr _),
+    "x_near_ingest_lifecycle" -> (xNearIngestLifecycle _),
     "x_incremental_dedup" -> (xIncrementalDedup _),
     "x_cluster_topics" -> (xClusterTopics _),
     "x_quality_filter" -> (xQualityFilter _),
@@ -3756,6 +3785,7 @@ object QueryPack {
     // merge ≡ rebuild THROUGH the gate: the incremental-refresh row's
     // oracle is the same full-corpus replay — any merge defect diverges
     "x_near_ingest_incr" -> duckNearIngest,
+    "x_near_ingest_lifecycle" -> duckNearIngest,
     "x_cluster_topics" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent
         |  FROM embeddings WHERE vec_id < 16),

@@ -349,7 +349,12 @@ object Streams {
     * (size `bits` via [[graft.operators.TextDedup.simhashWidthFor]] to
     * hold populations ~64); the stream side never shuffles — each probe
     * is the static side's lookup, and the in-row judge is linear in the
-    * probed buckets' members. */
+    * probed buckets' members.
+    *
+    * `bits`/`bands`/`wideHash` must match the index's build parameters
+    * — ENFORCED against the index's stamp columns
+    * ([[graft.operators.TextDedup.stampedMembers]]): a mismatched probe
+    * raises instead of silently mis-keying every bucket lookup. */
   def nearDropAtIngest(docs: DataFrame, idCol: String, textCol: String,
                        index: DataFrame, bits: Int, bands: Int = 4,
                        maxHamming: Int = 3,
@@ -380,8 +385,14 @@ object Streams {
     // which append mode without watermarks cannot express; `bands` is 4,
     // not corpus-sized, and each join is the static side's lookup
     val probed = (0 until bands).foldLeft(withSig) { (acc, b) =>
+      // the stamp guard rides the members read: a probe configured at a
+      // different width than the index was built with raises on the
+      // first bucket row instead of silently mis-keying every lookup
+      // (near-dups would sail through with no error otherwise)
       val bucket = index.filter(col("band") === b)
-        .select(col("key").as(s"_k$b"), col("members").as(s"_m$b"))
+        .select(col("key").as(s"_k$b"),
+          graft.operators.TextDedup
+            .stampedMembers(index, bits, bands, wideHash).as(s"_m$b"))
       acc
         .withColumn(s"_key$b",
           shiftrightunsigned(col("sig"), b * w).bitwiseAND(mask))

@@ -732,4 +732,147 @@ class StreamsSpec extends SparkSpec {
       s"batch doc 2 must drop against INDEXED witness 1 — old members " +
         s"must stay visible through the merge: ${verdicts(2L)}")
   }
+
+  test("width mismatch against a packed index THROWS — never silent mis-keying") {
+    // The r17 hazard: the packed index was just (band, key, members) —
+    // a gate probe or merge configured at a different width than the
+    // index was built with mis-keyed every bucket lookup and near-dups
+    // sailed through with NO error. The index now carries a
+    // build-parameter stamp; every consumer raises on mismatch:
+    //  - gate/merge at a different `bits` (the checkpointed case: the
+    //    stamp is data, the guard fires at execution)
+    //  - gate at a different `wideHash` (same bit count — only the
+    //    stamp can tell the signatures apart)
+    //  - an unstamped frame (pre-stamp index shape) refuses at plan
+    //    construction, naming the missing columns
+    // ...and a MATCHING probe through the same checkpointed index stays
+    // green, pinned against the drop verdict the parent tests derive.
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val index = TextDedup.simhashIndexBuckets(corpus, "doc_id", "text", 16)
+      .localCheckpoint()
+    // matching width: green, and the reordered twin still drops
+    val ok = Streams.nearDropAtIngest(corpus, "doc_id", "text", index, 16)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(ok(2L), "matching-width probe must still catch the twin")
+    // executor-side raises arrive wrapped (SparkException → ... → the
+    // raise_error message); search the whole cause chain
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).toSeq
+    // probe at a different bits: raises at execution (stamp is data
+    // behind the checkpoint), message names both sides
+    val e1 = intercept[Exception] {
+      Streams.nearDropAtIngest(corpus, "doc_id", "text", index, 24)
+        .collect()
+    }
+    assert(chain(e1).exists(_.contains("width mismatch")),
+      s"probe mismatch must name the width conflict: ${chain(e1)}")
+    // merge at a different bits: raises the same way
+    val e2 = intercept[Exception] {
+      TextDedup.simhashIndexMerge(index, corpus, "doc_id", "text", 24)
+        .collect()
+    }
+    assert(chain(e2).exists(_.contains("width mismatch")),
+      s"merge mismatch must name the width conflict: ${chain(e2)}")
+    // same bits, different hash family: only the stamp can tell
+    val e3 = intercept[Exception] {
+      Streams.nearDropAtIngest(corpus, "doc_id", "text", index, 16,
+          wideHash = true)
+        .collect()
+    }
+    assert(chain(e3).exists(_.contains("wideHash")),
+      s"wideHash mismatch must be caught too: ${chain(e3)}")
+    // an unstamped index (the pre-stamp shape) refuses at plan time
+    val unstamped = index.select(col("band"), col("key"), col("members"))
+    val e4 = intercept[IllegalArgumentException] {
+      Streams.nearDropAtIngest(corpus, "doc_id", "text", unstamped, 16)
+    }
+    assert(e4.getMessage.contains("stamp"),
+      s"unstamped index must refuse at construction: ${e4.getMessage}")
+  }
+
+  test("refreshSimhashIndex lifecycle: first build, merge, width-step rebuild, replay guard, block accounting") {
+    // TextDedup.refreshSimhashIndex owns what the raw build/merge pair
+    // delegates: the build-or-merge decision, the re-ingest anti-join,
+    // and checkpoint ownership (new index pinned, predecessor + every
+    // intermediate released). Pinned here:
+    //  - refresh(None) == a direct build (canonical bucket equality)
+    //  - refresh(Some) == a full rebuild over the union, through the
+    //    same canonical comparison the merge test uses
+    //  - replaying ALREADY-INDEXED docs is a no-op (no double-packed
+    //    members — the contract simhashIndexMerge leaves to callers)
+    //  - a corpus that outgrows the width step REBUILDS (stamped bits
+    //    move), and fullCorpus is only evaluated on that path
+    //  - executor-block accounting: after each refresh exactly ONE
+    //    index frame's blocks remain pinned (predecessor released)
+    import spark.implicits._
+    import graft.operators.TextDedup
+    val sc = spark.sparkContext
+    def pinned() = sc.getPersistentRDDs.keySet
+    val before = pinned()
+    val batch1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (4L, "red orange yellow green blue indigo violet pink black white"),
+      (5L, "north south east west up down left right front back")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("band"), col("key"), array_sort(col("members")).as("m"))
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    // first build: sized on the batch (widthFor floor w=8 → 32 bits)
+    val idx1 = TextDedup.refreshSimhashIndex(None, batch1,
+      "doc_id", "text",
+      fullCorpus = sys.error("fullCorpus must not be evaluated on build"))
+    assert(canon(idx1) == canon(TextDedup.simhashIndexBuckets(
+        batch1, "doc_id", "text", 32)),
+      "first build must equal a direct simhashIndexBuckets at the sized width")
+    assert((pinned() -- before).size == 1,
+      "after the first refresh exactly one index frame may stay pinned")
+    // merge refresh: same width step → equals a rebuild over the union;
+    // fullCorpus must NOT be evaluated
+    val idx2 = TextDedup.refreshSimhashIndex(Some(idx1), batch2,
+      "doc_id", "text",
+      fullCorpus = sys.error("fullCorpus must not be evaluated on merge"))
+    assert(canon(idx2) == canon(TextDedup.simhashIndexBuckets(
+        batch1.unionAll(batch2), "doc_id", "text", 32)),
+      "merge refresh must equal a full rebuild over the union")
+    assert((pinned() -- before).size == 1,
+      "the predecessor index must be RELEASED once the refresh is durable")
+    // replay guard: re-ingesting indexed history is a no-op
+    val idx3 = TextDedup.refreshSimhashIndex(Some(idx2),
+      batch1.unionAll(batch2), "doc_id", "text",
+      fullCorpus = sys.error("fullCorpus must not be evaluated on replay"))
+    assert(canon(idx3) == canon(TextDedup.simhashIndexBuckets(
+        batch1.unionAll(batch2), "doc_id", "text", 32)),
+      "replaying already-indexed docs must not double-pack members")
+    assert((pinned() -- before).size == 1,
+      "replay refresh still holds exactly one pinned index")
+    // convention change (wideHash here; a simhashWidthFor step works the
+    // same way — both flow through the stamped-parameters comparison):
+    // the index REBUILDS from fullCorpus, the only path that evaluates it
+    val idx4 = TextDedup.refreshSimhashIndex(Some(idx3), batch2,
+      "doc_id", "text",
+      fullCorpus = batch1.unionAll(batch2), wideHash = true,
+      dropKnownIds = false)
+    val stamped = idx4
+      .select(col("built_bits"), col("built_bands"), col("built_wide"))
+      .head()
+    assert((stamped.getInt(0), stamped.getInt(1), stamped.getBoolean(2))
+        == ((32, 4, true)),
+      s"a changed hash convention must REBUILD at the new stamp: $stamped")
+    assert(canon(idx4) == canon(TextDedup.simhashIndexBuckets(
+        batch1.unionAll(batch2), "doc_id", "text", 32, wideHash = true)),
+      "the rebuild must cover the full corpus at the new convention")
+    assert((pinned() -- before).size == 1,
+      "the rebuild path releases the predecessor too")
+  }
 }
