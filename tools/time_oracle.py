@@ -98,7 +98,15 @@ def run_one(sql):
         timer.start()
     caught_interrupt = False
     try:
-        con.execute(sql).fetchall()
+        # Stream the result instead of fetchall(): DuckDB still computes
+        # and surfaces every row (same work timed), but python holds one
+        # batch at a time. fetchall() on the sf10 encode-family rows
+        # (corpus-sized token frames) materialized hundreds of millions
+        # of python tuples, MemoryError'd the interpreter mid-warmup and
+        # futex-wedged the whole pass — the r18 first-attempt failure.
+        res = con.execute(sql)
+        while res.fetchmany(100_000):
+            pass
         return "ok"
     except duckdb.InterruptException:
         caught_interrupt = True
