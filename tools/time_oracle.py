@@ -91,7 +91,18 @@ def run_one(sql):
         with lock:
             if state["running"]:
                 state["fired"] = True
-                con.interrupt()
+                # interrupt() allocates inside duckdb; under allocator
+                # exhaustion (the sf10 unigram rows at the 100 GB limit)
+                # it can itself MemoryError mid-call while holding the
+                # connection mutex — the watchdog thread then dies with
+                # the lock held and the main thread futex-wedges forever
+                # (both r18 sf10 wedges). Swallowing here keeps the
+                # watchdog thread alive; the query either finishes or the
+                # pass's own skip-list discipline handles it.
+                try:
+                    con.interrupt()
+                except BaseException:
+                    pass
 
     if timeout is not None:
         timer = threading.Timer(timeout, _interrupt)
