@@ -972,4 +972,191 @@ object Ann {
       .groupBy(col("cell"), col("bucket"))
       .agg(collect_list(struct(col(idCol).as("id"), col(embCol).as("emb"),
         col("_nrm").as("nrm"))).as("members"))
+      .select(col("cell"), col("bucket"), col("members"),
+        lit(semParamsFingerprint(centroids, planes)).as("built_fp"),
+        lit(centroids.size).as("built_cells"),
+        lit(planes.size).as("built_planes"))
+
+  /** Deterministic 64-bit fingerprint of a semantic index's build
+    * parameters — the (centroid id, centroid vector) sequence and the
+    * hyperplane sign matrix, hashed in order through an FNV-1a fold over
+    * `Double.doubleToLongBits` (bit-exact, no string formatting, no
+    * float tolerance). `cell` ids are meaningless under different
+    * centroids and `bucket` ids under different planes, so two indexes
+    * agree on keys iff they agree on this fingerprint; a re-derived but
+    * VALUE-identical parameter set fingerprints identically (the common
+    * "recompute the same centroids" case merges without a rebuild). */
+  def semParamsFingerprint(centroids: Seq[(Long, Seq[Double])],
+                           planes: Seq[Seq[Int]]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(v: Long): Unit = {
+      var x = v
+      var i = 0
+      while (i < 8) { h ^= (x & 0xff); h *= 0x100000001b3L; x >>>= 8; i += 1 }
+    }
+    centroids.foreach { case (id, vec) =>
+      mix(id); vec.foreach(d => mix(java.lang.Double.doubleToLongBits(d)))
+    }
+    mix(planes.size)
+    planes.foreach(p => p.foreach(s => mix(s.toLong)))
+    h
+  }
+
+  /** The `members` column of a stamped packed semantic index
+    * ([[semIndexBuckets]]'s shape), guarded by the build-parameter
+    * fingerprint — the [[graft.operators.TextDedup.stampedMembers]]
+    * pattern on the embedding track: reading it with MATCHING
+    * (`centroids`, `planes`) yields the members unchanged; a mismatch
+    * raises a runtime error naming both sides on the first bucket row
+    * touched (before the stamp, a probe under different centroids or
+    * planes silently mis-keyed every (cell, bucket) lookup and
+    * semantic near-dups sailed through with no error). Constant-folded
+    * away while the index is plan-literal; three constant comparisons
+    * per row after a checkpoint. Throws at plan-construction time if
+    * the frame lacks the stamp columns. */
+  private[graft] def stampedSemMembers(index: DataFrame,
+                                       centroids: Seq[(Long, Seq[Double])],
+                                       planes: Seq[Seq[Int]]): Column = {
+    val stamp = Seq("built_fp", "built_cells", "built_planes")
+    require(stamp.forall(index.columns.contains),
+      s"packed semantic index lacks the build-parameter stamp columns " +
+        s"${stamp.mkString("/")} — rebuild it with semIndexBuckets " +
+        s"(got columns: ${index.columns.mkString(", ")})")
+    val fp = semParamsFingerprint(centroids, planes)
+    when(col("built_fp") === lit(fp), col("members"))
+      .otherwise(raise_error(concat(
+        lit(s"semantic index parameter mismatch: configured " +
+          s"${centroids.size} centroids / ${planes.size} planes " +
+          s"(fingerprint $fp) but the index was built with "),
+        col("built_cells").cast("string"), lit(" centroids / "),
+        col("built_planes").cast("string"), lit(" planes (fingerprint "),
+        col("built_fp").cast("string"),
+        lit(") — cell and bucket keys are not comparable across " +
+          "parameter sets; rebuild the index"))))
+  }
+
+  /** Incremental refresh of a packed semantic index: fold `newVectors`
+    * into an existing [[semIndexBuckets]] output WITHOUT re-reading the
+    * corpus it was built from — the
+    * [[graft.operators.TextDedup.simhashIndexMerge]] pattern on the
+    * embedding track. The batch is assigned/bucketed/normed alone
+    * (O(batch) work), unioned with the existing buckets, and
+    * re-flattened with ONE (cell, bucket) exchange over index bytes —
+    * ~(8 B id + 4·dim B emb + 8 B nrm) per member, the corpus
+    * embeddings themselves never re-scanned.
+    *
+    * Contract: `centroids`/`planes` MUST fingerprint-match the values
+    * the index was built with — ENFORCED via the stamp
+    * ([[stampedSemMembers]]); a mismatched merge raises instead of
+    * silently mis-keying every folded bucket. Ids already present are
+    * NOT deduplicated here (a doc never witnesses itself and duplicate
+    * witnesses tie on (cos, id) — but callers replaying history should
+    * anti-join first, or use [[refreshSemIndex]]'s `dropKnownIds`). */
+  def semIndexMerge(index: DataFrame, newVectors: DataFrame,
+                    idCol: String, embCol: String,
+                    centroids: Seq[(Long, Seq[Double])],
+                    planes: Seq[Seq[Int]]): DataFrame = {
+    val delta = semIndexBuckets(newVectors, idCol, embCol, centroids, planes)
+    index.select(col("cell"), col("bucket"),
+        stampedSemMembers(index, centroids, planes).as("members"))
+      .unionAll(delta.select(col("cell"), col("bucket"), col("members")))
+      .groupBy(col("cell"), col("bucket"))
+      .agg(flatten(collect_list(col("members"))).as("members"))
+      .select(col("cell"), col("bucket"), col("members"),
+        lit(semParamsFingerprint(centroids, planes)).as("built_fp"),
+        lit(centroids.size).as("built_cells"),
+        lit(planes.size).as("built_planes"))
+  }
+
+  /** The packed semantic index's REFRESH LIFECYCLE —
+    * [[graft.operators.TextDedup.refreshSimhashIndex]] on the embedding
+    * track, with the same three decisions owned:
+    *
+    *   1. '''Build or merge.''' The plane count is the lifecycle's (the
+    *      [[planesFor]] law on the post-refresh vector count — the
+    *      analogue of the simhash width law); `centroids` stay the
+    *      CALLER's (they are a learned model, not a sizing law — train
+    *      them with [[centroidsLloyd]] and re-derive when the corpus
+    *      distribution shifts). If (centroids, sized planes) fingerprint-
+    *      match the index's stamp, the batch MERGES at O(batch) +
+    *      O(index bytes); a plane-count step or a centroid change
+    *      REBUILDS once from `fullCorpus` — the only path that evaluates
+    *      it (by-name).
+    *   2. '''Replay guard.''' With `dropKnownIds` (default), batch
+    *      vectors whose ids are already indexed are anti-joined away
+    *      BEFORE counting and assigning. Every vector lands in exactly
+    *      one (cell, bucket), so the known-id explode is one pass over
+    *      the index members with no distinct; the anti join is id-keyed
+    *      (history is corpus-sized; never broadcast).
+    *   3. '''Checkpoint ownership.''' New index eagerly checkpointed,
+    *      intermediates and the predecessor's pinned blocks released —
+    *      K refreshes pin ONE index, not K. The predecessor frame is
+    *      SPENT after this returns.
+    *
+    * Driver-side cost, all bounded: one stamp `head`, one index-sized
+    * member count, one O(batch) count. `current = None` (or an empty
+    * index) is the first build — sized on the batch alone, `fullCorpus`
+    * not evaluated. Returns the new checkpointed index, stamped like
+    * every [[semIndexBuckets]] output. */
+  def refreshSemIndex(current: Option[DataFrame], newVectors: DataFrame,
+                      idCol: String, embCol: String,
+                      fullCorpus: => DataFrame,
+                      centroids: Seq[(Long, Seq[Double])],
+                      targetBucketSize: Long = 64,
+                      dropKnownIds: Boolean = true): DataFrame = {
+    import graft.runtime.Checkpoints
+    val spark = newVectors.sparkSession
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    require(centroids.nonEmpty, "refreshSemIndex needs at least one centroid")
+    val dim = centroids.head._2.length
+    val stamped = current.filter { idx =>
+      val stamp = Seq("built_fp", "built_cells", "built_planes")
+      require(stamp.forall(idx.columns.contains),
+        "refreshSemIndex: current index lacks the build-parameter stamp " +
+          s"${stamp.mkString("/")} — rebuild it with semIndexBuckets " +
+          "before handing it to the lifecycle")
+      !idx.isEmpty
+    }
+    stamped match {
+      case None =>
+        val n = newVectors.count()
+        val planes = hyperplanes(planesFor(n max 1, targetBucketSize), dim)
+        log.info(s"refreshSemIndex: first build, $n vectors at " +
+          s"${planes.size} planes")
+        Checkpoints.withLocalCheckpointScope(spark)(
+          semIndexBuckets(newVectors, idCol, embCol, centroids, planes))
+      case Some(index) =>
+        val stamp = index.select(col("built_fp"), col("built_cells"),
+          col("built_planes")).head()
+        val (curFp, curPlanes) = (stamp.getLong(0), stamp.getInt(2))
+        // every vector appears in exactly one (cell, bucket): exact
+        // count and the replay guard's id set in one member pass
+        val indexedCount = index
+          .agg(coalesce(sum(size(col("members"))), lit(0L))).head().getLong(0)
+        val out = Checkpoints.withLocalCheckpointScope(spark) {
+          val batch =
+            if (dropKnownIds)
+              newVectors.join(
+                index.select(explode(col("members.id")).as("_known_id")),
+                col(idCol).cast("long") === col("_known_id"), "left_anti")
+                .localCheckpoint()
+            else newVectors
+          val batchCount = batch.count()
+          val planes = hyperplanes(
+            planesFor((indexedCount + batchCount) max 1, targetBucketSize), dim)
+          if (semParamsFingerprint(centroids, planes) == curFp) {
+            log.info(s"refreshSemIndex: merging $batchCount vectors into " +
+              s"$indexedCount at ${planes.size} planes")
+            semIndexMerge(index, batch, idCol, embCol, centroids, planes)
+          } else {
+            log.info("refreshSemIndex: parameter change " +
+              s"($curPlanes planes -> ${planes.size}, or new centroids) " +
+              "— rebuilding from the corpus")
+            semIndexBuckets(fullCorpus, idCol, embCol, centroids, planes)
+          }
+        }
+        Checkpoints.releaseLocal(index)
+        out
+    }
+  }
 }

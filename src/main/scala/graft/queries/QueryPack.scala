@@ -1420,6 +1420,55 @@ object QueryPack {
 
   private val semDedupOracleSql: String = semDedupOracleFor("embeddings", "0.2", "")
 
+  /** DuckDB twin of [[xSemIngestLifecycle]]: the x_semdedup cents /
+    * assigned / sig CTEs verbatim (same √N quantizer, argmin tie-break,
+    * sized bucket expression and 4-dp ccos), then the GATE judgment
+    * instead of the symmetric (ccos, id) drop rule — every vector
+    * probes its (cell, bucket), drops iff any OTHER member reaches the
+    * 4-dp pair cosine ≥ τ, witness = highest cosine then smallest id,
+    * kept rows carry NULL witness/cos_sim and dropped = false. The
+    * lifecycle-built index holds ALL vectors at `planesFor(count(*))`
+    * planes whichever build/merge path ran (see the query scaladoc), so
+    * the index side here is the same `sig` relation as the probe side.
+    * Pair-cosine operands are probe-first / member-second with
+    * denominator (p.nrm * m.nrm), mirroring the Spark gate exactly so
+    * the 4-dp doubles hash equal. */
+  private val semIngestLifecycleOracleSql: String = {
+    val bucketExpr = duckBucketExpr(sizedPlanes, sized = true)
+    val pairCos =
+      "round(list_sum(list_transform(range(1,65), j -> CAST(p.embedding[j] AS DOUBLE) * CAST(m.embedding[j] AS DOUBLE))) / (p.nrm * m.nrm), 4)"
+    s"""WITH npl AS (
+       |  SELECT (SELECT MIN(p) FROM range(1, 17) t(p)
+       |          WHERE (SELECT count(*) FROM embeddings) <= (CAST(64 AS BIGINT) << p)) AS np),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+       |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckSqDist("e.embedding", "c.cent")}, c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |sig AS (
+       |  SELECT a.vec_id, a.embedding, a.cell, $bucketExpr AS bucket,
+       |    sqrt(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)))) AS nrm,
+       |    round(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(c.cent[j] AS DOUBLE))) /
+       |      (sqrt(list_sum(list_transform(range(1,65), j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)))) *
+       |       sqrt(list_sum(list_transform(range(1,65), j -> CAST(c.cent[j] AS DOUBLE) * CAST(c.cent[j] AS DOUBLE))))), 4) AS ccos
+       |  FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+       |hits AS (
+       |  SELECT p.vec_id, m.vec_id AS witness, $pairCos AS cos_sim
+       |  FROM sig p JOIN sig m
+       |    ON p.cell = m.cell AND p.bucket = m.bucket AND p.vec_id != m.vec_id
+       |  WHERE $pairCos >= 0.2),
+       |best AS (
+       |  SELECT vec_id, witness, cos_sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, witness) AS rn
+       |  FROM hits)
+       |SELECT s.vec_id, s.cell, s.ccos AS cent_cos, b.witness, b.cos_sim,
+       |  b.witness IS NOT NULL AS dropped
+       |FROM sig s LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (vec_id)""".stripMargin
+  }
+
   /** DuckDB twin of [[xSemDedupText]]: the x_text_embed CTEs compute the
     * RAW (unrounded) hashed embedding per doc — v exact ±1 integer sums,
     * n one sqrt, v/n one division, so both engines hold bit-identical
@@ -2501,6 +2550,43 @@ object QueryPack {
       .nearDropAtIngest(docs, "doc_id", "text", idx2, bits, wideHash = true)
   }
 
+  /** The SEMANTIC gate's refresh lifecycle, proved through the gate
+    * ([[graft.operators.Ann.refreshSemIndex]]) — [[xNearIngestLifecycle]]
+    * on the embedding track: refresh #1 first-builds the packed index
+    * over 90% of the corpus (planes sized by `planesFor` on what it
+    * holds), refresh #2 folds the remaining 10% in — merge when the
+    * corpus did not cross a plane step between the two sizings, rebuild
+    * when it did; BOTH paths converge to `planesFor(N)` planes over all
+    * N vectors, which is exactly what the oracle's `npl` CTE derives
+    * from `count(*)`, so the SQL is lifecycle-path-independent. The
+    * probe planes are regenerated from the final index's STAMP
+    * (`built_planes` — `hyperplanes` is deterministic and
+    * prefix-stable, so the regenerated matrix fingerprints identically;
+    * the stamp is the contract, never a count the caller must keep in
+    * sync). Probing ALL vectors through
+    * [[graft.streaming.Streams.semDropAtIngest]] makes this the full
+    * self-gate: a vector drops iff some OTHER indexed vector in its
+    * (cell, bucket) reaches cos ≥ τ — a lost member, a wrong plane
+    * decision, or a broken replay guard diverges loudly. Centroids are
+    * the x_semdedup convention (first-⌈√N⌉-ids quantizer, the caller's
+    * "model"), τ = 0.2 likewise. */
+  def xSemIngestLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val centroids = ivfCentroids(emb)
+    val indexed = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val idx1 = graft.operators.Ann.refreshSemIndex(
+      None, indexed, "vec_id", "embedding", fullCorpus = emb,
+      centroids = centroids)
+    val idx2 = graft.operators.Ann.refreshSemIndex(
+      Some(idx1), batch, "vec_id", "embedding", fullCorpus = emb,
+      centroids = centroids)
+    val nPlanes = idx2.select(col("built_planes")).head().getInt(0)
+    graft.streaming.Streams.semDropAtIngest(emb, "vec_id", "embedding",
+      idx2, centroids, graft.operators.Ann.hyperplanes(nPlanes, 64),
+      tau = 0.2)
+  }
+
   /** Sliding token-window chunking
     * ([[graft.operators.TextStats.chunkTokens]]): every document cut into
     * 64-token windows stepping by 48 (overlap 16) — the RAG-index /
@@ -2929,6 +3015,7 @@ object QueryPack {
     "x_near_ingest" -> (xNearIngest _),
     "x_near_ingest_incr" -> (xNearIngestIncr _),
     "x_near_ingest_lifecycle" -> (xNearIngestLifecycle _),
+    "x_sem_ingest_lifecycle" -> (xSemIngestLifecycle _),
     "x_incremental_dedup" -> (xIncrementalDedup _),
     "x_cluster_topics" -> (xClusterTopics _),
     "x_quality_filter" -> (xQualityFilter _),
@@ -3786,6 +3873,7 @@ object QueryPack {
     // oracle is the same full-corpus replay — any merge defect diverges
     "x_near_ingest_incr" -> duckNearIngest,
     "x_near_ingest_lifecycle" -> duckNearIngest,
+    "x_sem_ingest_lifecycle" -> semIngestLifecycleOracleSql,
     "x_cluster_topics" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent
         |  FROM embeddings WHERE vec_id < 16),

@@ -278,6 +278,11 @@ object Streams {
     * index, whatever its centroid-cosine; self-ids already present in
     * the index are excluded so re-ingest replays are idempotent.
     *
+    * `centroids`/`planes` must fingerprint-match the index's build
+    * parameters — ENFORCED against the stamp columns
+    * ([[graft.operators.Ann.stampedSemMembers]]): a mismatched probe
+    * raises instead of silently mis-keying every bucket lookup.
+    *
     * Scale shape: the index is O(corpus) but bucket-PACKED (~64-member
     * rows); the stream side never shuffles — the join is the static
     * side's lookup. The in-row member scan is two interpreted HOFs over
@@ -298,7 +303,13 @@ object Streams {
       .join(cents, col("cell") === col("_cent_id"))
       .withColumn("cent_cos", round(
         Ann.dot(col(embCol), col("_cent")) / (col("_nrm") * Ann.norm(col("_cent"))), 4))
-      .join(index, Seq("cell", "bucket"), "left")
+      // the stamp guard rides the members read (the simhash gate's
+      // pattern): a probe under different centroids/planes than the
+      // index was built with raises on the first bucket row instead of
+      // silently mis-keying every (cell, bucket) lookup
+      .join(index.select(col("cell"), col("bucket"),
+          Ann.stampedSemMembers(index, centroids, planes).as("members")),
+        Seq("cell", "bucket"), "left")
       .withColumn("_cands", filter(
         transform(col("members"), m => struct(
           (-round(Ann.dot(col(embCol), m.getField("emb")) /

@@ -875,4 +875,138 @@ class StreamsSpec extends SparkSpec {
     assert((pinned() -- before).size == 1,
       "the rebuild path releases the predecessor too")
   }
+
+  test("semantic index parameter mismatch THROWS — never silent mis-keying") {
+    // the simhash width stamp's embedding-track twin: cell ids are
+    // meaningless under different centroids and bucket ids under
+    // different planes, so before the fingerprint stamp a mismatched
+    // probe silently mis-keyed every (cell, bucket) lookup and semantic
+    // near-dups sailed through. Pinned here: a matching probe still
+    // drops the twin; mismatched planes, mismatched centroids and a
+    // mismatched merge all RAISE naming the fingerprint conflict; an
+    // unstamped index refuses at plan construction.
+    import spark.implicits._
+    import graft.operators.Ann
+    import graft.streaming.Streams
+    val centroids = Seq(0L -> Seq(1.0, 0, 0, 0), 1L -> Seq(0.0, 1, 0, 0))
+    val planes = Seq(Seq(1, 1, 1, 1), Seq(1, -1, 1, -1))
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.10, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.11, 0.0, 0.0)), // near-dup twin of 1
+      (3L, Seq(0.0, 1.0, 0.0, 0.0))
+    ).toDF("doc_id", "emb")
+    val index = Ann.semIndexBuckets(vecs, "doc_id", "emb", centroids, planes)
+      .localCheckpoint() // stamp must survive as DATA, not plan literals
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).toSeq
+    val ok = Streams.semDropAtIngest(vecs, "doc_id", "emb", index,
+        centroids, planes, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(ok(2L), "matching-parameter probe must still catch the twin")
+    val e1 = intercept[Exception] {
+      Streams.semDropAtIngest(vecs, "doc_id", "emb", index,
+        centroids, Seq(Seq(1, 1, 1, 1)), 0.95).collect()
+    }
+    assert(chain(e1).exists(_.contains("parameter mismatch")),
+      s"plane mismatch must name the conflict: ${chain(e1)}")
+    val e2 = intercept[Exception] {
+      Streams.semDropAtIngest(vecs, "doc_id", "emb", index,
+        Seq(0L -> Seq(1.0, 0, 0, 0)), planes, 0.95).collect()
+    }
+    assert(chain(e2).exists(_.contains("parameter mismatch")),
+      s"centroid mismatch must name the conflict: ${chain(e2)}")
+    val e3 = intercept[Exception] {
+      Ann.semIndexMerge(index, vecs, "doc_id", "emb",
+        centroids, Seq(Seq(1, 1, 1, 1))).collect()
+    }
+    assert(chain(e3).exists(_.contains("parameter mismatch")),
+      s"merge mismatch must name the conflict: ${chain(e3)}")
+    val unstamped = index.select(col("cell"), col("bucket"), col("members"))
+    val e4 = intercept[IllegalArgumentException] {
+      Streams.semDropAtIngest(vecs, "doc_id", "emb", unstamped,
+        centroids, planes, 0.95)
+    }
+    assert(e4.getMessage.contains("stamp"),
+      s"unstamped index must refuse at construction: ${e4.getMessage}")
+  }
+
+  test("refreshSemIndex lifecycle: first build, merge, plane-step rebuild, replay guard, block accounting") {
+    // Ann.refreshSemIndex owns what the raw build/merge pair delegates
+    // (the refreshSimhashIndex contract on the embedding track): the
+    // build-or-merge decision (planes sized by planesFor on the
+    // post-refresh count, centroids the caller's learned model), the
+    // re-ingest anti-join, and checkpoint ownership. Pinned here:
+    //  - refresh(None) == a direct build at the sized plane count
+    //  - refresh(Some) == a full rebuild over the union (canonical
+    //    bucket equality), fullCorpus NOT evaluated
+    //  - replaying ALREADY-INDEXED vectors is a no-op
+    //  - a parameter change (plane-count step via targetBucketSize
+    //    here; new centroids flow through the same fingerprint
+    //    comparison) REBUILDS from fullCorpus — the only path that
+    //    evaluates it — at the new stamp
+    //  - executor-block accounting: after each refresh exactly ONE
+    //    index frame's blocks remain pinned
+    import spark.implicits._
+    import graft.operators.Ann
+    val sc = spark.sparkContext
+    def pinned() = sc.getPersistentRDDs.keySet
+    val before = pinned()
+    val centroids = Seq(0L -> Seq(1.0, 0, 0, 0), 1L -> Seq(0.0, 1, 0, 0))
+    val batch1 = Seq(
+      (1L, Seq(1.0, 0.10, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.11, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0))
+    ).toDF("doc_id", "emb")
+    val batch2 = Seq(
+      (4L, Seq(0.0, 1.0, 0.2, 0.0)),
+      (5L, Seq(1.0, 0.0, 0.0, 0.3))
+    ).toDF("doc_id", "emb")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cell"), col("bucket"), array_sort(col("members")).as("m"))
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    // planesFor(3, 64) = planesFor(5, 64) = 1: no step across these
+    // refreshes at the default target
+    val p1 = Ann.hyperplanes(1, 4)
+    val idx1 = Ann.refreshSemIndex(None, batch1, "doc_id", "emb",
+      fullCorpus = sys.error("fullCorpus must not be evaluated on build"),
+      centroids = centroids)
+    assert(canon(idx1) == canon(Ann.semIndexBuckets(
+        batch1, "doc_id", "emb", centroids, p1)),
+      "first build must equal a direct semIndexBuckets at the sized planes")
+    assert((pinned() -- before).size == 1,
+      "after the first refresh exactly one index frame may stay pinned")
+    val idx2 = Ann.refreshSemIndex(Some(idx1), batch2, "doc_id", "emb",
+      fullCorpus = sys.error("fullCorpus must not be evaluated on merge"),
+      centroids = centroids)
+    assert(canon(idx2) == canon(Ann.semIndexBuckets(
+        batch1.unionAll(batch2), "doc_id", "emb", centroids, p1)),
+      "merge refresh must equal a full rebuild over the union")
+    assert((pinned() -- before).size == 1,
+      "the predecessor index must be RELEASED once the refresh is durable")
+    val idx3 = Ann.refreshSemIndex(Some(idx2),
+      batch1.unionAll(batch2), "doc_id", "emb",
+      fullCorpus = sys.error("fullCorpus must not be evaluated on replay"),
+      centroids = centroids)
+    assert(canon(idx3) == canon(Ann.semIndexBuckets(
+        batch1.unionAll(batch2), "doc_id", "emb", centroids, p1)),
+      "replaying already-indexed vectors must not double-pack members")
+    assert((pinned() -- before).size == 1,
+      "replay refresh still holds exactly one pinned index")
+    // plane-count step: targetBucketSize 1 sizes planesFor(5, 1) = 3
+    // against the stamp's 1 — the fingerprint moves, so the index
+    // REBUILDS from fullCorpus at the new plane count
+    val idx4 = Ann.refreshSemIndex(Some(idx3), batch2, "doc_id", "emb",
+      fullCorpus = batch1.unionAll(batch2),
+      centroids = centroids, targetBucketSize = 1, dropKnownIds = false)
+    val stamp = idx4.select(col("built_planes"), col("built_cells")).head()
+    assert((stamp.getInt(0), stamp.getInt(1)) == ((3, 2)),
+      s"a plane-count step must REBUILD at the new stamp: $stamp")
+    assert(canon(idx4) == canon(Ann.semIndexBuckets(
+        batch1.unionAll(batch2), "doc_id", "emb", centroids,
+        Ann.hyperplanes(3, 4))),
+      "the rebuild must cover the full corpus at the new plane count")
+    assert((pinned() -- before).size == 1,
+      "the rebuild path releases the predecessor too")
+  }
 }
