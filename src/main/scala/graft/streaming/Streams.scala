@@ -285,10 +285,23 @@ object Streams {
     *
     * Scale shape: the index is O(corpus) but bucket-PACKED (~64-member
     * rows); the stream side never shuffles — the join is the static
-    * side's lookup. The in-row member scan is two interpreted HOFs over
-    * ≤~64 elements around the native dot; if ingest throughput ever
-    * makes that the measured bottleneck, the upgrade path is a native
-    * best-witness expression (the BpeSegment playbook). */
+    * side's lookup. Unlike the simhash twin (24 B/member, broadcastable
+    * by construction at any corpus size), the members here CARRY the
+    * embedding vectors (~4·dim B each), so the probe join has two
+    * regimes: under the broadcast threshold it is the BroadcastHashJoin
+    * lookup the small-scale plan shows; past it Spark co-partitions
+    * both sides on (cell, bucket) — measured at sf10 (index ~105 MB):
+    * sort-merge with one exchange per side, 4.2 s for the full 200k
+    * probe. Either plan judges in-row over ~64 members; neither is
+    * ever all-pairs. If per-batch probing at the co-partitioned scale
+    * becomes the measured cost, the amortization path is persisting
+    * the refreshed index as a (cell, bucket)-bucketed table
+    * ([[graft.runtime.Bucketing]]) so the index-side exchange+sort is
+    * priced per refresh instead of per probe. The in-row
+    * member scan is two interpreted HOFs over ≤~64 elements around the
+    * native dot; if ingest throughput ever makes that the measured
+    * bottleneck, the upgrade path is a native best-witness expression
+    * (the BpeSegment playbook). */
   def semDropAtIngest(docs: DataFrame, idCol: String, embCol: String,
                       index: DataFrame,
                       centroids: Seq[(Long, Seq[Double])],

@@ -774,6 +774,53 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("sem ingest lifecycle: one scan, broadcast probe in the small-index regime, no probe-side shuffle") {
+    // the SEMANTIC gate's batch-shape claims (scaladoc on
+    // Streams.semDropAtIngest) for the broadcast regime the spec scale
+    // exercises:
+    //  - the probe side reads the embeddings parquet ONCE (cell, bucket,
+    //    norm and cent_cos are in-row over the same scan; the
+    //    lifecycle-built index is a checkpointed RDD, never a rescan)
+    //  - the centroid join and the index probe both resolve to
+    //    BroadcastHashJoins (Inner for the plan-literal centroid table,
+    //    LEFT OUTER for the packed-index lookup) — localCheckpoint
+    //    PRESERVES the original plan's stats, so the packed index
+    //    auto-broadcasts whenever its estimate fits
+    //  - zero shuffle exchanges: the index build's (cell, bucket)
+    //    exchange ran eagerly at checkpoint time, priced per refresh
+    // Unlike the simhash index (24 B/member, broadcastable by
+    // construction), sem members CARRY the embeddings, so past the
+    // broadcast threshold the probe legitimately becomes a
+    // co-partitioned join (measured at sf10: SMJ, one exchange per
+    // side, 4.2 s for 200k probes — SCALING.md round 18). This pin
+    // covers the small-index regime AND guards the stamp read from
+    // ever introducing a plan break of its own.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val df = QueryPack.xSemIngestLifecycle(spark, sf)
+    assert(df.collect().nonEmpty, "x_sem_ingest_lifecycle produced no rows")
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val ns = nodes(df.queryExecution.executedPlan)
+    val parquetScans = ns.count(_.isInstanceOf[FileSourceScanExec])
+    assert(parquetScans == 1,
+      s"probe side must read the embeddings parquet exactly once, got $parquetScans")
+    val joins = ns.collect { case b: BroadcastHashJoinExec => b.joinType.toString }
+    assert(joins.sorted == Seq("Inner", "LeftOuter"),
+      s"expected the broadcast centroid join + the LEFT OUTER index probe, got $joins")
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "small-index regime must not shuffle — the index build exchange " +
+        "is priced once per refresh behind the checkpoint")
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "no sort-merge in the broadcast regime")
+  }
+
   test("semdedup text: embedding fused into the signature build — one scan, zero shuffle") {
     // the advertised text→ANN bridge must add NOTHING structural over the
     // synthetic-embeddings row: the hashed embedding, the centroid argmin
