@@ -490,12 +490,34 @@ object TextDedup {
     * chains become results, not `maxIter` errors. Labels only ever
     * decrease, never below the component minimum, and the minimum node's
     * label is pinned at itself, so the fixpoint is exactly min-id
-    * labelling.
+    * labelling — independent of iteration schedule, which is what lets the
+    * r18 shape changes below keep output bit-identical.
     *
-    * Each round is one checkpointed job: the convergence signal (any label
-    * strictly decreased) rides a `LongAccumulator` updated inside the
-    * checkpoint's materialisation pass instead of a separate join+count
-    * action. `checkpointDir` selects the lineage-truncation policy — see
+    * Round-18 shape (guide §2.4 — remove shuffles outright; measured in
+    * OPTIMIZATION_r18.md):
+    *  - the edge list drops its `distinct` (a full shuffle of the edges):
+    *    HashMin's `min` is duplicate-insensitive, and the bidirectional
+    *    union of an `idA < idB` pair list cannot collide, so the distinct
+    *    only ever paid for caller-supplied duplicates — linear extra rows
+    *    for such callers, never a wrong label;
+    *  - edges are instead checkpointed PRE-PARTITIONED on `dst`, the key
+    *    every round's HashMin join probes, so the loop re-shuffles only
+    *    the (node-sized) label frame per round, never the edge list
+    *    (`Dataset.checkpoint` preserves the physical partitioning);
+    *  - label init fuses the first HashMin: labels start at
+    *    `min(id, min(neighbour ids))` from ONE aggregate over the edges —
+    *    the same state the old identity init reached only after a full
+    *    round (join + agg + jump), because the first round's neighbour
+    *    labels WERE the neighbour ids. Already-converged inputs (the
+    *    common near-dup case: star clusters around the min id) now finish
+    *    in one confirming round instead of two;
+    *  - the convergence flag rides a `_changed` column in the checkpointed
+    *    frame, read back by a bounded `isEmpty` probe on the pinned blocks
+    *    — the accumulator rendering round-tripped every round's labels
+    *    through `Dataset.rdd`/`createDataFrame`, deserialising the frame
+    *    and rebuilding it outside whole-stage codegen.
+    *
+    * `checkpointDir` selects the lineage-truncation policy — see
     * [[graft.runtime.Checkpoints]]: pass a reliable directory on a real
     * cluster so an executor loss mid-loop recovers instead of killing the
     * job.
@@ -516,10 +538,15 @@ object TextDedup {
     val edges = ckpt(
       pairs.select(col(idA).as("src"), col(idB).as("dst"))
         .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-        .distinct())
+        .repartition(col("dst")))
+    // fused init: one aggregate gives every node (all appear as src of the
+    // bidirectional list) its min(self, neighbours) label — the state the
+    // identity init only reached after a full HashMin round
     var labels = labelCkpt(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id")))
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("_mn"))
+        .select(col("src").as("id"),
+          least(col("src"), col("_mn")).as("component")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -545,18 +572,12 @@ object TextDedup {
           coalesce(col("_j_component"), col("component")).as("component"),
           (coalesce(col("_j_component"), col("component")) < col("_old"))
             .as("_changed"))
-      // Fold the convergence check into the checkpoint's materialisation
-      // job: the accumulator fires while the round's labels are written,
-      // so each round costs ONE action, not a checkpoint plus a
-      // join+count. (Task retries can only over-count; the decision is
-      // zero-vs-nonzero, which retries cannot flip.)
-      val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
-      val counted = flagged.rdd.mapPartitions { it =>
-        it.map { r => if (r.getBoolean(2)) changedAcc.add(1L); r }
-      }
-      labels = labelCkpt(
-        spark.createDataFrame(counted, flagged.schema).select("id", "component"))
-      converged = changedAcc.value == 0L
+      // The round's ONE heavy action is the checkpoint materialisation;
+      // the convergence probe then reads the pinned blocks (a bounded
+      // limit-1 scan of already-computed rows, never a recompute).
+      val ckpted = labelCkpt(flagged)
+      converged = ckpted.filter(col("_changed")).isEmpty
+      labels = ckpted.select("id", "component")
       iter += 1
     }
     // silent wrong answers are worse than failing: an unconverged result
