@@ -176,15 +176,24 @@ object TextPipeline {
     // 3. decontamination. Contamination is PER-DOC against the benchmark
     // (independent of which near-dups survive), so the gram branch runs
     // over the cache and the near-dup losers simply UNION into the drop
-    // set: ONE anti join carries both exclusions, and the cache keeps
-    // exactly two consumers (gram branch + main branch) in every mode.
-    // Dropping contaminated(training) vs contaminated(survivors) is
-    // equivalent set algebra: survivors ∖ contaminated(survivors) =
+    // set: ONE anti join carries both exclusions. Dropping
+    // contaminated(training) vs contaminated(survivors) is equivalent
+    // set algebra: survivors ∖ contaminated(survivors) =
     // training ∖ losers ∖ contaminated(training).
+    //
+    // The drop-set ids are materialised EAGERLY (r18, guide §1.2): stage
+    // 5's rate collect and the final consumer are two separate actions
+    // over the anti join, so a lazy drop set re-ran the whole `contamN`-
+    // gram explode + benchmark join per action — the most expensive
+    // branch in the composition, paid twice. Pinned, the gram branch
+    // runs once; the pinned frame is O(dropped ids), and the anti join
+    // still resolves to a runtime broadcast (AQE sees the tiny relation).
     val contaminated = TextDedup
       .decontaminate(training, idCol, textCol, benchmark, benchTextCol, n = contamN)
       .select(col(idCol))
-    val toDrop = losers.fold(contaminated)(_.union(contaminated))
+    val toDrop = graft.runtime.Checkpoints
+      .policy(training.sparkSession, checkpointDir)(
+        losers.fold(contaminated)(_.union(contaminated)))
     val clean = training.join(toDrop, Seq(idCol), "left_anti")
     // 4. calibrated quality gate
     val calibrated = TextStats.calibrateByStratum(
@@ -194,10 +203,11 @@ object TextPipeline {
     // 5. temperature mixing (O(strata) collect + narrow filter)
     val release = () => {
       training.unpersist()
-      // dir=None losers are localCheckpoints — pinned RDD blocks, not
-      // cache entries; dir=Some spills live under the caller-owned dir
-      // (releaseLocal no-ops on the parquet-read plan)
+      // dir=None losers/toDrop are localCheckpoints — pinned RDD blocks,
+      // not cache entries; dir=Some spills live under the caller-owned
+      // dir (releaseLocal no-ops on the parquet-read plan)
       losers.foreach(graft.runtime.Checkpoints.releaseLocal)
+      graft.runtime.Checkpoints.releaseLocal(toDrop)
       ()
     }
     (release, TextStats.applyTemperature(calibrated, strataCol, idCol, alpha))

@@ -569,12 +569,18 @@ class PlanQualitySpec extends SparkSpec {
     //  - the training corpus is read from parquet ONCE (the persist after
     //    dedup); the decontamination gram branch and the main branch both
     //    consume the cache — without the materialization each would
-    //    re-plan gate+dedup from the scan (the duplicated-subtree trap)
+    //    re-plan gate+dedup from the scan (the duplicated-subtree trap).
+    //    Since r18 the gram branch runs inside the EAGER drop-set
+    //    materialisation (it was re-evaluated per action before — once
+    //    under the rate collect, once under the final job), so the FINAL
+    //    job scans the cache exactly once (main branch) and touches no
+    //    parquet at all: the benchmark's only parquet read happened in
+    //    the drop-set job
     //  - calibrate's stratum window and pack's stratum window share ONE
     //    hashpartitioning(lang) exchange (EnsureRequirements inserts only
     //    a sort between them)
     //  - the contaminated-id anti join resolves to a runtime BROADCAST
-    //    (AQE sees the aggregated id set's true size), never a corpus
+    //    (AQE sees the pinned id set's true size), never a corpus
     //    sort-merge
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -592,11 +598,13 @@ class PlanQualitySpec extends SparkSpec {
       }
       val ns = nodes(df.queryExecution.executedPlan)
       val cacheScans = ns.count(_.isInstanceOf[InMemoryTableScanExec])
-      assert(cacheScans == 2,
-        s"training cache must feed exactly the two consumers, got $cacheScans")
+      assert(cacheScans == 1,
+        s"final job must scan the training cache exactly once (the gram " +
+          s"branch consumed it in the drop-set job), got $cacheScans")
       val parquetScans = ns.count(_.isInstanceOf[FileSourceScanExec])
-      assert(parquetScans == 1,
-        s"only the benchmark side may rescan parquet, got $parquetScans")
+      assert(parquetScans == 0,
+        s"final job must touch no parquet (benchmark read once in the " +
+          s"drop-set job), got $parquetScans")
       val langExchanges = ns.collect {
         case e: ShuffleExchangeLike => e.outputPartitioning
       }.count {
@@ -639,11 +647,13 @@ class PlanQualitySpec extends SparkSpec {
       }
       val ns = nodes(df.queryExecution.executedPlan)
       val cacheScans = ns.count(_.isInstanceOf[InMemoryTableScanExec])
-      assert(cacheScans == 2,
-        s"training cache must feed exactly the two consumers, got $cacheScans")
+      assert(cacheScans == 1,
+        s"final job must scan the training cache exactly once (the gram " +
+          s"branch consumed it in the drop-set job), got $cacheScans")
       val parquetScans = ns.count(_.isInstanceOf[FileSourceScanExec])
-      assert(parquetScans == 1,
-        s"only the benchmark side may rescan parquet, got $parquetScans")
+      assert(parquetScans == 0,
+        s"final job must touch no parquet (benchmark read once in the " +
+          s"drop-set job), got $parquetScans")
       val langExchanges = ns.collect {
         case e: ShuffleExchangeLike => e.outputPartitioning
       }.count {
@@ -691,12 +701,14 @@ class PlanQualitySpec extends SparkSpec {
       }
       val ns = nodes(df.queryExecution.executedPlan)
       val parquetScans = ns.count(_.isInstanceOf[FileSourceScanExec])
-      assert(parquetScans == 1,
-        s"only the benchmark side may rescan parquet, got $parquetScans")
+      assert(parquetScans == 0,
+        s"final job must touch no parquet (benchmark read once in the " +
+          s"drop-set job), got $parquetScans")
       import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
       val cacheScans = ns.count(_.isInstanceOf[InMemoryTableScanExec])
-      assert(cacheScans == 2,
-        s"training cache must feed exactly the two consumers (gram + main), got $cacheScans")
+      assert(cacheScans == 1,
+        s"final job must scan the training cache exactly once (gram branch " +
+          s"and keeper consumed it in their eager jobs), got $cacheScans")
       def exchangesOn(key: String) = ns.collect {
         case e: ShuffleExchangeLike => e.outputPartitioning
       }.count {
