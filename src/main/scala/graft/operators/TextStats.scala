@@ -1701,39 +1701,42 @@ object TextStats {
     require(nDocs > 0, "no document produced any feature — nothing to train on")
     val w = Array.fill(buckets)(0.0)
     var bias = 0.0
-    // Each iteration is ONE bounded action (r18, guide §1.2/§2.4): the
-    // per-doc logit rides a window over the SAME `_id` partitioning (and
-    // ordering) the checkpointed base already carries from its `_nd`
-    // window — no exchange, no sort — so the error term is computed
-    // IN-ROW on every (doc, bucket) row and the bucket gradient needs no
-    // doc-keyed join-back. The old rendering ran the doc aggregate TWICE
-    // per iteration (once for the bias gradient's collect, once inside
-    // the gradient join) plus an id-keyed shuffle join; this runs one
-    // pass, and the bias gradient shares the bucket aggregate's collect:
-    // each doc's error enters once, attributed to its minimum bucket
-    // (`_b === _bmin`), so Σ over buckets of those partials is exactly
-    // Σ_docs e_d — the same additions as the old avg, reassociated (the
-    // FP-order freedom partial aggregation already exercises).
+    // The per-doc error frame is computed ONCE per iteration and pinned
+    // (r18, guide §1.2): the old rendering evaluated the doc-keyed
+    // aggregate TWICE per iteration — once under the bias gradient's
+    // collect and again inside the gradient join. A rolling
+    // localCheckpoint of `errs` (doc-sized: one row per featureful doc)
+    // lets both consumers read the pinned blocks; each round's pin
+    // supersedes the last, and the final one is released before
+    // returning. (A window rendering that computed the logit in-row was
+    // tried and REFUTED at sf10: the checkpointed base's partitioning
+    // does not survive AQE, so the window re-sorted the feature frame
+    // every iteration — 41 s vs 27 s for the join form; the hash
+    // aggregate here never sorts.)
+    val errsRoll = new graft.runtime.Checkpoints.Rolling(
+      docs.sparkSession, checkpointDir)
+    var lastErrs: org.apache.spark.sql.DataFrame = null
     for (_ <- 1 to iters) {
       val wLit = typedlit(w.toSeq)
       val contrib = col("_cb") * element_at(wLit, (col("_b") + 1).cast("int")) / col("_nd")
-      val wByDoc = Window.partitionBy(col("_id"))
-      val scored = base
-        .withColumn("_logit", lit(bias) + sum(contrib).over(wByDoc))
-        .withColumn("_bmin", min(col("_b")).over(wByDoc))
-        .withColumn("_e",
-          lit(1.0) / (lit(1.0) + exp(-col("_logit"))) - col("_y"))
-      val rows = scored.groupBy(col("_b"))
-        .agg((sum(col("_e") * col("_cb") / col("_nd")) / nDocs).as("_g"),
-          sum(when(col("_b") === col("_bmin"), col("_e"))).as("_epart"))
+      val errs = errsRoll(base.groupBy(col("_id"))
+        .agg(first(col("_y")).as("_yy"), (lit(bias) + sum(contrib)).as("_logit"))
+        .select(col("_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("_logit"))) - col("_yy")).as("_e")))
+      lastErrs = errs
+      val biasGrad = errs.agg(avg(col("_e"))).head().getDouble(0)
+      val grads = base.hint("shuffle_hash").join(errs, "_id")
+        .groupBy(col("_b"))
+        .agg((sum(col("_e") * col("_cb") / col("_nd")) / nDocs).as("_g"))
         .collect()
-      var biasGrad = 0.0
-      rows.foreach { r =>
-        w(r.getLong(0).toInt) -= lr * r.getDouble(1)
-        if (!r.isNullAt(2)) biasGrad += r.getDouble(2)
-      }
-      bias -= lr * (biasGrad / nDocs)
+      bias -= lr * biasGrad
+      grads.foreach(r => w(r.getLong(0).toInt) -= lr * r.getDouble(1))
     }
+    // the loop's survivors are intermediate state: the trained model is
+    // the return value, so nothing may stay pinned (repeated training
+    // runs in one session must not accrete executor blocks)
+    if (lastErrs != null) graft.runtime.Checkpoints.releaseLocal(lastErrs)
+    graft.runtime.Checkpoints.releaseLocal(base)
     (w, bias)
   }
 }

@@ -161,14 +161,31 @@ object QueryPack {
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
 
-  /** Set operations: customers with orders vs without (INTERSECT/EXCEPT). */
+  /** Set operations: customers with orders vs without (INTERSECT/EXCEPT).
+    *
+    * Computed as ONE shared-exchange aggregation (r18, guide §2.4): the
+    * `intersect` + `except` rendering planned four key exchanges and read
+    * both tables twice (each set op shuffles both sides, then the union
+    * concatenates the two results). Tagged-union + groupBy is the same
+    * set algebra — INTERSECT = distinct customer keys that also appear in
+    * orders, EXCEPT = distinct customer keys that don't, and every
+    * customer key lands in exactly one branch — so one exchange on the
+    * key (with map-side partial aggregation) yields both branches at
+    * once. NULL-key behaviour matches too: set ops compare NULLs equal,
+    * and groupBy buckets NULLs into one group. Oracle SQL stays the
+    * literal INTERSECT/EXCEPT form, pinning the equivalence. */
   def setOps(s: SparkSession, dir: String): DataFrame = {
-    val custKeys = T(s, dir, "customer").select(col("c_custkey").as("k"))
-    val orderCust = T(s, dir, "orders").select(col("o_custkey").as("k"))
-    val withOrders = custKeys.intersect(orderCust)
-    val withoutOrders = custKeys.except(orderCust)
-    withOrders.withColumn("status", lit("active"))
-      .unionByName(withoutOrders.withColumn("status", lit("inactive")))
+    val custKeys = T(s, dir, "customer")
+      .select(col("c_custkey").as("k"), lit(true).as("_c"))
+    val orderCust = T(s, dir, "orders")
+      .select(col("o_custkey").as("k"), lit(false).as("_c"))
+    custKeys.unionByName(orderCust)
+      .groupBy(col("k"))
+      .agg(max(col("_c")).as("_has_c"), min(col("_c")).as("_has_o_inv"))
+      .filter(col("_has_c"))
+      .select(col("k"),
+        when(!col("_has_o_inv"), lit("active")).otherwise(lit("inactive"))
+          .as("status"))
   }
 
   /** Row-level dedup via dropDuplicates on a projected key set. */
