@@ -52,6 +52,25 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // Inter-query isolation (r18; measurement-methodology fix, documented
+    // in OPTIMIZATION_r18.md): queries that pin state — pipeline persists,
+    // localCheckpoint blocks from index builds and CC loops — used to
+    // leak it for the REST of the suite (the caller-owns-release contract;
+    // Bench never released). ~100 queries of accreted executor blocks
+    // squeeze the storage pool and tax everything that runs later, so
+    // suite numbers measured query N's cost plus queries 1..N−1's litter.
+    // Released AFTER a query's last run, never between runs: within-query
+    // cache reuse (warm run2 reading run1's persist) is unchanged, so
+    // per-query minimums stay comparable with every prior campaign.
+    def releaseQueryState(frames: Seq[org.apache.spark.sql.DataFrame],
+                          pinnedBefore: Set[Int]): Unit = {
+      frames.foreach(graft.operators.TextPipeline.unpersistPipeline)
+      spark.sqlContext.clearCache()
+      val sc = spark.sparkContext
+      (sc.getPersistentRDDs.keySet -- pinnedBefore).foreach { id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+      }
+    }
     // Page-cache warm pass: read every input file once, untimed, so the
     // first query touching a table doesn't absorb its cold-disk read.
     new java.io.File(sfDir).listFiles((_, n) => n.endsWith(".parquet"))
@@ -63,17 +82,28 @@ object Bench {
     // creation land outside the timings — scan-bound queries were swinging
     // ±20-60% round-to-round from exactly these first-run costs.
     picked.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try force(fn(spark, sfDir)) catch { case _: Throwable => }
+      val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val df = try Some(fn(spark, sfDir)) catch { case _: Throwable => None }
+      df.foreach(d => try force(d) catch { case _: Throwable => })
+      releaseQueryState(df.toSeq, pinnedBefore)
     }
     // Steady-state: `runs` timed passes per query, per-query MIN reported
     // (the noise-floor estimator for a drift-dominated box); fixed name
     // order keeps runs comparable across rounds.
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val frames = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.DataFrame]
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir)) catch { case _: Throwable => }
+        try {
+          val df = fn(spark, sfDir)
+          frames += df
+          force(df)
+        } catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }
+      releaseQueryState(frames.toSeq, pinnedBefore)
       (name, times.min, times)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
