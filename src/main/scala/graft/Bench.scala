@@ -63,7 +63,7 @@ object Bench {
     // cache reuse (warm run2 reading run1's persist) is unchanged, so
     // per-query minimums stay comparable with every prior campaign.
     def releaseQueryState(frames: Seq[org.apache.spark.sql.DataFrame],
-                          pinnedBefore: Set[Int]): Unit = {
+                          pinnedBefore: scala.collection.Set[Int]): Unit = {
       frames.foreach(graft.operators.TextPipeline.unpersistPipeline)
       spark.sqlContext.clearCache()
       val sc = spark.sparkContext

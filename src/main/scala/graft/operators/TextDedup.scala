@@ -549,36 +549,72 @@ object TextDedup {
           least(col("src"), col("_mn")).as("component")))
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
-      // HashMin: each node adopts the min of its own and its neighbours'
-      // labels, keeping the previous label for the convergence flag
-      val viaEdges = edges
-        .join(labels.withColumnRenamed("id", "dst2"),
-          col("dst") === col("dst2"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("component")).as("nbr_component"))
-      val stepped = labels.join(viaEdges, Seq("id"), "left")
-        .select(col("id"), col("component").as("_old"),
-          least(col("component"), coalesce(col("nbr_component"), col("component")))
-            .as("component"))
-      // pointer jump: component := label(component). Every label value is
-      // itself a node id present in `stepped` (labels are mins over node
-      // ids of the same component), so the lookup is total; the left join
-      // + coalesce is belt-and-braces.
-      val jump = stepped
-        .select(col("id").as("_j_id"), col("component").as("_j_component"))
-      val flagged = stepped.join(jump, col("component") === col("_j_id"), "left")
-        .select(col("id"),
-          coalesce(col("_j_component"), col("component")).as("component"),
-          (coalesce(col("_j_component"), col("component")) < col("_old"))
-            .as("_changed"))
-      // The round's ONE heavy action is the checkpoint materialisation;
-      // the convergence probe then reads the pinned blocks (a bounded
-      // limit-1 scan of already-computed rows, never a recompute).
-      val ckpted = labelCkpt(flagged)
-      converged = ckpted.filter(col("_changed")).isEmpty
-      labels = ckpted.select("id", "component")
-      iter += 1
+    // Rounds are dominated by per-stage SCHEDULING latency, not data:
+    // the label/edge frames are node-sized (near-dup participants), and
+    // AQE turns each round's three joins into 5-6 materialised query
+    // stages — measured ~1.8 s/round at sf10 on 0.6 M edges where the
+    // task work is milliseconds, ~15 rounds for the fixture's longest
+    // chain. For loops over AQE-trivial inputs the adaptive machinery is
+    // pure overhead (nothing to coalesce or skew-split at this size), so
+    // it is switched off FOR THE LOOP ONLY when the edge list is small
+    // (bounded count on the pinned blocks), and restored after. The
+    // threshold is data-derived, not core-count-derived: big edge lists
+    // keep AQE (coalescing and skew handling matter there).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val smjKey = "spark.sql.join.preferSortMergeJoin"
+    val partKey = "spark.sql.shuffle.partitions"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    val smjWas = spark.conf.get(smjKey, "true")
+    val partWas = spark.conf.get(partKey)
+    val edgeRows = edges.count()
+    val loopAqeOff = aqeWas == "true" && edgeRows <= 50L * 1000 * 1000
+    if (loopAqeOff) {
+      spark.conf.set(aqeKey, "false")
+      // no sorts on node-sized frames: hash joins build in-memory tables
+      // a few MB wide; sort-merge would sort the labels 3× per round
+      spark.conf.set(smjKey, "false")
+      // partition count from DATA (the decision AQE coalescing would have
+      // made): ~2M edge rows per partition, floor 4 — 32+ tasks per tiny
+      // stage is pure scheduling overhead in this regime
+      spark.conf.set(partKey,
+        math.max(4L, edgeRows / (2L * 1000 * 1000)).toString)
+    }
+    try {
+      while (iter < maxIter && !converged) {
+        // HashMin: each node adopts the min of its own and its neighbours'
+        // labels, keeping the previous label for the convergence flag
+        val viaEdges = edges
+          .join(labels.withColumnRenamed("id", "dst2"),
+            col("dst") === col("dst2"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("component")).as("nbr_component"))
+        val stepped = labels.join(viaEdges, Seq("id"), "left")
+          .select(col("id"), col("component").as("_old"),
+            least(col("component"), coalesce(col("nbr_component"), col("component")))
+              .as("component"))
+        // pointer jump: component := label(component). Every label value is
+        // itself a node id present in `stepped` (labels are mins over node
+        // ids of the same component), so the lookup is total; the left join
+        // + coalesce is belt-and-braces.
+        val jump = stepped
+          .select(col("id").as("_j_id"), col("component").as("_j_component"))
+        val flagged = stepped.join(jump, col("component") === col("_j_id"), "left")
+          .select(col("id"),
+            coalesce(col("_j_component"), col("component")).as("component"),
+            (coalesce(col("_j_component"), col("component")) < col("_old"))
+              .as("_changed"))
+        // The round's ONE heavy action is the checkpoint materialisation;
+        // the convergence probe then reads the pinned blocks (a bounded
+        // limit-1 scan of already-computed rows, never a recompute).
+        val ckpted = labelCkpt(flagged)
+        converged = ckpted.filter(col("_changed")).isEmpty
+        labels = ckpted.select("id", "component")
+        iter += 1
+      }
+    } finally if (loopAqeOff) {
+      spark.conf.set(aqeKey, aqeWas)
+      spark.conf.set(smjKey, smjWas)
+      spark.conf.set(partKey, partWas)
     }
     // silent wrong answers are worse than failing: an unconverged result
     // would split one real cluster into several with no signal
