@@ -102,6 +102,16 @@ object TextPipeline {
     *  - survivors = corpus LEFT-ANTI the non-keeper ids. Like the
     *    contamination anti join, deliberately UNHINTED: near-dup losers
     *    ≪ corpus, so AQE resolves it to a runtime broadcast. */
+  /** `narrowTokens`: when set, the surviving rows are PROJECTED down to
+    * (idCol, strataCol, quality, `_ntok` = the given row-local token
+    * expression) right after the anti join — BEFORE the calibrate
+    * window's stratum exchange. [[e2e]] never emits text (its output is
+    * ids + layout), yet the text column used to ride the calibrate
+    * exchange, the pack window AND the shard exchange only to be dropped
+    * by the final select — at 100 TB that is the corpus shuffled three
+    * times for nothing (guide §2.3, project before the exchange).
+    * [[e2eTokenized]] leaves it None: its encode stage consumes the text
+    * AFTER mixing, where the surviving set is smallest. */
   private def mixedStage(docs: DataFrame, idCol: String, textCol: String,
                          strataCol: String, benchmark: DataFrame,
                          benchTextCol: String, lexicon: Seq[String],
@@ -109,7 +119,8 @@ object TextPipeline {
                          alpha: Double, contamN: Int,
                          materialize: DataFrame => DataFrame,
                          nearDedup: Boolean = false,
-                         checkpointDir: Option[String] = None)
+                         checkpointDir: Option[String] = None,
+                         narrowTokens: Option[Column] = None)
       : (() => Unit, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // 1. gates — both native scans evaluate exactly once, inside the
@@ -195,10 +206,17 @@ object TextPipeline {
       .policy(training.sparkSession, checkpointDir)(
         losers.fold(contaminated)(_.union(contaminated)))
     val clean = training.join(toDrop, Seq(idCol), "left_anti")
-    // 4. calibrated quality gate
+    // 4. calibrated quality gate. Quality (and, narrow mode, the token
+    // count) are row-local over the cached text and evaluate in the
+    // projection BEFORE the stratum exchange; narrow mode then ships
+    // only (id, stratum, _q, _ntok) through every downstream shuffle.
+    val scored = narrowTokens match {
+      case Some(tok) => clean.select(col(idCol), col(strataCol),
+        TextStats.quality(col(textCol)).as("_q"), tok.as("_ntok"))
+      case None => clean.withColumn("_q", TextStats.quality(col(textCol)))
+    }
     val calibrated = TextStats.calibrateByStratum(
-        clean.withColumn("_q", TextStats.quality(col(textCol))),
-        strataCol, col("_q"), idCol)
+        scored, strataCol, col("_q"), idCol)
       .filter(col("q_rank") >= minQRank)
     // 5. temperature mixing (O(strata) collect + narrow filter)
     val release = () => {
@@ -230,10 +248,11 @@ object TextPipeline {
       : DataFrame = {
     val (release, mixed) = mixedStage(docs, idCol, textCol, strataCol,
       benchmark, benchTextCol, lexicon, maxTop2GramCharFrac, minQRank,
-      alpha, contamN, materialize, nearDedup, checkpointDir)
-    // 6. pack
+      alpha, contamN, materialize, nearDedup, checkpointDir,
+      narrowTokens = Some(TextStats.spaceTokens(col(textCol)).cast("long")))
+    // 6. pack (on the pre-exchange token counts — same values, no text)
     val packed = TextStats.packSequences(mixed, strataCol, idCol,
-      TextStats.spaceTokens(col(textCol)).cast("long"), budget)
+      col("_ntok"), budget)
     // 7. shard shuffle
     val result = TextStats.shuffleShards(packed, idCol, shards, seed)
       .select(col(idCol), col(strataCol), col("seq_id"), col("seq_offset"),
