@@ -102,16 +102,16 @@ object TextPipeline {
     *  - survivors = corpus LEFT-ANTI the non-keeper ids. Like the
     *    contamination anti join, deliberately UNHINTED: near-dup losers
     *    ≪ corpus, so AQE resolves it to a runtime broadcast. */
-  /** `narrowTokens`: when set, the surviving rows are PROJECTED down to
-    * (idCol, strataCol, quality, `_ntok` = the given row-local token
-    * expression) right after the anti join — BEFORE the calibrate
-    * window's stratum exchange. [[e2e]] never emits text (its output is
-    * ids + layout), yet the text column used to ride the calibrate
-    * exchange, the pack window AND the shard exchange only to be dropped
-    * by the final select — at 100 TB that is the corpus shuffled three
-    * times for nothing (guide §2.3, project before the exchange).
-    * [[e2eTokenized]] leaves it None: its encode stage consumes the text
-    * AFTER mixing, where the surviving set is smallest. */
+  /** `narrowCols`: when set, the surviving rows are PROJECTED through the
+    * given row-local transform (which must produce idCol, strataCol, `_q`
+    * and whatever the caller packs on) right after the anti join — BEFORE
+    * the calibrate window's stratum exchange. Neither composed pipeline
+    * emits text ([[e2e]]'s output is ids + layout, [[e2eTokenized]]'s is
+    * ids + token counts + the id-sequence fingerprint), yet the text
+    * column used to ride the calibrate exchange, the pack window AND the
+    * shard exchange only to be dropped by the final select — at 100 TB
+    * that is the corpus shuffled three times for nothing (guide §2.3,
+    * project before the exchange). */
   private def mixedStage(docs: DataFrame, idCol: String, textCol: String,
                          strataCol: String, benchmark: DataFrame,
                          benchTextCol: String, lexicon: Seq[String],
@@ -120,7 +120,7 @@ object TextPipeline {
                          materialize: DataFrame => DataFrame,
                          nearDedup: Boolean = false,
                          checkpointDir: Option[String] = None,
-                         narrowTokens: Option[Column] = None)
+                         narrowCols: Option[DataFrame => DataFrame] = None)
       : (() => Unit, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // 1. gates — both native scans evaluate exactly once, inside the
@@ -206,13 +206,12 @@ object TextPipeline {
       .policy(training.sparkSession, checkpointDir)(
         losers.fold(contaminated)(_.union(contaminated)))
     val clean = training.join(toDrop, Seq(idCol), "left_anti")
-    // 4. calibrated quality gate. Quality (and, narrow mode, the token
-    // count) are row-local over the cached text and evaluate in the
+    // 4. calibrated quality gate. Quality (and the caller's narrow
+    // columns) are row-local over the cached text and evaluate in the
     // projection BEFORE the stratum exchange; narrow mode then ships
-    // only (id, stratum, _q, _ntok) through every downstream shuffle.
-    val scored = narrowTokens match {
-      case Some(tok) => clean.select(col(idCol), col(strataCol),
-        TextStats.quality(col(textCol)).as("_q"), tok.as("_ntok"))
+    // only the caller's slim schema through every downstream shuffle.
+    val scored = narrowCols match {
+      case Some(f) => f(clean)
       case None => clean.withColumn("_q", TextStats.quality(col(textCol)))
     }
     val calibrated = TextStats.calibrateByStratum(
@@ -249,7 +248,9 @@ object TextPipeline {
     val (release, mixed) = mixedStage(docs, idCol, textCol, strataCol,
       benchmark, benchTextCol, lexicon, maxTop2GramCharFrac, minQRank,
       alpha, contamN, materialize, nearDedup, checkpointDir,
-      narrowTokens = Some(TextStats.spaceTokens(col(textCol)).cast("long")))
+      narrowCols = Some(_.select(col(idCol), col(strataCol),
+        TextStats.quality(col(textCol)).as("_q"),
+        TextStats.spaceTokens(col(textCol)).cast("long").as("_ntok"))))
     // 6. pack (on the pre-exchange token counts — same values, no text)
     val packed = TextStats.packSequences(mixed, strataCol, idCol,
       col("_ntok"), budget)
@@ -262,10 +263,16 @@ object TextPipeline {
   }
 
   /** [[e2e]] ending where a PRODUCTION pipeline ends: tokenized, packed,
-    * sharded sequences. Stages 1–5 are identical; stage 6 ENCODES each
-    * survivor with a trained [[TextStats.BpeModel]] and stage 7 packs on
-    * the REAL token counts (not whitespace counts), so the sequence
-    * layout is the one the training job would consume.
+    * sharded sequences. Stages 1–5 are identical; the encode (a trained
+    * [[TextStats.BpeModel]]) runs inside stage 4's narrow projection —
+    * each post-decontamination survivor is encoded BEFORE the calibrate
+    * window, so text never rides the stratum exchange, the pack window
+    * or the shard exchange (guide §2.3; encode is a per-row map, so
+    * filtering afterwards commutes with it bit-for-bit — the
+    * calibrate/temperature losers cost a bounded constant factor of
+    * extra encode) — and the pack runs on the REAL token counts (not
+    * whitespace counts), so the sequence layout is the one the training
+    * job would consume.
     *
     * The encode stage is deliberately zero-shuffle and stays inside the
     * corpus projection: one native [[graft.functions.BpeSegment]] call
@@ -307,15 +314,20 @@ object TextPipeline {
                    nearDedup: Boolean = false,
                    checkpointDir: Option[String] = None)
       : DataFrame = {
-    val (release, mixed) = mixedStage(docs, idCol, textCol, strataCol,
-      benchmark, benchTextCol, lexicon, maxTop2GramCharFrac, minQRank,
-      alpha, contamN, materialize, nearDedup, checkpointDir)
     // 6. encode: BPE ids in-row; _syms/_ids are multi-referenced aliases
     // (withColumn first — CollapseProject keeps them single-eval; an
     // inline flatten inside the downstream lambdas would re-run
-    // BpeSegment per reference)
+    // BpeSegment per reference). The encode runs INSIDE mixedStage's
+    // narrow projection (r18): the per-doc outputs (n_tokens, ids_fp)
+    // are row-local over the cached text, so computing them BEFORE the
+    // calibrate window means text never rides the stratum exchange, the
+    // pack window or the shard exchange — the same §2.3 projection cure
+    // [[e2e]] takes, at the price of encoding the calibrate/temperature
+    // losers too (a bounded constant factor: membership only shrinks
+    // after stage 4, and encode is a per-row map, so filtering commutes
+    // with it bit-for-bit).
     val merges = model.merges.map(m => (m._1, m._2))
-    val tokenized = mixed
+    def encoded(df: DataFrame): DataFrame = df
       .withColumn("_ws", filter(split(col(textCol), " "), w => w =!= ""))
       .withColumn("_syms", flatten(transform(col("_ws"),
         w => graft.functions.BpeSegment.bpeSegment(w, merges))))
@@ -324,6 +336,13 @@ object TextPipeline {
       .withColumn("n_tokens", size(col("_syms")).cast("long"))
       .withColumn("ids_fp",
         md5(array_join(transform(col("_ids"), _.cast("string")), ",")))
+    val (release, tokenized) = mixedStage(docs, idCol, textCol, strataCol,
+      benchmark, benchTextCol, lexicon, maxTop2GramCharFrac, minQRank,
+      alpha, contamN, materialize, nearDedup, checkpointDir,
+      narrowCols = Some(df => encoded(df)
+        .select(col(idCol), col(strataCol),
+          TextStats.quality(col(textCol)).as("_q"),
+          col("n_tokens"), col("ids_fp"))))
     // 7. pack on real token counts
     val packed = TextStats.packSequences(tokenized, strataCol, idCol,
       col("n_tokens"), budget)
