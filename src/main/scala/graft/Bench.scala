@@ -42,6 +42,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE sort-merge -> shuffled-hash rewrite (guide §3.1): when every
+      // post-shuffle partition's build side fits under the threshold, the
+      // join skips both sorts. 256 MB is a per-partition bound, so the
+      // setting is scale-adaptive by construction (bigger data -> more
+      // partitions, bound unchanged), not a local[32] constant; the same
+      // value is the production recommendation for 4-8 GB executors.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        (256L * 1024 * 1024).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
