@@ -1690,15 +1690,56 @@ object TextStats {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lr > 0, s"lr must be positive, got $lr")
     import org.apache.spark.sql.expressions.Window
-    val ckpt = graft.runtime.Checkpoints.policy(docs.sparkSession, checkpointDir)
-    val base = ckpt(
+    val spark = docs.sparkSession
+    val ckpt = graft.runtime.Checkpoints.policy(spark, checkpointDir)
+    val base0 = ckpt(
       hashedFeatureRows(docs,
         Seq(col(idCol).as("_id"), label.cast("double").as("_y")), textCol, buckets)
         .groupBy(col("_id"), col("_y"), col("_b"))
         .agg(sum(col("_c")).cast("double").as("_cb"))
         .withColumn("_nd", sum(col("_cb")).over(Window.partitionBy(col("_id")))))
-    val nDocs = base.select(col("_id")).distinct().count().toDouble
-    require(nDocs > 0, "no document produced any feature — nothing to train on")
+    // LOOP-STATIC regime (the connectedComponents precedent, guide
+    // §1.2/§2.2): under AQE a `localCheckpoint` reports Unknown
+    // partitioning, so every iteration re-exchanged the feature frame
+    // TWICE — once under the per-doc logit aggregate, once under the
+    // gradient join — and AQE expanded each iteration into 5-6
+    // materialised query stages whose scheduling latency dwarfs the task
+    // work when the frame is small. When the frame is LOOP-SMALL
+    // (bounded count on the pinned blocks) it is re-pinned ONCE
+    // pre-partitioned on `_id` with AQE off, so the captured
+    // HashPartitioning survives into every iteration: the logit
+    // aggregate and the gradient join then run exchange-free in a
+    // handful of data-sized partitions, and only the B-bounded bucket
+    // aggregate still shuffles. Measured at sf0.1 (316 k feature rows):
+    // 8.6 → 2.2 s standalone. Gated on DATA SIZE, not core count, and
+    // the gate is honest about WHY it exists: per-stage latency
+    // dominates small frames. Big frames are compute-bound, not
+    // stage-bound — there the re-pin costs more than the saved
+    // exchanges return (measured at sf10, 31.8 M rows: 24-35 s under
+    // this regime vs 21.6 s without, partition rule regardless), so
+    // they keep AQE and its coalescing/skew machinery and take the
+    // broadcast-gradient join below instead. dir=Some spills are
+    // parquet round-trips (no partitioning survives a write anyway),
+    // so the regime only applies to the localCheckpoint policy.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    val partWas = spark.conf.get(partKey)
+    val baseRows = base0.count()
+    val loopStatic = checkpointDir.isEmpty && aqeWas == "true" &&
+      baseRows <= 10L * 1000 * 1000
+    val base =
+      if (!loopStatic) base0
+      else {
+        spark.conf.set(aqeKey, "false")
+        // ~1M rows/partition (≈ AQE's own advisory-size decision at
+        // these row widths), floor 4 — loop-small caps this at 10
+        spark.conf.set(partKey,
+          math.max(4L, baseRows / (1L * 1000 * 1000)).toString)
+        val b = ckpt(base0.repartition(col("_id")))
+        graft.runtime.Checkpoints.releaseLocal(base0)
+        b
+      }
     val w = Array.fill(buckets)(0.0)
     var bias = 0.0
     // The per-doc error frame is computed ONCE per iteration and pinned
@@ -1712,25 +1753,54 @@ object TextStats {
     // tried and REFUTED at sf10: the checkpointed base's partitioning
     // does not survive AQE, so the window re-sorted the feature frame
     // every iteration — 41 s vs 27 s for the join form; the hash
-    // aggregate here never sorts.)
-    val errsRoll = new graft.runtime.Checkpoints.Rolling(
-      docs.sparkSession, checkpointDir)
+    // aggregate here never sorts. The loop-static re-pin above is the
+    // shape that experiment was reaching for: keep the hash aggregate,
+    // make the partitioning survive.)
+    val errsRoll = new graft.runtime.Checkpoints.Rolling(spark, checkpointDir)
     var lastErrs: org.apache.spark.sql.DataFrame = null
-    for (_ <- 1 to iters) {
-      val wLit = typedlit(w.toSeq)
-      val contrib = col("_cb") * element_at(wLit, (col("_b") + 1).cast("int")) / col("_nd")
-      val errs = errsRoll(base.groupBy(col("_id"))
-        .agg(first(col("_y")).as("_yy"), (lit(bias) + sum(contrib)).as("_logit"))
-        .select(col("_id"),
-          (lit(1.0) / (lit(1.0) + exp(-col("_logit"))) - col("_yy")).as("_e")))
-      lastErrs = errs
-      val biasGrad = errs.agg(avg(col("_e"))).head().getDouble(0)
-      val grads = base.hint("shuffle_hash").join(errs, "_id")
-        .groupBy(col("_b"))
-        .agg((sum(col("_e") * col("_cb") / col("_nd")) / nDocs).as("_g"))
-        .collect()
-      bias -= lr * biasGrad
-      grads.foreach(r => w(r.getLong(0).toInt) -= lr * r.getDouble(1))
+    try {
+      val nDocs = base.select(col("_id")).distinct().count().toDouble
+      require(nDocs > 0, "no document produced any feature — nothing to train on")
+      for (_ <- 1 to iters) {
+        val wLit = typedlit(w.toSeq)
+        val contrib = col("_cb") * element_at(wLit, (col("_b") + 1).cast("int")) / col("_nd")
+        val errs = errsRoll(base.groupBy(col("_id"))
+          .agg(first(col("_y")).as("_yy"), (lit(bias) + sum(contrib)).as("_logit"))
+          .select(col("_id"),
+            (lit(1.0) / (lit(1.0) + exp(-col("_logit"))) - col("_yy")).as("_e")))
+        lastErrs = errs
+        // ONE action per iteration (r18 resume): the bias gradient rides
+        // the gradient collect as a sentinel bucket (_b = −1, a value the
+        // `% buckets` hash can never produce) instead of its own job —
+        // both legs read the pinned errs blocks. Join shape: loop-static
+        // frames are co-partitioned, so the shuffled-hash join is
+        // exchange-free with the DOC-sized errs as build side; big
+        // frames BROADCAST errs when the measured doc count is
+        // broadcast-safe (≤ 2 M docs ≈ 50 MB built), so the feature
+        // frame is never re-shuffled for the join (guide §3.1 — the
+        // explicit broadcast because a checkpoint's size estimate is
+        // useless to the static planner and AQE's rewrite races the
+        // already-submitted build-side stage); past that, shuffled-hash
+        // with errs as build side.
+        val joined =
+          if (!loopStatic && nDocs <= 2L * 1000 * 1000)
+            base.join(broadcast(errs), "_id")
+          else base.join(errs.hint("shuffle_hash"), "_id")
+        val grads = joined
+          .groupBy(col("_b"))
+          .agg((sum(col("_e") * col("_cb") / col("_nd")) / nDocs).as("_g"))
+          .union(errs.agg(avg(col("_e")).as("_g"))
+            .select(lit(-1L).as("_b"), col("_g")))
+          .collect()
+        grads.foreach { r =>
+          val b = r.getLong(0)
+          if (b == -1L) bias -= lr * r.getDouble(1)
+          else w(b.toInt) -= lr * r.getDouble(1)
+        }
+      }
+    } finally if (loopStatic) {
+      spark.conf.set(aqeKey, aqeWas)
+      spark.conf.set(partKey, partWas)
     }
     // the loop's survivors are intermediate state: the trained model is
     // the return value, so nothing may stay pinned (repeated training
