@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A full-suite Bench run compiles thousands of whole-stage-codegen
+  // classes (112 queries × warmup + N timed runs); the JDK 17 default
+  // 240 MB reserved code cache can fill late in the suite, at which point
+  // the JIT stops compiling and hot generated code runs interpreted —
+  // the failure is intermittent and shows up as 10-20× outliers on
+  // whichever (alphabetically late) queries run after the cache fills.
+  // 512 MB is cheap insurance against that cliff for ANY driver of this
+  // jar, not a local-mode tuning knob.
+  "-XX:ReservedCodeCacheSize=512m",
 )

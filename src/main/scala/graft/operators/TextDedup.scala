@@ -87,22 +87,53 @@ object TextDedup {
     val eligible =
       docs.filter(graft.operators.TextStats.spaceTokens(col(textCol)) >= shingle)
     val sig = minhashSignatures(eligible, idCol, textCol, numHashes, shingle)
-    val buckets = (0 until numBands).map { b =>
-      val cols = (0 until bandSize).map(j => col(s"mh${b * bandSize + j}"))
-      concat_ws(":", lit(s"b$b") +: cols: _*)
-    }
-    // Both join sides read the banded table; materialising it once
-    // truncates lineage and halves the signature work (a cache() here
-    // would register a new cache entry per invocation and never unpersist
-    // — an unmanaged MEMORY_AND_DISK footprint that lingers until
-    // eviction pressure at scale; lazy recompute measured 2× slower).
+    // Band keys are STRUCTS of the band's minhash ints, not the former
+    // `concat_ws(":", …)` strings: struct equality is the same predicate
+    // (the int components compare exactly; the separator only existed to
+    // keep the string rendering unambiguous) while the banded rows ship
+    // ~16 bytes of ints instead of a rendered string through the exchange
+    // (guide §2.3 — narrower types), and no per-row string assembly runs
+    // in the explode.
+    def bandKey(b: Int) = struct((0 until bandSize)
+      .map(j => col(s"mh${b * bandSize + j}").as(s"k$j")): _*)
+    // The SIGNATURE frame is what gets materialised — (id, mh0..mhN)
+    // flat longs, the narrowest durable form — and the banded explode is
+    // rebuilt lazily from the pinned longs by each join side (struct
+    // packing + posexplode, pure arithmetic). The r19 first cut
+    // checkpointed the EXPLODED frame with `_keys` riding it instead,
+    // and building that checkpoint took 78 s at sf10 (R19Probe, vs 3.0 s
+    // for this shape): `_keys` appears both as a generator input and an
+    // output column, and the optimizer resolves that by duplicating the
+    // whole minhash chain (md5 per shingle × 6 affine array_mins) into
+    // every reference. Pinning the flat signatures once makes every
+    // downstream reference a cheap column read — the same structure
+    // [[bandedHammingPairs]] always had (its ckpt pins (id, _sig)).
+    // (A cache() here would register a new cache entry per invocation
+    // and never unpersist; fully lazy recompute measured 2× slower.)
     val ckpt = graft.runtime.Checkpoints.policy(docs.sparkSession, checkpointDir)
-    val bands = ckpt(sig.select(col(idCol), explode(array(buckets: _*)).as("bucket")))
-    bands.as("a").join(bands.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+    val sigP = ckpt(sig)
+    val bands = sigP
+      .withColumn("_keys", array((0 until numBands).map(bandKey): _*))
+      .select(col(idCol), col("_keys"),
+        posexplode(col("_keys")).as(Seq("_band", "_key")))
+    // A pair sharing SEVERAL band buckets used to emit one row per shared
+    // band, deduplicated by a `.distinct()` — a full exchange + aggregate
+    // of the pair list. Both docs' full key arrays are in-row after the
+    // join, so the duplicate is decidable NARROWLY: keep a collided row
+    // iff no LOWER band also collides (the first-matching-band witness —
+    // exactly one row per pair survives, so the output set is provably
+    // the distinct's, with one fewer shuffle; guide §2.4).
+    val joined = bands.as("a").join(bands.as("b"),
+      col("a._band") === col("b._band") && col("a._key") === col("b._key") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+    val firstMatch =
+      if (numBands == 1) joined
+      else joined.filter(!(0 until numBands - 1)
+        .map(j => lit(j) < col("a._band") &&
+          element_at(col("a._keys"), j + 1) === element_at(col("b._keys"), j + 1))
+        .reduce(_ || _))
+    firstMatch
       .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
-      .distinct()
   }
 
   /** SimHash (`bits`-bit) from per-word hashes: explode → per-bit
@@ -228,14 +259,32 @@ object TextDedup {
       shiftrightunsigned(col("_sig"), b * w).bitwiseAND(mask))
     val banded = sigF.select(col(idCol), col("_sig"),
       posexplode(array(slices: _*)).as(Seq("_band", "_key")))
-    banded.as("a").join(banded.as("b"),
-        col("a._band") === col("b._band") && col("a._key") === col("b._key") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+    // A pair within hamming ≤ maxHamming can collide in SEVERAL bands; the
+    // old rendering emitted one row per colliding band and deduplicated
+    // with a `.distinct()` — a full exchange + aggregate of the PAIR list,
+    // the operator's second-widest frame. Both full signatures are in-row
+    // after the join, so the duplicate is decidable NARROWLY instead:
+    // keep a collided row iff no LOWER band also collides (the
+    // first-matching-band witness — every pair has exactly one, so the
+    // set of (a, b, hamming) rows is provably identical to the distinct's
+    // output while the exchange disappears; guide §2.4). Slices are
+    // recomputed from the riding `_sig`s — two shifts and a mask per
+    // earlier band, folded into the join's codegen.
+    def slice(side: String, b: Int) =
+      shiftrightunsigned(col(s"$side._sig"), b * w).bitwiseAND(mask)
+    val joined = banded.as("a").join(banded.as("b"),
+      col("a._band") === col("b._band") && col("a._key") === col("b._key") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+    val firstMatch =
+      if (bands == 1) joined
+      else joined.filter(!(0 until bands - 1)
+        .map(j => lit(j) < col("a._band") && slice("a", j) === slice("b", j))
+        .reduce(_ || _))
+    firstMatch
       .select(col(s"a.$idCol").as(s"${idCol}_a"),
         col(s"b.$idCol").as(s"${idCol}_b"),
         bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Packed banded-simhash index over a batch corpus — the simhash twin
@@ -535,9 +584,20 @@ object TextDedup {
     // at most two label spills, not one per round. Edges persist for the
     // whole loop and use the plain policy.
     val labelCkpt = new graft.runtime.Checkpoints.Rolling(spark, checkpointDir)
+    // Bidirectional edge list in ONE pass over `pairs` (r19): the former
+    // `select(a,b).union(select(b,a))` evaluated the pairs PLAN twice —
+    // invisible while the pair generators ended in a `.distinct()` whose
+    // exchange ReuseExchange shared across the branches, but the r19
+    // witness-filter rendering removed that exchange (guide §2.4) and the
+    // union then re-ran the whole banded self-join per branch (measured:
+    // x_dedup_cluster +37% at sf10). The in-row explode emits both
+    // directions from a single evaluation whatever shape the pairs plan
+    // has.
     val edges = ckpt(
-      pairs.select(col(idA).as("src"), col(idB).as("dst"))
-        .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      pairs.select(explode(array(
+          struct(col(idA).as("src"), col(idB).as("dst")),
+          struct(col(idB).as("src"), col(idA).as("dst")))).as("_e"))
+        .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
         .repartition(col("dst")))
     // fused init: one aggregate gives every node (all appear as src of the
     // bidirectional list) its min(self, neighbours) label — the state the

@@ -1682,7 +1682,15 @@ object TextStats {
     * (8 KB at B = 1024 — the centroid convention). K iterations =
     * K bounded shuffles; nothing corpus-sized reaches the driver.
     * Docs with zero features carry no gradient and are absent from
-    * training (they still score `sigmoid(bias)` at inference). */
+    * training (they still score `sigmoid(bias)` at inference).
+    *
+    * Concurrency: when the feature frame is loop-small this method
+    * temporarily flips session-wide confs (AQE off, shuffle.partitions
+    * derived from the frame size) for the duration of the loop — they
+    * are restored on every exit path, but queries running CONCURRENTLY
+    * on the same SparkSession during training would see them. Run
+    * training on its own session (`spark.newSession()` shares the
+    * context but isolates runtime conf) if the session is shared. */
   def trainQualityModel(docs: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, label: Column, buckets: Int = 256,
                         iters: Int = 4, lr: Double = 0.5,
@@ -1728,18 +1736,6 @@ object TextStats {
     val baseRows = base0.count()
     val loopStatic = checkpointDir.isEmpty && aqeWas == "true" &&
       baseRows <= 10L * 1000 * 1000
-    val base =
-      if (!loopStatic) base0
-      else {
-        spark.conf.set(aqeKey, "false")
-        // ~1M rows/partition (≈ AQE's own advisory-size decision at
-        // these row widths), floor 4 — loop-small caps this at 10
-        spark.conf.set(partKey,
-          math.max(4L, baseRows / (1L * 1000 * 1000)).toString)
-        val b = ckpt(base0.repartition(col("_id")))
-        graft.runtime.Checkpoints.releaseLocal(base0)
-        b
-      }
     val w = Array.fill(buckets)(0.0)
     var bias = 0.0
     // The per-doc error frame is computed ONCE per iteration and pinned
@@ -1758,10 +1754,31 @@ object TextStats {
     // make the partitioning survive.)
     val errsRoll = new graft.runtime.Checkpoints.Rolling(spark, checkpointDir)
     var lastErrs: org.apache.spark.sql.DataFrame = null
+    // EVERYTHING from the first conf mutation onward runs under one
+    // try/finally: a failure anywhere (the re-pin job included) restores
+    // the session confs and releases every pinned block (advisor r18 —
+    // the re-pin used to run unguarded, so its failure left the session
+    // permanently with AQE off and shuffle.partitions at the loop value,
+    // and a mid-loop failure leaked the errs/base checkpoint blocks).
+    var base: org.apache.spark.sql.DataFrame = base0
     try {
-      val nDocs = base.select(col("_id")).distinct().count().toDouble
-      require(nDocs > 0, "no document produced any feature — nothing to train on")
-      for (_ <- 1 to iters) {
+      if (loopStatic) {
+        spark.conf.set(aqeKey, "false")
+        // ~1M rows/partition (≈ AQE's own advisory-size decision at
+        // these row widths), floor 4 — loop-small caps this at 10
+        spark.conf.set(partKey,
+          math.max(4L, baseRows / (1L * 1000 * 1000)).toString)
+        base = ckpt(base0.repartition(col("_id")))
+        graft.runtime.Checkpoints.releaseLocal(base0)
+      }
+      // nDocs rides iteration 1's errs pin (one row per featureful doc)
+      // instead of its former `base.select("_id").distinct().count()` —
+      // that was a full extra shuffle of the feature frame before the
+      // loop; counting the already-materialised errs blocks is a bounded
+      // scan job (guide §1.2: don't compute what another action already
+      // produced).
+      var nDocs = 0.0
+      for (it <- 1 to iters) {
         val wLit = typedlit(w.toSeq)
         val contrib = col("_cb") * element_at(wLit, (col("_b") + 1).cast("int")) / col("_nd")
         val errs = errsRoll(base.groupBy(col("_id"))
@@ -1769,6 +1786,11 @@ object TextStats {
           .select(col("_id"),
             (lit(1.0) / (lit(1.0) + exp(-col("_logit"))) - col("_yy")).as("_e")))
         lastErrs = errs
+        if (it == 1) {
+          nDocs = errs.count().toDouble
+          require(nDocs > 0,
+            "no document produced any feature — nothing to train on")
+        }
         // ONE action per iteration (r18 resume): the bias gradient rides
         // the gradient collect as a sentinel bucket (_b = −1, a value the
         // `% buckets` hash can never produce) instead of its own job —
@@ -1798,15 +1820,18 @@ object TextStats {
           else w(b.toInt) -= lr * r.getDouble(1)
         }
       }
-    } finally if (loopStatic) {
-      spark.conf.set(aqeKey, aqeWas)
-      spark.conf.set(partKey, partWas)
+    } finally {
+      if (loopStatic) {
+        spark.conf.set(aqeKey, aqeWas)
+        spark.conf.set(partKey, partWas)
+      }
+      // the loop's survivors are intermediate state: the trained model is
+      // the return value, so nothing may stay pinned (repeated training
+      // runs in one session must not accrete executor blocks) — released
+      // in the finally so an aborted loop cannot leak them either
+      if (lastErrs != null) graft.runtime.Checkpoints.releaseLocal(lastErrs)
+      if (base != null) graft.runtime.Checkpoints.releaseLocal(base)
     }
-    // the loop's survivors are intermediate state: the trained model is
-    // the return value, so nothing may stay pinned (repeated training
-    // runs in one session must not accrete executor blocks)
-    if (lastErrs != null) graft.runtime.Checkpoints.releaseLocal(lastErrs)
-    graft.runtime.Checkpoints.releaseLocal(base)
     (w, bias)
   }
 }
