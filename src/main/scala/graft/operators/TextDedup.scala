@@ -571,12 +571,29 @@ object TextDedup {
     * cluster so an executor loss mid-loop recovers instead of killing the
     * job.
     *
+    * Round-19 refuted experiment (kept as a measurement, guide §1.1): a
+    * raw-RDD rendering of this loop — shared HashPartitioner, narrow
+    * co-partitioned joins, two node-sized shuffles per round, ZERO
+    * per-round Catalyst work — was built on the theory that the ~0.5
+    * s/round steady-state cost (per-round trace, sf10) was driver-side
+    * re-analysis/re-planning of the three-join round query. It LOST 2×:
+    * 31.7 s vs 14.4 s for the same sf10 CC (1.5-2.5 s/round), because
+    * RDD shuffles move Java-serialised boxed tuples where the SQL loop
+    * moves Tungsten binary rows — the per-row cost dominates the
+    * planning fixed cost it saved. The SQL loop stands.
+    *
     * Input: pairs with columns (`idA`, `idB`). Output: (`id`, `component`).
     * Isolated ids never present in `pairs` are absent — union the full id
     * set with `coalesce(component, id)` downstream if needed. */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
                           maxIter: Int = 50,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None): DataFrame =
+    ccSqlLoop(pairs, idA, idB, maxIter, checkpointDir)
+
+
+  private def ccSqlLoop(pairs: DataFrame, idA: String, idB: String,
+                        maxIter: Int,
+                        checkpointDir: Option[String]): DataFrame = {
     val spark = pairs.sparkSession
     val ckpt = graft.runtime.Checkpoints.policy(spark, checkpointDir)
     // labels roll: each round's spill supersedes the last, which is
@@ -593,22 +610,12 @@ object TextDedup {
     // x_dedup_cluster +37% at sf10). The in-row explode emits both
     // directions from a single evaluation whatever shape the pairs plan
     // has.
-    val edges = ckpt(
+    val edges0 = ckpt(
       pairs.select(explode(array(
           struct(col(idA).as("src"), col(idB).as("dst")),
           struct(col(idB).as("src"), col(idA).as("dst")))).as("_e"))
         .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
         .repartition(col("dst")))
-    // fused init: one aggregate gives every node (all appear as src of the
-    // bidirectional list) its min(self, neighbours) label — the state the
-    // identity init only reached after a full HashMin round
-    var labels = labelCkpt(
-      edges.groupBy(col("src"))
-        .agg(min(col("dst")).as("_mn"))
-        .select(col("src").as("id"),
-          least(col("src"), col("_mn")).as("component")))
-    var iter = 0
-    var converged = false
     // Rounds are dominated by per-stage SCHEDULING latency, not data:
     // the label/edge frames are node-sized (near-dup participants), and
     // AQE turns each round's three joins into 5-6 materialised query
@@ -620,6 +627,25 @@ object TextDedup {
     // (bounded count on the pinned blocks), and restored after. The
     // threshold is data-derived, not core-count-derived: big edge lists
     // keep AQE (coalescing and skew handling matter there).
+    // r19 refuted variant #2 (kept as a measurement): re-pinning the edge
+    // list AT the loop partition count (so every loop stage ran loop-width
+    // instead of the mixed session-width/loop-width regime) LOST at sf10 —
+    // x_dedup_cluster 5.89 → 8.59 s, x_pipeline_near 29.4 → 31.3 s. The
+    // 4-partition floor underparallelises the edge join on 32 cores; the
+    // session-width edge pin keeps that join wide while the derived count
+    // still bounds the tiny label-side stages. Edges stay pinned at the
+    // session partitioning.
+    val edges = edges0
+    // fused init: one aggregate gives every node (all appear as src of the
+    // bidirectional list) its min(self, neighbours) label — the state the
+    // identity init only reached after a full HashMin round
+    var labels = labelCkpt(
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("_mn"))
+        .select(col("src").as("id"),
+          least(col("src"), col("_mn")).as("component")))
+    var iter = 0
+    var converged = false
     val aqeKey = "spark.sql.adaptive.enabled"
     val smjKey = "spark.sql.join.preferSortMergeJoin"
     val partKey = "spark.sql.shuffle.partitions"
@@ -666,10 +692,15 @@ object TextDedup {
         // The round's ONE heavy action is the checkpoint materialisation;
         // the convergence probe then reads the pinned blocks (a bounded
         // limit-1 scan of already-computed rows, never a recompute).
+        val t0 = System.nanoTime()
         val ckpted = labelCkpt(flagged)
+        val t1 = System.nanoTime()
         converged = ckpted.filter(col("_changed")).isEmpty
         labels = ckpted.select("id", "component")
         iter += 1
+        if (sys.env.contains("SPARK_GRAFT_CC_TRACE")) System.err.println(
+          f"[cc] round $iter: materialise ${(t1 - t0) / 1e9}%.3f s, " +
+            f"probe ${(System.nanoTime() - t1) / 1e9}%.3f s")
       }
     } finally if (loopAqeOff) {
       spark.conf.set(aqeKey, aqeWas)
